@@ -1,0 +1,146 @@
+"""Database / set catalog over Parquet directories.
+
+Mirrors the PDBClient catalog surface (reference
+src/mainClient/headers/PDBClient.h:76-138): ``createDatabase``,
+``createSet<T>``, ``removeSet``, ``clearSet``, ``getSetIterator`` — here a
+database is a directory namespace and a set is a Parquet table under it.
+The reference stores sets as 256 MB pages in the Pangea storage manager
+(src/storage/headers/UserSet.h:38); we store them as Parquet so scans get
+column pruning + predicate pushdown for free and a 100 TB set is just a large
+partitioned directory that Spark splits into ~128 MB tasks.
+
+Driver-provided test tables (/root/testdata/sf*/NAME.parquet) register as
+read-only external sets via :meth:`Catalog.register_testdata`.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Catalog:
+    """Path-backed database/set registry.
+
+    ``createSet`` in the reference also chooses a partitioning lambda when
+    self-learning is on (src/serverFunctionalities — DispatcherServer); here
+    :meth:`write_set` accepts ``bucket_by`` / ``partition_by`` so the advisor
+    (lachesis_spark.advisor) can apply a learned layout the same way.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._external: dict[tuple[str, str], str] = {}
+
+    # -- database ----------------------------------------------------------
+    def create_database(self, db: str) -> None:
+        os.makedirs(os.path.join(self.root, db), exist_ok=True)
+
+    def remove_database(self, db: str) -> None:
+        shutil.rmtree(os.path.join(self.root, db), ignore_errors=True)
+
+    def list_databases(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(os.path.join(self.root, d))
+        )
+
+    # -- sets --------------------------------------------------------------
+    def set_path(self, db: str, name: str) -> str:
+        ext = self._external.get((db, name))
+        return ext if ext else os.path.join(self.root, db, name)
+
+    def register_external_set(self, db: str, name: str, path: str) -> None:
+        """Register an existing Parquet file/dir as a read-only set."""
+        self._external[(db, name)] = path
+
+    def register_testdata(self, sf_dir: str, db: str = "testdata") -> None:
+        """Expose the driver tables as sets of ``db`` and as temp views."""
+        for name in TESTDATA_TABLES:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                self.register_external_set(db, name, path)
+                self.read_set(db, name).createOrReplaceTempView(name)
+
+    def exists_set(self, db: str, name: str) -> bool:
+        return os.path.exists(self.set_path(db, name))
+
+    def read_set(self, db: str, name: str) -> DataFrame:
+        """ScanUserSet analog (reference
+        src/builtInPDBObjects/headers/ScanUserSet.h:23): a batched scan whose
+        column pruning / predicate pushdown Catalyst applies automatically."""
+        return self.spark.read.parquet(self.set_path(db, name))
+
+    def write_set(
+        self,
+        df: DataFrame,
+        db: str,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+    ) -> None:
+        """WriteUserSet analog (reference
+        src/builtInPDBObjects/headers/WriteUserSet.h:18).
+
+        ``bucket_by=(n, cols)`` persists hash-co-partitioned data the way the
+        reference's PartitionComp + partitioned sets do
+        (src/lambdas/headers/PartitionComp.h:13-35) so later joins/aggs on the
+        same key avoid the shuffle.  Bucketed writes require saveAsTable.
+        """
+        if (db, name) in self._external:
+            raise ValueError(f"set {db}.{name} is external/read-only")
+        if bucket_by is not None:
+            n, cols = bucket_by
+            (
+                df.write.mode(mode)
+                .bucketBy(n, *cols)
+                .sortBy(*cols)
+                .option("path", self.set_path(db, name))
+                .saveAsTable(f"{db}_{name}")
+            )
+            return
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.set_path(db, name))
+
+    def remove_set(self, db: str, name: str) -> None:
+        if (db, name) in self._external:
+            del self._external[(db, name)]
+            return
+        shutil.rmtree(self.set_path(db, name), ignore_errors=True)
+
+    def clear_set(self, db: str, name: str) -> None:
+        """clearSet analog — drop contents, keep the name."""
+        if (db, name) in self._external:
+            raise ValueError(f"set {db}.{name} is external/read-only")
+        shutil.rmtree(self.set_path(db, name), ignore_errors=True)
+        os.makedirs(self.set_path(db, name), exist_ok=True)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Convenience loader for the driver testdata star schema."""
+    out: dict[str, DataFrame] = {}
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = spark.read.parquet(path)
+    return out

@@ -1,0 +1,21 @@
+"""Central registry of all (query, oracle) pairs exposed to the driver.
+
+Every operator claimed done in SURVEY.md §2 has an entry here; queries whose
+semantics are not SQL-expressible (streaming, iterative) appear in QUERIES
+without an ORACLE entry and get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from lachesis_spark.plans import tpch
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+QUERIES.update(tpch.QUERIES)
+ORACLE.update(tpch.ORACLE)
+
+
+def _register(queries: dict, oracle: dict) -> None:
+    QUERIES.update(queries)
+    ORACLE.update(oracle)

@@ -1,0 +1,116 @@
+"""Operator-level unit tests — one per SURVEY.md §2.1 row, on tiny literal
+DataFrames (the reference's Test*.cc style, but asserting values not counts)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lachesis_spark.operators import core
+from lachesis_spark.operators.graph import (
+    AggregateComp,
+    DataFrameSource,
+    JoinComp,
+    SelectionComp,
+    TopKComp,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_selection(spark):
+    df = _df(spark, [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double")
+    out = core.selection(df, F.col("v") > 15, [F.col("k"), (F.col("v") * 2).alias("v2")])
+    assert sorted(tuple(r) for r in out.collect()) == [(2, 40.0), (3, 60.0)]
+
+
+def test_multi_selection_flatten(spark):
+    """MultiSelectionComp → explode (reference MultiSelectionComp.h:15-24,
+    CustomerMultiSelection.h:17-50 unnest pattern)."""
+    df = _df(spark, [(1, [10, 20]), (2, [30]), (3, [])], "k int, xs array<int>")
+    out = core.multi_selection(df, F.col("k") < 3, "xs", extra_cols=["k"], out_name="x")
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (1, 20), (2, 30)]
+
+
+def test_aggregate_operator_plus_decomposition(spark):
+    """The reference's Avg{total,count} operator+ state (Avg.h:11-35)
+    decomposes into sum+count built-ins."""
+    df = _df(spark, [("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    out = core.aggregate(
+        df, ["k"], [F.sum("v").alias("total"), F.count(F.lit(1)).alias("cnt")]
+    )
+    assert sorted(tuple(r) for r in out.collect()) == [("a", 4.0, 2), ("b", 5.0, 1)]
+
+
+def test_global_aggregate(spark):
+    df = _df(spark, [(1.0,), (2.0,)], "v double")
+    assert core.aggregate(df, None, [F.sum("v").alias("s")]).collect()[0].s == 3.0
+
+
+def test_count_all(spark):
+    df = _df(spark, [(1,), (2,), (3,)], "v int")
+    assert core.count_all(df).collect()[0].cnt == 3
+
+
+def test_join_multiway_equi_plus_theta(spark):
+    """Variadic join: equi subtrees → hash joins, non-equi residue → filter
+    (reference JoinComp.h:43, CPlusPlusLambda.h:314-368)."""
+    a = _df(spark, [(1, 5), (2, 6)], "k int, av int")
+    b = _df(spark, [(1, 7), (2, 2)], "k2 int, bv int")
+    c = _df(spark, [(1, 100), (2, 200)], "k3 int, cv int")
+    out = core.join(
+        [a, b, c],
+        equi=[F.col("k") == F.col("k2"), F.col("k") == F.col("k3")],
+        theta=F.col("av") < F.col("bv"),
+        projection=["k", "cv"],
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 100)]
+
+
+def test_join_cartesian_fallback(spark):
+    a = _df(spark, [(1,), (2,)], "x int")
+    b = _df(spark, [(10,), (20,)], "y int")
+    out = core.join([a, b], equi=[], theta=F.col("x") * 10 == F.col("y"))
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 20)]
+
+
+def test_partition_preserves_data(spark):
+    df = _df(spark, [(i % 3, i) for i in range(30)], "k int, v int")
+    out = core.partition(df, ["k"], num_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert sorted(r.v for r in out.collect()) == list(range(30))
+
+
+def test_top_k_deterministic_ties(spark):
+    df = _df(spark, [(1, 5.0), (2, 5.0), (3, 1.0), (4, 9.0)], "id int, s double")
+    out = core.top_k(df, 2, "s", tiebreak=["id"])
+    assert [(r.id, r.s) for r in out.collect()] == [(4, 9.0), (1, 5.0)]
+
+
+def test_top_k_per_group(spark):
+    df = _df(spark, [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v int")
+    out = core.top_k_per_group(df, 1, ["g"], "v")
+    assert sorted((r.g, r.v) for r in out.collect()) == [("a", 3), ("b", 9)]
+
+
+def test_distinct_by(spark):
+    df = _df(spark, [("x", 3), ("x", 1), ("y", 2)], "t string, id int")
+    out = core.distinct_by(df, ["t"], keep={"id": F.min("id")})
+    assert sorted(tuple(r) for r in out.collect()) == [("x", 1), ("y", 2)]
+
+
+def test_graph_api_matches_functional(spark):
+    """Computation graph wiring (setInput style) lowers to the same result."""
+    a = DataFrameSource(_df(spark, [(1, 2.0), (2, 4.0), (3, 6.0)], "k int, v double"))
+    sel = SelectionComp(pred=F.col("v") > 2.0).set_input(0, a)
+    agg = AggregateComp(["k"], [F.sum("v").alias("s")]).set_input(0, sel)
+    assert sorted(tuple(r) for r in agg.to_df(spark).collect()) == [(2, 4.0), (3, 6.0)]
+
+
+def test_graph_join_topk(spark):
+    left = DataFrameSource(_df(spark, [(1, "a"), (2, "b")], "k int, n string"))
+    right = DataFrameSource(_df(spark, [(1, 10.0), (2, 30.0)], "k2 int, s double"))
+    j = JoinComp(2, equi=[F.col("k") == F.col("k2")]).set_input(0, left).set_input(1, right)
+    t = TopKComp(1, "s").set_input(0, j)
+    assert [(r.n, r.s) for r in t.to_df(spark).collect()] == [("b", 30.0)]
