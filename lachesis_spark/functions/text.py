@@ -1,0 +1,87 @@
+"""Text-analysis function library (JVM-side expressions, no UDFs).
+
+Covers the training-data-pipeline text ops: tokenization, token counting,
+n-gram shingling, quality scoring, language-ID heuristics, fingerprinting.
+Everything is a Column expression so a 100 TB corpus pass stays inside
+whole-stage codegen; nothing here crosses into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Real deployments would swap in fastText/CLD3 via a pandas UDF
+# (see llm.multimodal for the UDF plumbing pattern); the heuristic keeps the
+# hot path JVM-side.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+
+
+def tokens(col: Column | str, pattern: str = " ") -> Column:
+    """Whitespace tokenization; empty tokens removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, pattern), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    ts = tokens(col)
+    return F.aggregate(
+        ts, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.size(ts).cast("double")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric or space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, "[A-Za-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.length(c).cast("double")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` — the language-ID
+    signal."""
+    ts = tokens(col)
+    hits = F.size(F.filter(ts, lambda t: F.lower(t).isin(STOPWORDS[lang])))
+    return hits.cast("double") / F.size(ts).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality heuristic in [0,1]: length band + average token
+    length band + low punctuation.  Mirrors the usual pretraining-corpus
+    filters (length/punct/stopword ratios)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    len_ok = F.when((n >= 100) & (n <= 2000), 1.0).otherwise(0.5)
+    atl = avg_token_len(c)
+    atl_ok = F.when((atl >= 3.0) & (atl <= 10.0), 1.0).otherwise(0.5)
+    punct_ok = 1.0 - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    return (len_ok + atl_ok + punct_ok) / 3.0
+
+
+def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """n-word shingles (the dedup unit).  Expression-only: transform over an
+    index sequence."""
+    ts = tokens(col, sep)
+    shingled = F.transform(
+        F.sequence(F.lit(0), F.size(ts) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)]),
+    )
+    return F.when(F.size(ts) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: lexicographic min of per-token MD5s — a 1-perm
+    MinHash, stable across engines (oracle uses min(md5(token)))."""
+    return F.array_min(F.transform(tokens(col), lambda t: F.md5(t)))

@@ -1,0 +1,312 @@
+"""Linear-algebra workload library — the reference's LA DSL algebra
+(reference src/linearAlgebraDSL/: transpose, multiply %*%, transpose-multiply
+'*, add/subtract, scale, max/min element, rowMax/rowMin/colMax/colMin,
+rowSum/colSum, duplicateRow/duplicateCol —
+src/linearAlgebraDSL/source/LAEvaluateFunctions.cc:256-341) re-expressed on
+DataFrames in two representations:
+
+1. **COO** (i, j, v) — element-wise ops as joins/aggregations.  Used for the
+   driver's oracle-gated queries (DuckDB can unnest the same data).
+2. **Block** (row_blk, col_blk, rows, cols, data) — the reference's
+   MatrixBlock model (block ids + dense double block,
+   LAEvaluateFunctions.cc:19-30): multiply = equi-join on the inner block
+   index + numpy GEMM per pair + aggregate-sum of partial blocks, exactly the
+   reference's JoinComp+AggregateComp plan but with Arrow-batched pandas UDFs
+   doing the dense math.
+
+Scale: block matmul shuffles on (row_blk, col_blk) with combine-side partial
+sums — the same dataflow the reference runs distributed; block size (e.g.
+1000×1000 doubles = 8 MB) keeps any single task's working set bounded, and
+Catalyst broadcasts the smaller operand's blocks when one matrix is thin.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# COO representation
+def coo_from_embeddings(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
+    """Materialize the embeddings table as a COO matrix A (n_vec × dim):
+    i = vec_id, j = position, v = value (cast double)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    if limit is not None:
+        emb = emb.filter(F.col("vec_id") < limit)
+    return emb.select(
+        F.col("vec_id").alias("i"),
+        F.posexplode("embedding").alias("j", "v_raw"),
+    ).select("i", "j", F.col("v_raw").cast("double").alias("v"))
+
+
+COO_SQL = """
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings {where}
+"""
+
+
+def transpose(a: DataFrame) -> DataFrame:
+    """LA transpose (LAPostfixExpressionNode.h:30-32): swap indices — a pure
+    projection, no shuffle."""
+    return a.select(F.col("j").alias("i"), F.col("i").alias("j"), "v")
+
+
+def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+    """A %*% B on COO: equi-join on the contraction index + group-sum
+    (the reference's join-on-block-index + aggregate plan,
+    LAEvaluateFunctions.cc:213-341).  Shuffles both sides on the inner index,
+    then on (i,j); partial aggregation combines map-side."""
+    bj = b.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
+    return (
+        a.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
+        .join(bj, F.col("k") == F.col("k2"))
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("av") * F.col("bv")).alias("v"))
+    )
+
+
+def gram(a: DataFrame) -> DataFrame:
+    """A' %*% A (the reference's Gram-matrix workload, documentation.md:7)."""
+    return matmul(transpose(a), a)
+
+
+def scale_mult(a: DataFrame, s: float) -> DataFrame:
+    return a.withColumn("v", F.col("v") * s)
+
+
+def add(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Element-wise add via full-outer-join-free union+sum (sparse-safe)."""
+    return a.unionByName(b).groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def subtract(a: DataFrame, b: DataFrame) -> DataFrame:
+    return add(a, scale_mult(b, -1.0))
+
+
+def row_sum(a: DataFrame) -> DataFrame:
+    return a.groupBy("i").agg(F.sum("v").alias("v"))
+
+
+def col_sum(a: DataFrame) -> DataFrame:
+    return a.groupBy("j").agg(F.sum("v").alias("v"))
+
+
+def row_max(a: DataFrame) -> DataFrame:
+    return a.groupBy("i").agg(F.max("v").alias("v"))
+
+
+def row_min(a: DataFrame) -> DataFrame:
+    return a.groupBy("i").agg(F.min("v").alias("v"))
+
+
+def col_max(a: DataFrame) -> DataFrame:
+    return a.groupBy("j").agg(F.max("v").alias("v"))
+
+
+def col_min(a: DataFrame) -> DataFrame:
+    return a.groupBy("j").agg(F.min("v").alias("v"))
+
+
+def max_element(a: DataFrame) -> DataFrame:
+    return a.agg(F.max("v").alias("v"))
+
+
+def min_element(a: DataFrame) -> DataFrame:
+    return a.agg(F.min("v").alias("v"))
+
+
+def duplicate_row(row_vec: DataFrame, n: int) -> DataFrame:
+    """duplicateRow (LAEvaluateFunctions.cc:256-341): broadcast a 1×m row
+    vector to n×m.  Implemented as explode of a range literal — no shuffle."""
+    return row_vec.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("i"),
+        F.col("j"),
+        F.col("v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block representation (reference MatrixBlock: block ids + dense data)
+BLOCK_SCHEMA = T.StructType(
+    [
+        T.StructField("row_blk", T.IntegerType()),
+        T.StructField("col_blk", T.IntegerType()),
+        T.StructField("rows", T.IntegerType()),
+        T.StructField("cols", T.IntegerType()),
+        T.StructField("data", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def block_matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Block GEMM: join A.col_blk == B.row_blk, numpy-multiply each block
+    pair (Arrow-batched), then sum partial blocks per output (row_blk,
+    col_blk) — the reference's exact plan (LAEvaluateFunctions.cc:213-341)
+    with Tungsten shuffle + pandas UDF GEMM.
+    """
+    import pandas as pd  # noqa: F401
+
+    paired = a.select(
+        F.col("row_blk"), F.col("col_blk").alias("k"), F.col("rows").alias("a_rows"),
+        F.col("cols").alias("a_cols"), F.col("data").alias("a_data"),
+    ).join(
+        b.select(
+            F.col("row_blk").alias("k2"), F.col("col_blk"), F.col("rows").alias("b_rows"),
+            F.col("cols").alias("b_cols"), F.col("data").alias("b_data"),
+        ),
+        F.col("k") == F.col("k2"),
+    )
+
+    def gemm(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                am = np.asarray(r.a_data, dtype=np.float64).reshape(r.a_rows, r.a_cols)
+                bm = np.asarray(r.b_data, dtype=np.float64).reshape(r.b_rows, r.b_cols)
+                cm = am @ bm
+                outs.append(
+                    (r.row_blk, r.col_blk, cm.shape[0], cm.shape[1], cm.ravel().tolist())
+                )
+            yield pd.DataFrame(
+                outs, columns=["row_blk", "col_blk", "rows", "cols", "data"]
+            )
+
+    partial = paired.mapInPandas(gemm, schema=BLOCK_SCHEMA)
+
+    def merge_blocks(pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros(len(pdf.iloc[0]["data"]), dtype=np.float64)
+        for d in pdf["data"]:
+            acc += np.asarray(d, dtype=np.float64)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [(first["row_blk"], first["col_blk"], first["rows"], first["cols"],
+              acc.tolist())],
+            columns=["row_blk", "col_blk", "rows", "cols", "data"],
+        )
+
+    return partial.groupBy("row_blk", "col_blk").applyInPandas(
+        merge_blocks, schema=BLOCK_SCHEMA
+    )
+
+
+def block_transpose(a: DataFrame) -> DataFrame:
+    """Transpose block ids and each dense block (numpy per block)."""
+    def tr(iterator):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in iterator:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                m = np.asarray(r.data, dtype=np.float64).reshape(r.rows, r.cols).T
+                outs.append((r.col_blk, r.row_blk, m.shape[0], m.shape[1], m.ravel().tolist()))
+            yield pd.DataFrame(outs, columns=["row_blk", "col_blk", "rows", "cols", "data"])
+
+    import pandas as pd  # noqa: F401
+
+    return a.mapInPandas(tr, schema=BLOCK_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable queries (COO over embeddings, DuckDB-oracle'd)
+def _coo_sql(where: str = "") -> str:
+    return COO_SQL.format(where=where)
+
+
+def la_gram(spark, sf_dir):
+    """Gram matrix A'A of the embedding matrix (dim×dim = 64×64 output)."""
+    return gram(coo_from_embeddings(spark, sf_dir))
+
+
+LA_GRAM_SQL = f"""
+WITH coo AS ({_coo_sql()})
+SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v
+FROM coo a JOIN coo b ON a.i = b.i
+GROUP BY a.j, b.j
+"""
+
+
+def la_matmul(spark, sf_dir):
+    """A[0:50] %*% A'[,0:80] — rectangular COO matmul (50×80 output)."""
+    a = coo_from_embeddings(spark, sf_dir, limit=50)
+    bt = transpose(coo_from_embeddings(spark, sf_dir, limit=80))
+    return matmul(a, bt)
+
+
+LA_MATMUL_SQL = f"""
+WITH a AS ({_coo_sql('WHERE vec_id < 50')}),
+     b AS (SELECT j AS i, i AS j, v FROM ({_coo_sql('WHERE vec_id < 80')}))
+SELECT a.i AS i, b.j AS j, sum(a.v * b.v) AS v
+FROM a JOIN b ON a.j = b.i
+GROUP BY a.i, b.j
+"""
+
+
+def la_transpose_rowsum(spark, sf_dir):
+    """rowSum(A') == colSum(A): exercises transpose + rowSum together."""
+    return row_sum(transpose(coo_from_embeddings(spark, sf_dir)))
+
+
+LA_TRANSPOSE_ROWSUM_SQL = f"""
+WITH coo AS ({_coo_sql()})
+SELECT j AS i, sum(v) AS v FROM coo GROUP BY j
+"""
+
+
+def la_rowmax_colmin(spark, sf_dir):
+    """rowMax joined with per-row colMin-of-transpose (same thing) — output
+    (i, rmax, rmin)."""
+    a = coo_from_embeddings(spark, sf_dir)
+    rmax = row_max(a).withColumnRenamed("v", "rmax")
+    rmin = row_min(a).withColumnRenamed("v", "rmin")
+    return rmax.join(rmin, "i")
+
+
+LA_ROWMAX_COLMIN_SQL = f"""
+WITH coo AS ({_coo_sql()})
+SELECT i, max(v) AS rmax, min(v) AS rmin FROM coo GROUP BY i
+"""
+
+
+def la_add_scale(spark, sf_dir):
+    """(A + A) - 0.5*A == 1.5*A element-wise; exercises add/subtract/scale."""
+    a = coo_from_embeddings(spark, sf_dir, limit=30)
+    return subtract(add(a, a), scale_mult(a, 0.5))
+
+
+LA_ADD_SCALE_SQL = f"""
+WITH a AS ({_coo_sql('WHERE vec_id < 30')})
+SELECT i, j, sum(v) AS v FROM (
+  SELECT i, j, v FROM a
+  UNION ALL SELECT i, j, v FROM a
+  UNION ALL SELECT i, j, -0.5 * v FROM a
+) GROUP BY i, j
+"""
+
+
+QUERIES = {
+    "la_gram": la_gram,
+    "la_matmul": la_matmul,
+    "la_transpose_rowsum": la_transpose_rowsum,
+    "la_rowmax_colmin": la_rowmax_colmin,
+    "la_add_scale": la_add_scale,
+}
+
+ORACLE = {
+    "la_gram": LA_GRAM_SQL,
+    "la_matmul": LA_MATMUL_SQL,
+    "la_transpose_rowsum": LA_TRANSPOSE_ROWSUM_SQL,
+    "la_rowmax_colmin": LA_ROWMAX_COLMIN_SQL,
+    "la_add_scale": LA_ADD_SCALE_SQL,
+}

@@ -1,0 +1,287 @@
+"""Operator-inventory queries — one driver-checkable (query, oracle) pair per
+SURVEY.md §2.1 Computation, exercised on the driver testdata.
+
+These are the parity probes for the reference's public algebra
+(reference src/lambdas/headers/Computation.h): each query uses exactly one
+operator (plus minimal scaffolding) so a failure localizes to that operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.operators import core
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# -- SelectionComp (reference SelectionComp.h:12-23) ------------------------
+def op_selection(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.selection(
+        li,
+        (F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10),
+        [
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        ],
+    )
+
+
+OP_SELECTION_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 10
+"""
+
+
+# -- MultiSelectionComp + FLATTEN (reference MultiSelectionComp.h:15-24) ----
+def op_multi_selection(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    exploded = core.multi_selection(
+        docs,
+        F.col("n_chars") > 200,
+        F.split(F.col("text"), " "),
+        extra_cols=["doc_id"],
+        out_name="token",
+    )
+    return exploded.filter(F.col("token") != "")
+
+
+OP_MULTI_SELECTION_SQL = """
+SELECT doc_id, token FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents WHERE n_chars > 200
+) WHERE token <> ''
+"""
+
+
+# -- AggregateComp with operator+ decomposition (reference Avg.h:11-35) -----
+def op_aggregate(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return core.aggregate(
+        cust,
+        ["c_mktsegment"],
+        [
+            F.sum("c_acctbal").alias("total_bal"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.avg("c_acctbal").alias("avg_bal"),
+        ],
+    )
+
+
+OP_AGGREGATE_SQL = """
+SELECT c_mktsegment, sum(c_acctbal) AS total_bal, count(*) AS cnt,
+       avg(c_acctbal) AS avg_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+# -- JoinComp: variadic multi-way with theta residue (JoinComp.h:43) --------
+def op_join_multiway(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = core.join(
+        [li, orders, F.broadcast(cust), F.broadcast(nation)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ],
+        theta=F.col("l_shipdate") > F.col("o_orderdate"),
+    )
+    return core.aggregate(
+        joined,
+        ["n_name"],
+        [F.count(F.lit(1)).alias("n_lines"), F.sum("l_extendedprice").alias("total_price")],
+    )
+
+
+OP_JOIN_MULTIWAY_SQL = """
+SELECT n_name, count(*) AS n_lines, sum(l_extendedprice) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_shipdate > o.o_orderdate
+GROUP BY n_name
+"""
+
+
+# -- PartitionComp (PartitionComp.h:13-35): repartition is semantically
+#    transparent; the query proves the partitioned stream aggregates
+#    partition-locally to the same result.
+def op_partition(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    parted = core.partition(li, ["l_suppkey"], num_partitions=16)
+    return core.aggregate(
+        parted, ["l_suppkey"], [F.count(F.lit(1)).alias("n_lines"),
+                                F.sum("l_quantity").alias("total_qty")]
+    )
+
+
+OP_PARTITION_SQL = """
+SELECT l_suppkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+# -- TopKComp global (TopKComp.h:21-37) -------------------------------------
+def op_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return core.top_k(
+        orders.select("o_orderkey", "o_totalprice"), 15, "o_totalprice",
+        tiebreak=["o_orderkey"],
+    )
+
+
+OP_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15
+"""
+
+
+# -- grouped top-k (keyed TopKComp shape) -----------------------------------
+def op_topk_grouped(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return core.top_k_per_group(
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        3, ["c_mktsegment"], "c_acctbal", tiebreak=["c_custkey"],
+    )
+
+
+OP_TOPK_GROUPED_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+) WHERE rk <= 3
+"""
+
+
+# -- Count (Count.h:16) -----------------------------------------------------
+def op_count(spark, sf_dir):
+    return core.count_all(_t(spark, sf_dir, "lineitem"))
+
+
+OP_COUNT_SQL = "SELECT count(*) AS cnt FROM lineitem"
+
+
+# -- distinct = group-by-key (SURVEY.md §2.8) -------------------------------
+def op_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return core.distinct_by(li, ["l_returnflag", "l_linestatus"])
+
+
+OP_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+# -- TopJaccard similarity search (reference src/tpchBench/headers/
+#    TopJaccard.h:15-37: per-customer part-set Jaccard vs a query part-set,
+#    merged through TopKComp).  Query set = parts bought by customer 1.
+def op_jaccard_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        core.join([li, orders], equi=[F.col("l_orderkey") == F.col("o_orderkey")])
+        .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .distinct()
+    )
+    q = cp.filter(F.col("custkey") == 1).select(F.col("partkey").alias("q_partkey"))
+    q_size = q.count()  # tiny driver-side scalar, same as the reference's query set
+    scored = (
+        cp.filter(F.col("custkey") != 1)
+        .join(F.broadcast(q), F.col("partkey") == F.col("q_partkey"), "left")
+        .groupBy("custkey")
+        .agg(
+            F.count(F.lit(1)).alias("sz"),
+            F.count("q_partkey").alias("inter"),
+        )
+        .select(
+            "custkey",
+            (F.col("inter") / (F.col("sz") + F.lit(q_size) - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return core.top_k(scored, 10, "jaccard", tiebreak=["custkey"])
+
+
+OP_JACCARD_SQL = """
+WITH cp AS (
+  SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+q AS (SELECT partkey FROM cp WHERE custkey = 1),
+scored AS (
+  SELECT cp.custkey,
+         count(*) AS sz,
+         count(CASE WHEN cp.partkey IN (SELECT partkey FROM q) THEN 1 END) AS inter
+  FROM cp WHERE cp.custkey <> 1 GROUP BY cp.custkey
+)
+SELECT custkey,
+       CAST(inter AS DOUBLE) / (sz + (SELECT count(*) FROM q) - inter) AS jaccard
+FROM scored
+ORDER BY jaccard DESC, custkey ASC LIMIT 10
+"""
+
+
+# -- nested object model round-trip: roll customer's orders into an array of
+#    structs (reference nested model Customer.h:25-37 / Order.h:23-26), then
+#    FLATTEN back and aggregate (CustomerMultiSelection.h:17-50 pipeline).
+def op_nested_explode(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    nested = orders.groupBy("o_custkey").agg(
+        F.collect_list(F.struct("o_orderkey", "o_totalprice")).alias("orders")
+    )
+    exploded = core.multi_selection(
+        nested, None, "orders", extra_cols=["o_custkey"], out_name="o"
+    )
+    return core.aggregate(
+        exploded,
+        ["o_custkey"],
+        [F.count(F.lit(1)).alias("n_orders"), F.sum("o.o_totalprice").alias("total_spend")],
+    )
+
+
+OP_NESTED_EXPLODE_SQL = """
+SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spend
+FROM orders GROUP BY o_custkey
+"""
+
+
+QUERIES = {
+    "op_selection": op_selection,
+    "op_multi_selection": op_multi_selection,
+    "op_aggregate": op_aggregate,
+    "op_join_multiway": op_join_multiway,
+    "op_partition": op_partition,
+    "op_topk": op_topk,
+    "op_topk_grouped": op_topk_grouped,
+    "op_count": op_count,
+    "op_distinct": op_distinct,
+    "op_jaccard_topk": op_jaccard_topk,
+    "op_nested_explode": op_nested_explode,
+}
+
+ORACLE = {
+    "op_selection": OP_SELECTION_SQL,
+    "op_multi_selection": OP_MULTI_SELECTION_SQL,
+    "op_aggregate": OP_AGGREGATE_SQL,
+    "op_join_multiway": OP_JOIN_MULTIWAY_SQL,
+    "op_partition": OP_PARTITION_SQL,
+    "op_topk": OP_TOPK_SQL,
+    "op_topk_grouped": OP_TOPK_GROUPED_SQL,
+    "op_count": OP_COUNT_SQL,
+    "op_distinct": OP_DISTINCT_SQL,
+    "op_jaccard_topk": OP_JACCARD_SQL,
+    "op_nested_explode": OP_NESTED_EXPLODE_SQL,
+}

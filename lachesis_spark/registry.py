@@ -7,13 +7,15 @@ without an ORACLE entry and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from lachesis_spark.plans import tpch
+from lachesis_spark.llm import dedup
+from lachesis_spark.plans import la, ops_queries, tpch
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-QUERIES.update(tpch.QUERIES)
-ORACLE.update(tpch.ORACLE)
+for _mod in (tpch, ops_queries, la, dedup):
+    QUERIES.update(_mod.QUERIES)
+    ORACLE.update(_mod.ORACLE)
 
 
 def _register(queries: dict, oracle: dict) -> None:
