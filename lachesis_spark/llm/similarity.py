@@ -1,0 +1,221 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Reference analog: top-k Jaccard similarity search merged through TopKComp
+(reference src/tpchBench/headers/TopJaccard.h:15-37,
+src/queryExecution/headers/TopKComp.h:21-37) — generalized here to
+embedding-space ANN, the operation a pretraining-data pipeline actually runs.
+
+Two tiers:
+
+- ``ann_bruteforce``  : exact cosine top-k against a query vector.  The
+  baseline and the correctness anchor.  O(n·d) — a single scan, no shuffle
+  until the final top-k (Spark's TakeOrdered is a per-partition heap +
+  driver merge, the same dataflow as the reference's TopKQueue operator+).
+- ``ann_lsh``         : random-hyperplane LSH — bucket vectors by the sign
+  pattern of ``n_bits`` pseudo-random hyperplanes, probe only the query's
+  bucket, exact cosine inside.  The 100 TB path: the scan prunes to one
+  bucket (~n/2^bits of the data) and the per-bucket candidate set is
+  bounded; recall is tunable by bits/tables.
+
+Hyperplanes must be reproducible in both engines, so component (b, j) of
+hyperplane b is ``±1`` chosen by one bit of md5(b||'|'||j) — no RNG, no
+Python in the plan (functions.hashing.h60).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions import hashing as H
+from lachesis_spark.functions import vectors as V
+
+QUERY_VEC_ID = 0
+TOP_K = 10
+LSH_BITS = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# SQL fragment: embeddings as COO (1-based j to match generate_subscripts).
+_SQL_COO = """
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1. Brute-force cosine top-k
+def ann_bruteforce(spark, sf_dir, query_id: int = QUERY_VEC_ID, k: int = TOP_K):
+    emb = _emb(spark, sf_dir).select("vec_id", V.to_double_array("embedding").alias("e"))
+    q = emb.filter(F.col("vec_id") == query_id).select(F.col("e").alias("qe"))
+    scored = (
+        emb.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", V.cosine(F.col("e"), F.col("qe")).alias("cos"))
+    )
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+ANN_BRUTEFORCE_SQL = f"""
+WITH coo AS ({_SQL_COO}),
+q AS (SELECT j, v FROM coo WHERE vec_id = {QUERY_VEC_ID}),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dp,
+         sqrt(sum(c.v * c.v)) AS cn
+  FROM coo c JOIN q ON c.j = q.j
+  WHERE c.vec_id <> {QUERY_VEC_ID}
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT vec_id, dp / (cn * (SELECT n FROM qn)) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Random-hyperplane LSH bucketed search
+def _signature(e_col):
+    """LSH signature: bit b = 1 iff sum_j sign(b,j)·e[j] > 0, where
+    sign(b,j) = ±1 from bit 0 of h60(b||'|'||j).  Pure codegen expressions."""
+    sig = F.lit(0)
+    for b in range(LSH_BITS):
+        # dot of e with hyperplane b: fold over positions with a ±1 weight
+        dot = F.aggregate(
+            F.zip_with(
+                e_col,
+                F.sequence(F.lit(1), F.size(e_col)),
+                lambda x, j: x
+                * (
+                    H.h60(F.concat(F.lit(f"{b}|"), j.cast("string")))
+                    .bitwiseAND(F.lit(1))
+                    .cast("double")
+                    * 2
+                    - 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_signatures(spark, sf_dir):
+    """(vec_id, sig): the bucketing key.  At load time this is the column a
+    100 TB corpus would be bucketBy'd / partitioned on."""
+    emb = _emb(spark, sf_dir).select("vec_id", V.to_double_array("embedding").alias("e"))
+    return emb.select("vec_id", "e", _signature(F.col("e")).alias("sig"))
+
+
+def ann_lsh(spark, sf_dir, query_id: int = QUERY_VEC_ID, k: int = TOP_K):
+    sig = lsh_signatures(spark, sf_dir)
+    q = sig.filter(F.col("vec_id") == query_id).select(
+        F.col("e").alias("qe"), F.col("sig").alias("qsig")
+    )
+    # partition-pruning analog: only the query's bucket is scanned
+    cand = sig.filter(F.col("vec_id") != query_id).join(
+        F.broadcast(q), F.col("sig") == F.col("qsig")
+    )
+    scored = cand.select("vec_id", V.cosine(F.col("e"), F.col("qe")).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def _sql_sig(src: str) -> str:
+    """DuckDB text of the same signature over COO source ``src``."""
+    bits = []
+    for b in range(LSH_BITS):
+        arg = f"'{b}|' || CAST(j AS VARCHAR)"
+        w = f"(2 * ({H.sql_h60(arg)} & 1) - 1)"
+        bits.append(
+            f"(CASE WHEN sum(v * {w}) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return f"SELECT vec_id, {' + '.join(bits)} AS sig FROM {src} GROUP BY vec_id"
+
+
+ANN_LSH_SQL = f"""
+WITH coo AS ({_SQL_COO}),
+sig AS ({_sql_sig('coo')}),
+q AS (SELECT j, v FROM coo WHERE vec_id = {QUERY_VEC_ID}),
+qsig AS (SELECT sig FROM sig WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT s.vec_id FROM sig s
+  WHERE s.sig = (SELECT sig FROM qsig) AND s.vec_id <> {QUERY_VEC_ID}
+),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dp, sqrt(sum(c.v * c.v)) AS cn
+  FROM coo c JOIN q ON c.j = q.j
+  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT vec_id, dp / (cn * (SELECT n FROM qn)) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. k-NN self-join on LSH buckets: for every vector, its top-3 neighbors
+#    within its bucket — the batch (all-queries-at-once) shape of ANN, which
+#    is what a dedup/clustering pipeline runs.  Bucket self-join + grouped
+#    top-k; no all-pairs blowup.
+def knn_bucketed(spark, sf_dir, k: int = 3):
+    sig = lsh_signatures(spark, sf_dir)
+    a = sig.select(F.col("vec_id").alias("a_id"), F.col("e").alias("ea"), "sig")
+    b = sig.select(F.col("vec_id").alias("b_id"), F.col("e").alias("eb"),
+                   F.col("sig").alias("sig2"))
+    pairs = a.join(b, (F.col("sig") == F.col("sig2")) & (F.col("a_id") != F.col("b_id")))
+    scored = pairs.select("a_id", "b_id", V.cosine(F.col("ea"), F.col("eb")).alias("cos"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("a_id", "b_id", "cos", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+KNN_BUCKETED_SQL = f"""
+WITH coo AS ({_SQL_COO}),
+sig AS ({_sql_sig('coo')}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM coo GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id <> b.vec_id
+),
+dots AS (
+  SELECT p.a_id, p.b_id, sum(ca.v * cb.v) AS dp
+  FROM pairs p
+  JOIN coo ca ON ca.vec_id = p.a_id
+  JOIN coo cb ON cb.vec_id = p.b_id AND cb.j = ca.j
+  GROUP BY p.a_id, p.b_id
+),
+scored AS (
+  SELECT d.a_id, d.b_id, d.dp / (na.nrm * nb.nrm) AS cos
+  FROM dots d JOIN norms na ON na.vec_id = d.a_id JOIN norms nb ON nb.vec_id = d.b_id
+)
+SELECT a_id, b_id, cos, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT a_id, b_id, cos,
+         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id ASC) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+QUERIES = {
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    "knn_bucketed": knn_bucketed,
+}
+
+ORACLE = {
+    "ann_bruteforce": ANN_BRUTEFORCE_SQL,
+    "ann_lsh": ANN_LSH_SQL,
+    "knn_bucketed": KNN_BUCKETED_SQL,
+}

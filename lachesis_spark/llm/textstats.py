@@ -1,0 +1,177 @@
+"""Text-analysis queries over the ``documents`` table.
+
+The training-data-pipeline text surface: token counting, quality scoring,
+language ID, document fingerprinting — all as JVM-side expressions from
+functions.text, each with a DuckDB oracle.  (The reference open-codes all
+scalar text logic inside native C++ lambdas — SURVEY.md §2.2; reference
+src/tpch/source/Query22/RunQuery22.cc:60 — here the same logic is Catalyst
+expressions, which keeps a 100 TB corpus pass inside whole-stage codegen.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions import text as TX
+
+# DuckDB fragments mirroring functions.text (kept textually in sync).
+_SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+_SQL_NTOK = f"len({_SQL_TOKENS})"
+_SQL_ATL = (
+    f"(list_sum(list_transform({_SQL_TOKENS}, t -> CAST(length(t) AS DOUBLE)))"
+    f" / CAST({_SQL_NTOK} AS DOUBLE))"
+)
+_SQL_PUNCT = (
+    "(CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)"
+    " / CAST(length(text) AS DOUBLE))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Per-document stats: token count, avg token length, punct ratio.
+def text_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").cast("long").alias("n_tokens"),
+        TX.avg_token_len("text").alias("avg_tok_len"),
+        TX.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST({_SQL_NTOK} AS BIGINT) AS n_tokens,
+       {_SQL_ATL} AS avg_tok_len,
+       {_SQL_PUNCT} AS punct_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Corpus quality report: quality-score band × source, with counts —
+#    the shape of a pretraining-corpus filter audit.
+def text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "source", TX.quality_score("text").alias("q")
+    )
+    return (
+        scored.withColumn(
+            "band",
+            F.when(F.col("q") >= 0.9, "high")
+            .when(F.col("q") >= 0.7, "mid")
+            .otherwise("low"),
+        )
+        .groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("q").alias("avg_q"))
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         ((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END)
+          + (CASE WHEN {_SQL_ATL} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+          + (1.0 - least({_SQL_PUNCT} * 5.0, 1.0))) / 3.0 AS q
+  FROM documents
+)
+SELECT source,
+       CASE WHEN q >= 0.9 THEN 'high' WHEN q >= 0.7 THEN 'mid' ELSE 'low' END AS band,
+       count(*) AS n_docs, avg(q) AS avg_q
+FROM scored GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Language ID: argmax stopword-hit ratio across the candidate languages,
+#    scored against the table's ground-truth lang column.
+def text_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[TX.stopword_ratio("text", lg).alias(f"r_{lg}") for lg in sorted(TX.STOPWORDS)],
+    )
+    ratios = F.array(*[
+        F.struct(F.col(f"r_{lg}").alias("r"), F.lit(lg).alias("lg"))
+        for lg in sorted(TX.STOPWORDS)
+    ])
+    # argmax with deterministic ties: max (r, then reverse-alphabetic lg wins
+    # ties via struct ordering) — array_max orders structs lexicographically
+    pred = F.array_max(ratios)["lg"]
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_stop_ratio(lang: str) -> str:
+    from lachesis_spark.functions.text import STOPWORDS
+
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"(CAST(len(list_filter({_SQL_TOKENS}, t -> lower(t) IN ({inlist}))) AS DOUBLE)"
+        f" / CAST({_SQL_NTOK} AS DOUBLE))"
+    )
+
+
+def _langid_sql() -> str:
+    from lachesis_spark.functions.text import STOPWORDS
+
+    langs = sorted(STOPWORDS)
+    cols = ", ".join(f"{_sql_stop_ratio(lg)} AS r_{lg}" for lg in langs)
+    structs = ", ".join(f"{{'r': r_{lg}, 'lg': '{lg}'}}" for lg in langs)
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {cols} FROM documents),
+pred AS (
+  SELECT lang, list_max([{structs}]).lg AS pred_lang FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY lang, pred_lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Fingerprint collision groups: documents sharing a 1-perm MinHash
+#    fingerprint (lexicographic-min token md5) — the cheap first-pass dedup
+#    signal; shuffle moves one 32-char key per doc.
+def text_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", TX.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT fp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM (
+  SELECT doc_id, list_min(list_transform({_SQL_TOKENS}, t -> md5(t))) AS fp
+  FROM documents
+) GROUP BY fp HAVING count(*) > 1
+"""
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": _langid_sql(),
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+}
