@@ -1,0 +1,145 @@
+"""Structured Streaming jobs over the events table.
+
+Same window semantics as :mod:`lachesis_spark.streaming.windows` (which
+carries the DuckDB oracles), expressed as incremental streaming plans:
+
+- ``stream_tumbling_counts`` — watermarked tumbling-window aggregation.
+- ``stream_session_counts``  — watermarked session windows.
+- ``stream_user_running_totals`` — arbitrary stateful op via
+  ``applyInPandasWithState`` (per-user running event count/value total),
+  the Spark analog of a custom stateful operator.
+
+At scale these run against a file/Kafka source with per-partition offsets;
+here tests replay the parquet file with ``availableNow`` and assert the
+streaming result equals the batch query — the exactly-once replay
+equivalence that makes the batch oracle binding on the streaming path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WATERMARK = "2 hours"
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (schema from the static file;
+    a production deployment points the same code at a Kafka topic)."""
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # file-stream sources require a directory; expose the single-file
+        # testdata table through a symlink dir (no data copy)
+        d = os.path.join(tempfile.gettempdir(), "lachesis_stream_src",
+                         os.path.basename(os.path.normpath(sf_dir)))
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+        path = d
+    # Watermarks require TIMESTAMP (with local TZ); session TZ is pinned UTC,
+    # so timestamp_micros(ns/1000) is the same instant DuckDB sees.
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .load(path)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def stream_tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming form of windows.win_tumbling, late data bounded by the
+    watermark (state for windows older than max(ts) - watermark is dropped)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_counts(events: DataFrame) -> DataFrame:
+    """Streaming form of windows.win_session (10-minute gap sessions)."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) kept in
+    explicit state — the streaming analog of an arbitrary ``operator+``
+    aggregation state in the reference's AggregateComp
+    (reference src/queryExecution/headers/ClusterAggregateComp.h:21-28)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
+    """Replay the stream to completion into an in-memory table and return
+    the finished query handle (tests read ``spark.table(name)``)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,147 @@
+"""Tumbling / sliding / session event-time windows — batch form.
+
+These are the batch (replayable) versions of the streaming jobs in
+:mod:`lachesis_spark.streaming.stream`; identical window semantics, so the
+DuckDB oracles here gate the streaming logic too.
+
+Scale: all three are single-shuffle groupBys on (window, key).  A 100 TB
+events table partitioned by date prunes the scan to the queried range, and
+the window expression is a pure codegen projection — no Python, no explode
+except the bounded 2-per-row sliding expansion Spark does internally.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GAP = "10 minutes"
+
+# The testdata events parquet stores TIMESTAMP(NANOS), which Spark's reader
+# rejects; read as raw int64 and rebuild a TZ-independent timestamp_ntz
+# (truncated to micros, matching DuckDB's nanos→micros coercion).
+TS_FROM_NANOS = (
+    "timestampadd(MICROSECOND, ts div 1000, "
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.expr(TS_FROM_NANOS))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Tumbling 1-hour window per event_type.
+def win_tumbling(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WIN_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+       event_type, count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Sliding 1-hour window every 30 minutes, global event rate.
+#    Each row lands in exactly 2 windows (len/slide = 2); DuckDB mirrors
+#    Spark's expansion with an explicit k ∈ {0,1} cross join.
+def win_sliding(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+WIN_SLIDING_SQL = """
+WITH slid AS (
+  SELECT ts, value,
+         time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+)
+SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+       count(*) AS n_events, avg(value) AS avg_value
+FROM slid GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Session windows per user, 10-minute inactivity gap.
+#    Spark session_window end = last event + gap; the oracle reproduces the
+#    gaps-and-islands form (lag + running sum of session breaks).
+def win_session(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+WIN_SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '10 minutes'
+              THEN 0 ELSE 1 END AS brk
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id, min(ts) AS sess_start,
+       max(ts) + INTERVAL '10 minutes' AS sess_end,
+       count(*) AS n_events, sum(value) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+
+QUERIES = {
+    "win_tumbling": win_tumbling,
+    "win_sliding": win_sliding,
+    "win_session": win_session,
+}
+
+ORACLE = {
+    "win_tumbling": WIN_TUMBLING_SQL,
+    "win_sliding": WIN_SLIDING_SQL,
+    "win_session": WIN_SESSION_SQL,
+}
