@@ -1,0 +1,321 @@
+"""Iterative workloads: PageRank, KMeans, feed-forward NN inference.
+
+Reference analogs (SURVEY.md §2.7): PageRank (reference
+src/tests/source/PageRank.cc), KMeans (src/tests/source/TestKMeans.cc), and
+FF neural-net inference (src/FF/headers/SimpleFF.h:30) — all expressed in
+the reference as client-driven loops of JoinComp + AggregateComp.  Here each
+iteration is the same join+agg dataflow on DataFrames; the Python loop only
+*builds* the plan, execution stays distributed.
+
+Oracles: fixed iteration counts let DuckDB verify the full fixpoint as a
+chain of unrolled CTEs — the driver hash-compares real multi-iteration
+convergence, not just one step.
+
+Scale notes:
+- PageRank caches the (edges ⋈ out-degree) relation once; each iteration is
+  one shuffle on dst.  At 100 TB the rank vector co-partitions with edges on
+  src (bucketBy) so the contribution join is shuffle-free; AQE handles the
+  power-law skew of popular dst nodes.
+- KMeans broadcasts k×dim centroids per iteration (tiny) and does one
+  map-side-combined groupBy per iteration — the canonical Lloyd's dataflow.
+- FF inference is two chained COO matmuls with broadcast weight matrices:
+  weights are generated *inside the engines* from md5 bits, so Spark and
+  DuckDB compute bit-identical networks with no weight files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions import hashing as H
+
+# ---------------------------------------------------------------------------
+# PageRank over a user-interaction graph derived from events
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_MOD = 100  # dst = event_id % PR_MOD
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.col("event_id") % PR_MOD).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(spark, sf_dir):
+    """5 damped iterations; dangling mass dropped (nodes with no out-edges
+    contribute nothing — the reference's formulation)."""
+    edges = _edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution edge list reused every iteration — cache it
+    contrib_edges = edges.join(deg, "src").cache()
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contribs = (
+            contrib_edges.join(pr, contrib_edges["src"] == pr["node"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMP) / n)
+                    + F.lit(PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return pr
+
+
+def _pagerank_sql() -> str:
+    base = f"""
+edges AS (
+  SELECT DISTINCT user_id AS src, event_id % {PR_MOD} AS dst
+  FROM events WHERE user_id <> event_id % {PR_MOD}
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    its = []
+    for i in range(1, PR_ITERS + 1):
+        its.append(f"""
+c{i} AS (
+  SELECT e.dst, sum(p.pr / d.deg) AS inflow
+  FROM edges e JOIN deg d ON e.src = d.src JOIN pr{i - 1} p ON e.src = p.node
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT n.node,
+         {(1.0 - PR_DAMP)!r} / (SELECT n FROM nn)
+           + {PR_DAMP!r} * coalesce(c.inflow, 0.0) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+)""")
+    return f"WITH {base},{','.join(its)}\nSELECT node, pr FROM pr{PR_ITERS}"
+
+
+# ---------------------------------------------------------------------------
+# KMeans over the embeddings table (Lloyd's algorithm, fixed start + iters)
+KM_K = 4
+KM_ITERS = 3
+
+
+def _emb_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+
+def kmeans_assign(spark, sf_dir):
+    """3 Lloyd iterations, centroids seeded from vec_id 0..3; returns the
+    final (vec_id, cluster) assignment.  Centroids are collected to the
+    driver each round (k×dim doubles) and re-broadcast as literals — data
+    never leaves the executors."""
+    emb = _emb_arr(spark, sf_dir).cache()
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["e"]]
+        for r in emb.filter(F.col("vec_id") < KM_K).collect()
+    }
+
+    def assign(df, cents):
+        structs = []
+        for c, vec in sorted(cents.items()):
+            cl = F.array(*[F.lit(x) for x in vec])
+            d = F.aggregate(
+                F.zip_with(F.col("e"), cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            structs.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+        return df.withColumn("cluster", F.least(*structs)["c"])
+
+    for _ in range(KM_ITERS):
+        assigned = assign(emb, cents)
+        new_cents = (
+            assigned.select("cluster", F.posexplode("e").alias("j", "v"))
+            .groupBy("cluster", "j")
+            .agg(F.avg("v").alias("v"))
+            .collect()
+        )
+        cents = {}
+        for r in new_cents:
+            cents.setdefault(int(r["cluster"]), {})[int(r["j"])] = float(r["v"])
+        cents = {c: [d[j] for j in sorted(d)] for c, d in cents.items()}
+
+    return assign(emb, cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def _kmeans_sql() -> str:
+    coo = """
+coo AS (
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent0 AS (SELECT i AS c, j, v FROM coo WHERE i < 4)"""
+    its = []
+    # KM_ITERS centroid updates, then one final assignment with the last
+    # centroids (mirrors the Spark loop: assign/update ×N, assign once more)
+    for it in range(1, KM_ITERS + 2):
+        its.append(f"""
+d{it} AS (
+  SELECT a.i, ct.c, sum((a.v - ct.v) * (a.v - ct.v)) AS d
+  FROM coo a JOIN cent{it - 1} ct ON a.j = ct.j
+  GROUP BY a.i, ct.c
+),
+a{it} AS (
+  SELECT i, c AS cluster FROM (
+    SELECT i, c, row_number() OVER (PARTITION BY i ORDER BY d, c) AS rn FROM d{it}
+  ) WHERE rn = 1
+)""")
+        if it <= KM_ITERS:
+            its.append(f"""
+cent{it} AS (
+  SELECT a.cluster AS c, coo.j, avg(coo.v) AS v
+  FROM a{it} a JOIN coo ON a.i = coo.i
+  GROUP BY a.cluster, coo.j
+)""")
+    return (
+        f"WITH {coo},{','.join(its)}\n"
+        f"SELECT i AS vec_id, CAST(cluster AS INTEGER) AS cluster FROM a{KM_ITERS + 1}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward NN inference: relu(X·W1 + b1)·W2 + b2, argmax class.
+# Weights are md5-derived in [-1, 1] so both engines build the same network.
+FF_DIM = 64
+FF_HID = 16
+FF_CLS = 4
+
+
+def _wexpr(tag: str, a, b):
+    s = F.concat(F.lit(f"{tag}|"), a.cast("string"), F.lit("|"), b.cast("string"))
+    return ((H.h60(s) % 2001 - 1000) / 1000.0).alias("w")
+
+
+def _sql_w(tag: str, a: str, b: str) -> str:
+    h = H.sql_h60(f"'{tag}|' || CAST({a} AS VARCHAR) || '|' || CAST({b} AS VARCHAR)")
+    return f"(({h} % 2001 - 1000) / 1000.0)"
+
+
+def ff_inference(spark, sf_dir):
+    """Two COO matmuls + relu/bias, final per-vector argmax class."""
+    coo = _emb_arr(spark, sf_dir).select(
+        F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v")
+    )
+    w1 = (
+        spark.range(FF_DIM).select(F.col("id").alias("j"))
+        .crossJoin(spark.range(FF_HID).select(F.col("id").alias("h")))
+        .select("j", "h", _wexpr("w1", F.col("j"), F.col("h")))
+    )
+    b1 = spark.range(FF_HID).select(
+        F.col("id").alias("h"), _wexpr("b1", F.lit(0), F.col("id"))
+    )
+    hid = (
+        coo.join(F.broadcast(w1), "j")
+        .groupBy("i", "h")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("x"))
+        .join(F.broadcast(b1), "h")
+        .select("i", "h", F.greatest(F.col("x") + F.col("w"), F.lit(0.0)).alias("hv"))
+    )
+    w2 = (
+        spark.range(FF_HID).select(F.col("id").alias("h"))
+        .crossJoin(spark.range(FF_CLS).select(F.col("id").alias("cls")))
+        .select("h", "cls", _wexpr("w2", F.col("h"), F.col("cls")))
+    )
+    b2 = spark.range(FF_CLS).select(
+        F.col("id").alias("cls"), _wexpr("b2", F.lit(0), F.col("id"))
+    )
+    scores = (
+        hid.join(F.broadcast(w2), "h")
+        .groupBy("i", "cls")
+        .agg(F.sum(F.col("hv") * F.col("w")).alias("s"))
+        .join(F.broadcast(b2), "cls")
+        .select("i", "cls", (F.col("s") + F.col("w")).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("i").orderBy(F.col("score").desc(), F.col("cls").asc())
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("i").alias("vec_id"),
+            F.col("cls").cast("int").alias("pred_class"),
+            "score",
+        )
+    )
+
+
+def _ff_sql() -> str:
+    return f"""
+WITH coo AS (
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+w1 AS (SELECT j, h, {_sql_w('w1', 'j', 'h')} AS w
+       FROM range({FF_DIM}) t1(j), range({FF_HID}) t2(h)),
+b1 AS (SELECT h, {_sql_w('b1', '0', 'h')} AS w FROM range({FF_HID}) t(h)),
+hid AS (
+  SELECT m.i, m.h, greatest(m.x + b1.w, 0.0) AS hv
+  FROM (
+    SELECT coo.i, w1.h, sum(coo.v * w1.w) AS x
+    FROM coo JOIN w1 ON coo.j = w1.j GROUP BY coo.i, w1.h
+  ) m JOIN b1 ON m.h = b1.h
+),
+w2 AS (SELECT h, cls, {_sql_w('w2', 'h', 'cls')} AS w
+       FROM range({FF_HID}) t1(h), range({FF_CLS}) t2(cls)),
+b2 AS (SELECT cls, {_sql_w('b2', '0', 'cls')} AS w FROM range({FF_CLS}) t(cls)),
+scores AS (
+  SELECT m.i, m.cls, m.s + b2.w AS score
+  FROM (
+    SELECT hid.i, w2.cls, sum(hid.hv * w2.w) AS s
+    FROM hid JOIN w2 ON hid.h = w2.h GROUP BY hid.i, w2.cls
+  ) m JOIN b2 ON m.cls = b2.cls
+)
+SELECT i AS vec_id, CAST(cls AS INTEGER) AS pred_class, score FROM (
+  SELECT i, cls, score,
+         row_number() OVER (PARTITION BY i ORDER BY score DESC, cls ASC) AS rn
+  FROM scores
+) WHERE rn = 1
+"""
+
+
+QUERIES = {
+    "pagerank": pagerank,
+    "kmeans_assign": kmeans_assign,
+    "ff_inference": ff_inference,
+}
+
+ORACLE = {
+    "pagerank": _pagerank_sql(),
+    "kmeans_assign": _kmeans_sql(),
+    "ff_inference": _ff_sql(),
+}
