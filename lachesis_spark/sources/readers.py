@@ -1,0 +1,91 @@
+"""Schema-explicit file readers/writers.
+
+Reference analogs: the Reddit JSON comment parser
+(reference src/reddit/headers/RedditComment.h — field-by-field C++ JSON
+walking) and the TPC-H pipe-delimited loader
+(src/tpch/source/tpchDataLoader.cc).  Spark's readers replace both; the
+wrappers here enforce the two production rules the raw API leaves optional:
+
+1. **Explicit schema.** Schema inference is a full extra pass over the data
+   (fatal at 100 TB) and can drift between runs; every reader takes a
+   ``StructType`` or DDL string.
+2. **Corrupt-record quarantine.** Malformed JSON/CSV rows land in a
+   ``_corrupt_record`` column (PERMISSIVE) instead of failing the job, so a
+   multi-hour ingest doesn't die on row 3 billion; callers can route them to
+   a dead-letter sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType | str, spark: SparkSession) -> T.StructType:
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = T.StructType(list(schema) + [T.StructField(CORRUPT_COL, T.StringType())])
+    return schema
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    multiline: bool = False,
+) -> DataFrame:
+    """JSON-lines reader (one object per line, the Reddit dump format)."""
+    return (
+        spark.read.schema(_with_corrupt(schema, spark))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("multiLine", multiline)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV reader; ``sep='|'`` + ``header=False`` reads tpch-dbgen output."""
+    return (
+        spark.read.schema(_with_corrupt(schema, spark))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("header", header)
+        .csv(path)
+    )
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean_rows, corrupt_rows) — route the latter to a dead-letter sink.
+
+    Spark refuses to query the corrupt-record column straight off a raw file
+    scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); materializing the parse first is
+    the documented pattern."""
+    df = df.cache()
+    clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
+    bad = df.filter(df[CORRUPT_COL].isNotNull())
+    return clean, bad
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",", header: bool = True
+) -> None:
+    df.write.mode(mode).option("sep", sep).option("header", header).csv(path)
