@@ -1,0 +1,24 @@
+"""Self-learning data-placement advisor — the Lachesis headline feature.
+
+The reference records every job's TCAP, lambdas, and runtime into an
+embedded SQLite history DB (reference
+src/selfLearning/source/SelfLearningDB.cc:109-148) and, at data-load time,
+picks the partitioning lambda a dataset should be pre-partitioned with
+(rule-based: src/selfLearning/headers/
+RuleBasedDataPlacementOptimizerForLoadJob.h:15-53).
+
+Here the same loop is: :class:`HistoryDB` (SQLite) ← key usages captured
+from executed Computation graphs → :func:`recommend` picks the bucketing
+key by runtime-weighted frequency → ``Catalog.write_set(bucket_by=...)``
+applies it, and Spark's bucketed-scan machinery turns later shuffles on that
+key into partition-local work (the reference's LocalJoin).
+"""
+
+from lachesis_spark.advisor.history import HistoryDB, KeyUsage  # noqa: F401
+from lachesis_spark.advisor.recommender import (  # noqa: F401
+    Recommendation,
+    capture_usages,
+    recommend,
+    recommend_all,
+    run_and_record,
+)

@@ -1,0 +1,94 @@
+"""Workload-history store (SQLite).
+
+Schema modeled on the reference's self-learning DB
+(reference src/selfLearning/source/SelfLearningDB.cc:109-148: jobs, their
+TCAP, lambdas and run statistics): a ``jobs`` table with runtimes and a
+``key_usage`` table recording which dataset was joined / aggregated /
+partitioned on which key columns during that job.  The recommender reads
+nothing else — runtime-weighted key frequency is the whole signal, as in the
+reference's rule-based optimizer.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import time
+from dataclasses import dataclass
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS jobs (
+  id          INTEGER PRIMARY KEY AUTOINCREMENT,
+  name        TEXT NOT NULL,
+  created_at  REAL NOT NULL,
+  runtime_sec REAL NOT NULL
+);
+CREATE TABLE IF NOT EXISTS key_usage (
+  job_id   INTEGER NOT NULL REFERENCES jobs(id),
+  dataset  TEXT NOT NULL,
+  op       TEXT NOT NULL,      -- 'join' | 'aggregate' | 'partition'
+  key_cols TEXT NOT NULL       -- comma-joined, order-normalized
+);
+CREATE INDEX IF NOT EXISTS key_usage_dataset ON key_usage(dataset);
+"""
+
+
+@dataclass(frozen=True)
+class KeyUsage:
+    """One (dataset, operation, key) observation from one job."""
+
+    dataset: str
+    op: str
+    key_cols: tuple[str, ...]
+
+    @property
+    def key_text(self) -> str:
+        return ",".join(sorted(self.key_cols))
+
+
+class HistoryDB:
+    """Embedded job-history store; ``path=':memory:'`` for tests."""
+
+    def __init__(self, path: str):
+        self.con = sqlite3.connect(path)
+        self.con.executescript(_SCHEMA)
+
+    def record_job(
+        self, name: str, runtime_sec: float, usages: list[KeyUsage]
+    ) -> int:
+        cur = self.con.execute(
+            "INSERT INTO jobs (name, created_at, runtime_sec) VALUES (?, ?, ?)",
+            (name, time.time(), runtime_sec),
+        )
+        job_id = cur.lastrowid
+        self.con.executemany(
+            "INSERT INTO key_usage (job_id, dataset, op, key_cols) VALUES (?, ?, ?, ?)",
+            [(job_id, u.dataset, u.op, u.key_text) for u in usages],
+        )
+        self.con.commit()
+        return job_id
+
+    def key_weights(self, dataset: str) -> dict[str, float]:
+        """Total runtime (seconds) of jobs that used each key of ``dataset``
+        in a shuffle-inducing op — the rule-based optimizer's ranking signal
+        (reference RuleBasedDataPlacementOptimizerForLoadJob.h:15-53)."""
+        rows = self.con.execute(
+            """
+            SELECT u.key_cols, sum(j.runtime_sec)
+            FROM key_usage u JOIN jobs j ON u.job_id = j.id
+            WHERE u.dataset = ? AND u.op IN ('join', 'aggregate', 'partition')
+            GROUP BY u.key_cols
+            """,
+            (dataset,),
+        ).fetchall()
+        return {k: w for k, w in rows}
+
+    def datasets(self) -> list[str]:
+        return [
+            r[0]
+            for r in self.con.execute(
+                "SELECT DISTINCT dataset FROM key_usage ORDER BY dataset"
+            )
+        ]
+
+    def close(self) -> None:
+        self.con.close()

@@ -1,0 +1,143 @@
+"""Rule-based data-placement recommender + Computation-graph usage capture.
+
+Reference: RuleBasedDataPlacementOptimizerForLoadJob
+(reference src/selfLearning/headers/
+RuleBasedDataPlacementOptimizerForLoadJob.h:15-53) — at load time, choose
+the partitioning lambda of the dataset's historically most expensive
+consumers.  The DRL variant (DRLBasedDataPlacementOptimizerForLoadJob.h)
+optimizes the same decision; the rule-based policy is what we implement —
+the decision surface (which key to pre-partition on) is identical.
+
+Applying a recommendation = ``Catalog.write_set(bucket_by=(n, cols))``.
+Spark then plans joins/aggs on that key without an Exchange on the bucketed
+side — the reference's LocalJoin
+(reference src/lambdas/headers/JoinTuple.h:14-22) realized by the built-in
+bucketed scan instead of a custom storage manager.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import Column, SparkSession
+
+from lachesis_spark.advisor.history import HistoryDB, KeyUsage
+from lachesis_spark.operators import graph as G
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _key_names(key) -> tuple[str, ...] | None:
+    """Normalize an operator's key spec to column names; opaque expressions
+    (real lambdas) return None and are not recorded — same as the reference,
+    which only learns placements for hashable attribute lambdas."""
+    if key is None:
+        return None
+    if isinstance(key, (str, Column)):
+        key = [key]
+    names = []
+    for k in key:
+        if isinstance(k, Column):
+            k = k._jc.toString()
+        if not isinstance(k, str) or not _IDENT.match(k):
+            return None
+        names.append(k)
+    return tuple(names) if names else None
+
+
+def _source_dataset(node) -> str | None:
+    """Nearest upstream stored set of a unary chain (dataset identity)."""
+    while node is not None:
+        if isinstance(node, G.ScanSet):
+            return f"{node.db}.{node.set_name}"
+        if not node.inputs:
+            return None
+        node = node.inputs[0]
+    return None
+
+
+def capture_usages(*sinks) -> list[KeyUsage]:
+    """Walk Computation graphs sink-to-source (the reference records the
+    same facts while emitting TCAP — QuerySchedulerServer.cc:999-1017) and
+    collect (dataset, op, key) observations."""
+    usages: list[KeyUsage] = []
+    seen: set[int] = set()
+
+    def walk(node):
+        if node is None or id(node) in seen:
+            return
+        seen.add(id(node))
+        if isinstance(node, G.AggregateComp):
+            keys = _key_names(node.key)
+            ds = _source_dataset(node.inputs[0])
+            if keys and ds:
+                usages.append(KeyUsage(ds, "aggregate", keys))
+        elif isinstance(node, G.PartitionComp):
+            keys = _key_names(node.key)
+            ds = _source_dataset(node.inputs[0])
+            if keys and ds:
+                usages.append(KeyUsage(ds, "partition", keys))
+        elif isinstance(node, G.JoinComp):
+            # string equi-specs name the same column on both sides — record
+            # the usage against every joined input's source set
+            for i, equi in enumerate(node.equi or []):
+                keys = _key_names(equi)
+                if not keys:
+                    continue
+                for side in (node.inputs[0], node.inputs[i + 1]):
+                    ds = _source_dataset(side)
+                    if ds:
+                        usages.append(KeyUsage(ds, "join", keys))
+        for child in node.inputs:
+            walk(child)
+
+    for sink in sinks:
+        walk(sink)
+    return usages
+
+
+def run_and_record(
+    history: HistoryDB, name: str, spark: SparkSession, *sinks
+) -> list:
+    """executeComputations + history capture — the instrumented submit path
+    (the reference hooks the same point: QuerySchedulerServer.cc:999-1017)."""
+    t0 = time.perf_counter()
+    out = G.execute_computations(spark, *sinks)
+    for df in out:
+        df.count()  # force execution so the recorded runtime is real
+    history.record_job(name, time.perf_counter() - t0, capture_usages(*sinks))
+    return out
+
+
+@dataclass(frozen=True)
+class Recommendation:
+    dataset: str
+    key_cols: tuple[str, ...]
+    weight: float  # total historical runtime behind this key
+    n_buckets: int
+
+    def as_bucket_by(self) -> tuple[int, list[str]]:
+        return (self.n_buckets, list(self.key_cols))
+
+
+def recommend(
+    history: HistoryDB,
+    dataset: str,
+    n_buckets: int = 32,
+    min_weight: float = 0.0,
+) -> Recommendation | None:
+    """Pick the runtime-weighted most valuable pre-partitioning key."""
+    weights = history.key_weights(dataset)
+    if not weights:
+        return None
+    key_text, weight = max(weights.items(), key=lambda kv: (kv[1], kv[0]))
+    if weight < min_weight:
+        return None
+    return Recommendation(dataset, tuple(key_text.split(",")), weight, n_buckets)
+
+
+def recommend_all(history: HistoryDB, n_buckets: int = 32) -> list[Recommendation]:
+    recs = (recommend(history, ds, n_buckets) for ds in history.datasets())
+    return [r for r in recs if r is not None]

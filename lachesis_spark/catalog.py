@@ -86,6 +86,9 @@ class Catalog:
         """ScanUserSet analog (reference
         src/builtInPDBObjects/headers/ScanUserSet.h:23): a batched scan whose
         column pruning / predicate pushdown Catalyst applies automatically."""
+        # the testdata events table stores TIMESTAMP(NANOS); expose it as
+        # raw int64 nanos (callers convert — see streaming.windows.TS_FROM_NANOS)
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return self.spark.read.parquet(self.set_path(db, name))
 
     def write_set(

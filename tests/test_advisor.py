@@ -1,0 +1,121 @@
+"""Self-learning advisor: history → recommendation → applied layout, and the
+payoff: bucketed tables join/aggregate without a shuffle Exchange."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from lachesis_spark.advisor import (
+    HistoryDB,
+    KeyUsage,
+    capture_usages,
+    recommend,
+    recommend_all,
+    run_and_record,
+)
+from lachesis_spark.catalog import Catalog
+from lachesis_spark.operators.graph import (
+    AggregateComp,
+    DataFrameSource,
+    JoinComp,
+    ScanSet,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_history_weights_and_recommend():
+    h = HistoryDB(":memory:")
+    h.record_job("q_join", 10.0, [KeyUsage("db.orders", "join", ("o_custkey",))])
+    h.record_job("q_join2", 5.0, [KeyUsage("db.orders", "join", ("o_custkey",))])
+    h.record_job("q_agg", 2.0, [KeyUsage("db.orders", "aggregate", ("o_orderkey",))])
+    rec = recommend(h, "db.orders", n_buckets=8)
+    assert rec is not None
+    assert rec.key_cols == ("o_custkey",)  # 15s of history beats 2s
+    assert rec.weight == pytest.approx(15.0)
+    assert recommend(h, "db.unknown") is None
+    assert [r.dataset for r in recommend_all(h)] == ["db.orders"]
+
+
+def test_capture_from_graph(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+
+    scan_o = ScanSet(cat, "testdata", "orders")
+    agg = AggregateComp(
+        key=["o_custkey"], values=[F.count(F.lit(1)).alias("n")]
+    ).set_input(0, scan_o)
+    usages = capture_usages(agg)
+    assert KeyUsage("testdata.orders", "aggregate", ("o_custkey",)) in usages
+
+    # join usage lands on both sides' source sets
+    renamed = DataFrameSource(
+        cat.read_set("testdata", "customer").withColumnRenamed("c_custkey", "o_custkey")
+    )
+    join = JoinComp(2, equi=["o_custkey"])
+    join.set_input(0, scan_o).set_input(1, renamed)
+    usages = capture_usages(join)
+    assert KeyUsage("testdata.orders", "join", ("o_custkey",)) in usages
+
+    # opaque expression keys are not recorded (reference learns only
+    # attribute lambdas)
+    agg2 = AggregateComp(
+        key=[F.col("o_custkey") % 10], values=[F.count(F.lit(1)).alias("n")]
+    ).set_input(0, scan_o)
+    assert capture_usages(agg2) == []
+
+
+def test_run_and_record_learns_runtime(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+    h = HistoryDB(":memory:")
+
+    scan = ScanSet(cat, "testdata", "orders")
+    agg = AggregateComp(
+        key=["o_custkey"], values=[F.sum("o_totalprice").alias("t")]
+    ).set_input(0, scan)
+    run_and_record(h, "orders_by_cust", spark, agg)
+
+    rec = recommend(h, "testdata.orders")
+    assert rec is not None and rec.key_cols == ("o_custkey",)
+    assert rec.weight > 0
+
+
+def test_bucketed_layout_removes_exchange(spark, tmp_path):
+    """Applying the recommendation converts shuffled joins/aggs into
+    partition-local work: no 'Exchange hashpartitioning' in the plan."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+
+    ords = cat.read_set("testdata", "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    cust = cat.read_set("testdata", "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    rec_buckets = 4
+    cat.write_set(ords, "layout", "orders_b", bucket_by=(rec_buckets, ["custkey"]))
+    cat.write_set(cust, "layout", "customer_b", bucket_by=(rec_buckets, ["custkey"]))
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = spark.table("layout_orders_b").join(
+            spark.table("layout_customer_b"), "custkey"
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+
+        plain = ords.join(cust, "custkey")
+        plan_plain = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan_plain
+
+        # correctness unchanged by layout
+        assert bucketed.count() == plain.count()
+
+        # aggregation on the bucket key is also exchange-free
+        agg = spark.table("layout_orders_b").groupBy("custkey").count()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
