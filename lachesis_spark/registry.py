@@ -7,14 +7,14 @@ without an ORACLE entry and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from lachesis_spark.llm import dedup, similarity, textstats
+from lachesis_spark.llm import dedup, multimodal, similarity, textstats
 from lachesis_spark.plans import iterative, la, ops_queries, reddit, tpch
 from lachesis_spark.streaming import windows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, iterative, reddit):
+for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, iterative, reddit, multimodal):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
