@@ -69,16 +69,21 @@ def quality_score(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """n-word shingles (the dedup unit).  Expression-only: transform over an
-    index sequence."""
+    """n-word shingles (the dedup unit).  Expression-only.
+
+    Built as zip_with over n shifted slices of the token array, NOT as a
+    transform over an index sequence: an index-lambda would embed the token
+    expression inside the lambda body, re-evaluating the whole tokenize per
+    element (quadratic per document).  Slices evaluate the token array a
+    constant number of times, keeping shingling linear."""
     ts = tokens(col, sep)
-    shingled = F.transform(
-        F.sequence(F.lit(0), F.size(ts) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(ts, i + k + 1) for k in range(n)]),
-    )
-    return F.when(F.size(ts) >= n, shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.size(ts) - (n - 1)
+    acc = F.slice(ts, 1, m)
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(ts, 1 + k, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(ts) >= n, acc).otherwise(F.array().cast("array<string>"))
 
 
 def fingerprint(col: Column | str) -> Column:
