@@ -308,14 +308,170 @@ SELECT i AS vec_id, CAST(cls AS INTEGER) AS pred_class, score FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# LSTM cell inference, 2 unrolled timesteps over the embedding vectors.
+# Reference analog: src/LSTM/headers/LSTMThreeWaySum.h (gate sums with
+# sigmoid/tanh activation over aligned matrix blocks), LSTMTwoSum.h,
+# LSTMHiddenState.h (hidden-state matmul + tanh) — there composed as
+# JoinComps over FFMatrixBlock; here the same dataflow over COO with the
+# four gates carried as parallel aggregate columns (one join computes all
+# gate pre-activations), md5-derived weights as in ff_inference.
+LSTM_HID = 8
+LSTM_T = 2
+
+
+def _lstm_weights(spark: SparkSession):
+    """W (input->gates), U (hidden->gates), b (gate biases): four weight
+    columns per row, one per gate (i, f, o, g)."""
+    def wcols(tag, a, b):
+        return [
+            _wexpr(f"{tag}{gate}", a, b).alias(f"w{gate}") for gate in "ifog"
+        ]
+
+    W = (
+        spark.range(FF_DIM).select(F.col("id").alias("j"))
+        .crossJoin(spark.range(LSTM_HID).select(F.col("id").alias("h")))
+        .select("j", "h", *wcols("W", F.col("j"), F.col("h")))
+    )
+    U = (
+        spark.range(LSTM_HID).select(F.col("id").alias("hj"))
+        .crossJoin(spark.range(LSTM_HID).select(F.col("id").alias("h")))
+        .select("hj", "h", *wcols("U", F.col("hj"), F.col("h")))
+    )
+    b = spark.range(LSTM_HID).select(
+        F.col("id").alias("h"), *wcols("b", F.lit(0), F.col("id"))
+    )
+    return W, U, b
+
+
+def _sigmoid(c):
+    return 1.0 / (1.0 + F.exp(-c))
+
+
+def lstm_inference(spark, sf_dir):
+    """h_T for each embedding vector after LSTM_T steps with x_t = the
+    vector at every step, h_0 = c_0 = 0.  Output (vec_id, h, hv)."""
+    coo = _emb_arr(spark, sf_dir).select(
+        F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v")
+    )
+    W, U, b = _lstm_weights(spark)
+    # x·W once (x is the same at every step): (i, h, xi, xf, xo, xg)
+    xw = (
+        coo.join(F.broadcast(W), "j")
+        .groupBy("i", "h")
+        .agg(*[F.sum(F.col("v") * F.col(f"w{gt}")).alias(f"x{gt}") for gt in "ifog"])
+    )
+
+    state = None  # (i, h, c, hh)
+    for _t in range(LSTM_T):
+        if state is None:
+            pre = xw.join(F.broadcast(b), "h").select(
+                "i", "h",
+                *[(F.col(f"x{gt}") + F.col(f"w{gt}")).alias(f"p{gt}") for gt in "ifog"],
+            )
+        else:
+            hu = (
+                state.select(F.col("i"), F.col("h").alias("hj"), F.col("hh"))
+                .join(F.broadcast(U), "hj")
+                .groupBy("i", "h")
+                .agg(*[
+                    F.sum(F.col("hh") * F.col(f"w{gt}")).alias(f"u{gt}")
+                    for gt in "ifog"
+                ])
+            )
+            pre = (
+                xw.join(hu, ["i", "h"])
+                .join(F.broadcast(b), "h")
+                .select(
+                    "i", "h",
+                    *[
+                        (F.col(f"x{gt}") + F.col(f"u{gt}") + F.col(f"w{gt}")).alias(f"p{gt}")
+                        for gt in "ifog"
+                    ],
+                )
+            )
+        gi, gf, go = (_sigmoid(F.col(f"p{g}")) for g in "ifo")
+        gg = F.tanh(F.col("pg"))
+        if state is None:
+            c = gi * gg
+        else:
+            c = gf * F.col("c") + gi * gg
+            pre = pre.join(state.select("i", "h", "c"), ["i", "h"])
+        state = pre.select("i", "h", c.alias("c"), (go * F.tanh(c)).alias("hh"))
+    return state.select(F.col("i").alias("vec_id"), "h", F.col("hh").alias("hv"))
+
+
+def _lstm_sql() -> str:
+    def wsql(tag, a, b):
+        return {gt: _sql_w(f"{tag}{gt}", a, b) for gt in "ifog"}
+
+    w, u, bb = wsql("W", "j", "h"), wsql("U", "hj", "h"), wsql("b", "0", "h")
+    sig = "1.0 / (1.0 + exp(-({x})))"
+    # this DuckDB build has no tanh(); overflow-safe identity instead
+    tanh = "(1.0 - 2.0 / (exp(2.0 * ({x})) + 1.0))"
+    parts = [f"""
+coo AS (
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+W AS (SELECT j, h, {w['i']} AS wi, {w['f']} AS wf, {w['o']} AS wo, {w['g']} AS wg
+      FROM range({FF_DIM}) t1(j), range({LSTM_HID}) t2(h)),
+U AS (SELECT hj, h, {u['i']} AS wi, {u['f']} AS wf, {u['o']} AS wo, {u['g']} AS wg
+      FROM range({LSTM_HID}) t1(hj), range({LSTM_HID}) t2(h)),
+b AS (SELECT h, {bb['i']} AS wi, {bb['f']} AS wf, {bb['o']} AS wo, {bb['g']} AS wg
+      FROM range({LSTM_HID}) t(h)),
+xw AS (
+  SELECT coo.i, W.h, sum(coo.v * W.wi) AS xi, sum(coo.v * W.wf) AS xf,
+         sum(coo.v * W.wo) AS xo, sum(coo.v * W.wg) AS xg
+  FROM coo JOIN W ON coo.j = W.j GROUP BY coo.i, W.h
+),
+s1 AS (
+  SELECT xw.i, xw.h,
+         {sig.format(x='xw.xi + b.wi')} * {tanh.format(x='xw.xg + b.wg')} AS c,
+         {sig.format(x='xw.xo + b.wo')}
+           * {tanh.format(x=f"{sig.format(x='xw.xi + b.wi')} * {tanh.format(x='xw.xg + b.wg')}")} AS hh
+  FROM xw JOIN b ON xw.h = b.h
+)"""]
+    for t in range(2, LSTM_T + 1):
+        parts.append(f""",
+hu{t} AS (
+  SELECT s.i, U.h, sum(s.hh * U.wi) AS ui, sum(s.hh * U.wf) AS uf,
+         sum(s.hh * U.wo) AS uo, sum(s.hh * U.wg) AS ug
+  FROM s{t - 1} s JOIN U ON s.h = U.hj GROUP BY s.i, U.h
+),
+pre{t} AS (
+  SELECT xw.i, xw.h,
+         xw.xi + hu.ui + b.wi AS pi, xw.xf + hu.uf + b.wf AS pf,
+         xw.xo + hu.uo + b.wo AS po, xw.xg + hu.ug + b.wg AS pg,
+         s.c AS c_prev
+  FROM xw JOIN hu{t} hu ON xw.i = hu.i AND xw.h = hu.h
+  JOIN b ON xw.h = b.h
+  JOIN s{t - 1} s ON xw.i = s.i AND xw.h = s.h
+),
+s{t} AS (
+  SELECT i, h,
+         {sig.format(x='pf')} * c_prev + {sig.format(x='pi')} * {tanh.format(x='pg')} AS c,
+         {sig.format(x='po')}
+           * {tanh.format(x=f"{sig.format(x='pf')} * c_prev + {sig.format(x='pi')} * {tanh.format(x='pg')}")} AS hh
+  FROM pre{t}
+)""")
+    return (
+        "WITH " + "".join(parts)
+        + f"\nSELECT i AS vec_id, h, hh AS hv FROM s{LSTM_T}"
+    )
+
+
 QUERIES = {
     "pagerank": pagerank,
     "kmeans_assign": kmeans_assign,
     "ff_inference": ff_inference,
+    "lstm_inference": lstm_inference,
 }
 
 ORACLE = {
     "pagerank": _pagerank_sql(),
     "kmeans_assign": _kmeans_sql(),
     "ff_inference": _ff_sql(),
+    "lstm_inference": _lstm_sql(),
 }
