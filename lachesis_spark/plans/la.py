@@ -120,6 +120,28 @@ def min_element(a: DataFrame) -> DataFrame:
     return a.agg(F.min("v").alias("v"))
 
 
+def inverse(a: DataFrame) -> DataFrame:
+    """Matrix inverse (LAPostfixExpressionNode.h:30-32).  The reference
+    gathers the matrix and inverts densely with Eigen; same strategy here:
+    collect the (small — dim×dim, e.g. a Gram matrix) COO to the driver,
+    ``numpy.linalg.inv``, re-distribute.  Inverse is inherently a dense
+    global op — at scale you invert reduced matrices (Gram/covariance),
+    never the data matrix itself."""
+    import numpy as np
+
+    rows = a.collect()
+    n = int(max(max(r["i"] for r in rows), max(r["j"] for r in rows))) + 1
+    m = np.zeros((n, n))
+    for r in rows:
+        m[int(r["i"]), int(r["j"])] = float(r["v"])
+    inv = np.linalg.inv(m)
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(i, j, float(inv[i, j])) for i in range(n) for j in range(n)],
+        "i bigint, j bigint, v double",
+    )
+
+
 def duplicate_row(row_vec: DataFrame, n: int) -> DataFrame:
     """duplicateRow (LAEvaluateFunctions.cc:256-341): broadcast a 1×m row
     vector to n×m.  Implemented as explode of a range literal — no shuffle."""
@@ -295,12 +317,54 @@ SELECT i, j, sum(v) AS v FROM (
 """
 
 
+def la_dup_colmax(spark, sf_dir):
+    """duplicateRow(colMax(A), 5): broadcast a reduced row vector —
+    the reference's duplicateRow workload shape."""
+    return duplicate_row(col_max(coo_from_embeddings(spark, sf_dir)), 5)
+
+
+LA_DUP_COLMAX_SQL = f"""
+WITH coo AS ({_coo_sql()}),
+cm AS (SELECT j, max(v) AS v FROM coo GROUP BY j)
+SELECT CAST(t.i AS BIGINT) AS i, cm.j, cm.v FROM cm, range(5) t(i)
+"""
+
+
+def la_extrema(spark, sf_dir):
+    """maxElement/minElement in one pass."""
+    return coo_from_embeddings(spark, sf_dir).agg(
+        F.max("v").alias("max_v"), F.min("v").alias("min_v")
+    )
+
+
+LA_EXTREMA_SQL = f"""
+WITH coo AS ({_coo_sql()})
+SELECT max(v) AS max_v, min(v) AS min_v FROM coo
+"""
+
+
+def la_inverse_identity(spark, sf_dir):
+    """inverse(G) %*% G for the 64×64 Gram matrix — should be ≈ I.  The
+    inverse itself is driver-side dense (see :func:`inverse`), so this query
+    is rows-only checked by the driver; the pytest suite asserts the
+    identity property numerically."""
+    g = gram(coo_from_embeddings(spark, sf_dir, limit=200))
+    prod = matmul(inverse(g), g)
+    # round so the result is stable: exact zeros off-diagonal modulo 1e-6
+    return prod.select(
+        "i", "j", F.round(F.col("v"), 6).alias("v")
+    ).filter(F.col("v") != 0.0)
+
+
 QUERIES = {
     "la_gram": la_gram,
     "la_matmul": la_matmul,
     "la_transpose_rowsum": la_transpose_rowsum,
     "la_rowmax_colmin": la_rowmax_colmin,
     "la_add_scale": la_add_scale,
+    "la_dup_colmax": la_dup_colmax,
+    "la_extrema": la_extrema,
+    "la_inverse_identity": la_inverse_identity,
 }
 
 ORACLE = {
@@ -309,4 +373,8 @@ ORACLE = {
     "la_transpose_rowsum": LA_TRANSPOSE_ROWSUM_SQL,
     "la_rowmax_colmin": LA_ROWMAX_COLMIN_SQL,
     "la_add_scale": LA_ADD_SCALE_SQL,
+    "la_dup_colmax": LA_DUP_COLMAX_SQL,
+    "la_extrema": LA_EXTREMA_SQL,
+    # la_inverse_identity: rows-only (driver-side dense inverse not
+    # SQL-expressible in DuckDB); invariants asserted in tests/test_la.py
 }

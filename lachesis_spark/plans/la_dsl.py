@@ -1,0 +1,238 @@
+"""Linear-algebra DSL text front-end.
+
+Reference: the ``.pdml`` scripts parsed by flex/bison
+(reference src/linearAlgebraDSL/headers/LAParser.h, samples
+DSLSamples/sample01_Gram.pdml, sample03_NN.pdml) and compiled to Scan /
+Join / Aggregate computations (LAEvaluateFunctions.cc:213-341,500).
+
+Here: a small tokenizer + recursive-descent parser producing the same
+algebra over COO DataFrames (lachesis_spark.plans.la).  Statements::
+
+    A = load(embeddings)         # the embeddings table as a COO matrix
+    B = transpose(A)             # or postfix: A'
+    C = A %*% B                  # matrix multiply
+    D = A '* A                   # transpose-multiply (Gram)
+    E = 0.5 * A                  # scalar scale
+    S = A + B - C                # element-wise
+    R = rowSum(C)                # rowMax/rowMin/colMax/colMin/colSum likewise
+    M = maxElement(A)            # minElement likewise
+    G = duplicateRow(R, 10)      # duplicateCol likewise
+    I = inverse(C)               # driver-side dense inverse (small matrices)
+
+``run(spark, sf_dir, script)`` returns the DataFrame bound by the last
+statement.  Same operator set as the reference's grammar; everything lowers
+to joins/aggregations Catalyst plans like any other query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.plans import la
+
+_TOKEN = re.compile(
+    r"\s*(?:(?P<tmult>'\*)|(?P<mmult>%\*%)|(?P<num>\d+\.?\d*)|(?P<id>[A-Za-z_]\w*)"
+    r"|(?P<op>[=+\-*(),'])|(?P<err>\S))"
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0]
+        for m in _TOKEN.finditer(line):
+            kind = m.lastgroup
+            if kind == "err":
+                raise SyntaxError(f"bad character {m.group()!r} in {line!r}")
+            if m.group(kind) is None or kind is None:
+                continue
+            out.append((kind, m.group(kind)))
+        out.append(("nl", ""))
+    out.append(("eof", ""))
+    return out
+
+
+_FUNCS = {
+    "transpose", "inverse", "rowSum", "colSum", "rowMax", "rowMin",
+    "colMax", "colMin", "maxElement", "minElement",
+    "duplicateRow", "duplicateCol", "load", "identity",
+}
+
+
+class LAInterpreter:
+    """Parse + evaluate in one pass (the reference walks its AST the same
+    way, instantiating computations per statement)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark, self.sf_dir = spark, sf_dir
+        self.env: dict[str, DataFrame] = {}
+        self.toks: list[tuple[str, str]] = []
+        self.pos = 0
+
+    # -- token stream -------------------------------------------------------
+    def _peek(self):
+        return self.toks[self.pos]
+
+    def _next(self):
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def _expect(self, kind, value=None):
+        k, v = self._next()
+        if k != kind or (value is not None and v != value):
+            raise SyntaxError(f"expected {value or kind}, got {v!r}")
+        return v
+
+    # -- grammar ------------------------------------------------------------
+    def run(self, script: str) -> DataFrame:
+        self.toks, self.pos = _tokenize(script), 0
+        last = None
+        while self._peek()[0] != "eof":
+            if self._peek()[0] == "nl":
+                self._next()
+                continue
+            name = self._expect("id")
+            self._expect("op", "=")
+            last = self._expr()
+            self.env[name] = last
+        if last is None:
+            raise SyntaxError("empty LA script")
+        return last
+
+    def _expr(self):
+        acc = self._term()
+        while self._peek() == ("op", "+") or self._peek() == ("op", "-"):
+            _, op = self._next()
+            rhs = self._term()
+            acc = la.add(acc, rhs) if op == "+" else la.subtract(acc, rhs)
+        return acc
+
+    def _term(self):
+        acc = self._factor()
+        while True:
+            k, v = self._peek()
+            if k == "mmult":
+                self._next()
+                acc = la.matmul(self._as_matrix(acc), self._as_matrix(self._factor()))
+            elif k == "tmult":
+                self._next()
+                acc = la.matmul(la.transpose(self._as_matrix(acc)),
+                                self._as_matrix(self._factor()))
+            elif (k, v) == ("op", "*"):
+                self._next()
+                rhs = self._factor()
+                if isinstance(acc, float):
+                    acc = la.scale_mult(self._as_matrix(rhs), acc)
+                elif isinstance(rhs, float):
+                    acc = la.scale_mult(self._as_matrix(acc), rhs)
+                else:
+                    raise SyntaxError("'*' needs a scalar operand (use %*% for GEMM)")
+            else:
+                return acc
+
+    def _factor(self):
+        k, v = self._next()
+        if k == "num":
+            out: DataFrame | float = float(v)
+        elif (k, v) == ("op", "("):
+            out = self._expr()
+            self._expect("op", ")")
+        elif k == "id" and v in _FUNCS:
+            out = self._call(v)
+        elif k == "id":
+            if v not in self.env:
+                raise NameError(f"undefined matrix {v!r}")
+            out = self.env[v]
+        else:
+            raise SyntaxError(f"unexpected token {v!r}")
+        while self._peek() == ("op", "'"):  # postfix transpose
+            self._next()
+            out = la.transpose(self._as_matrix(out))
+        return out
+
+    def _call(self, fn: str):
+        self._expect("op", "(")
+        if fn == "load":
+            table = self._expect("id")
+            self._expect("op", ")")
+            if table != "embeddings":
+                raise NameError(f"load: unknown table {table!r}")
+            return la.coo_from_embeddings(self.spark, self.sf_dir)
+        if fn == "identity":
+            n = int(float(self._expect("num")))
+            self._expect("op", ")")
+            rng = self.spark.range(n)
+            return rng.select(
+                F.col("id").alias("i"), F.col("id").alias("j"),
+                F.lit(1.0).alias("v"),
+            )
+        arg = self._expr()
+        if fn in ("duplicateRow", "duplicateCol"):
+            self._expect("op", ",")
+            n = int(float(self._expect("num")))
+            self._expect("op", ")")
+            if fn == "duplicateRow":
+                return la.duplicate_row(self._as_matrix(arg), n)
+            return la.transpose(la.duplicate_row(la.transpose(self._as_matrix(arg)), n))
+        self._expect("op", ")")
+        mat = self._as_matrix(arg)
+        simple = {
+            "transpose": la.transpose, "inverse": la.inverse,
+            "rowSum": la.row_sum, "colSum": la.col_sum,
+            "rowMax": la.row_max, "rowMin": la.row_min,
+            "colMax": la.col_max, "colMin": la.col_min,
+            "maxElement": la.max_element, "minElement": la.min_element,
+        }
+        return simple[fn](mat)
+
+    @staticmethod
+    def _as_matrix(x) -> DataFrame:
+        if isinstance(x, float):
+            raise SyntaxError("scalar used where a matrix is required")
+        return x
+
+
+def run(spark: SparkSession, sf_dir: str, script: str) -> DataFrame:
+    return LAInterpreter(spark, sf_dir).run(script)
+
+
+# ---------------------------------------------------------------------------
+# Registry query: the reference's Gram-matrix sample expressed in the DSL
+# (DSLSamples/sample01_Gram.pdml shape) with scaling + row reduction.
+_SCRIPT = """
+A = load(embeddings)        # n x 64
+G = A '* A                  # Gram: 64 x 64
+S = 2 * G - G               # == G, exercises scale/add/sub
+R = rowSum(S)
+"""
+
+
+def la_dsl_gram_rowsum(spark, sf_dir):
+    return run(spark, sf_dir, _SCRIPT)
+
+
+LA_DSL_SQL = """
+WITH coo AS (
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+gram AS (
+  SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v
+  FROM coo a JOIN coo b ON a.i = b.i GROUP BY a.j, b.j
+),
+scaled AS (
+  SELECT i, j, sum(v) AS v FROM (
+    SELECT i, j, 2 * v AS v FROM gram
+    UNION ALL SELECT i, j, -v FROM gram
+  ) GROUP BY i, j
+)
+SELECT i, sum(v) AS v FROM scaled GROUP BY i
+"""
+
+QUERIES = {"la_dsl_gram_rowsum": la_dsl_gram_rowsum}
+ORACLE = {"la_dsl_gram_rowsum": LA_DSL_SQL}
