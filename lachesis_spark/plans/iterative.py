@@ -462,11 +462,84 @@ s{t} AS (
     )
 
 
+# ---------------------------------------------------------------------------
+# GMM: one EM iteration (spherical unit-variance components, the reference's
+# TestGmm* workload shape — src/tests/source/TestGmmLazy.cc).  E-step:
+# softmax responsibilities from squared distances; M-step: weighted means +
+# component weights.  Deterministic init: mu_c = vector c, w uniform.
+GMM_K = 3
+
+
+def gmm_em(spark, sf_dir):
+    """Returns the updated (component, j, mu, w) after one EM step."""
+    emb = _emb_arr(spark, sf_dir).cache()
+    coo = emb.select(F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v"))
+    mu0 = coo.filter(F.col("i") < GMM_K).select(
+        F.col("i").alias("c"), "j", F.col("v").alias("mu")
+    )
+    # squared distance to each component (join on dimension, agg per (i, c))
+    d2 = (
+        coo.join(F.broadcast(mu0), "j")
+        .groupBy("i", "c")
+        .agg(F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias("d2"))
+    )
+    # E-step: numerically-stable softmax over components (uniform weights
+    # cancel), r(i,c) = exp(-(d2-dmin)/2) / Σ_c exp(-(d2-dmin)/2)
+    from pyspark.sql import Window
+
+    w_i = Window.partitionBy("i")
+    r = (
+        d2.withColumn("dmin", F.min("d2").over(w_i))
+        .withColumn("u", F.exp(-(F.col("d2") - F.col("dmin")) / 2))
+        .withColumn("r", F.col("u") / F.sum("u").over(w_i))
+        .select("i", "c", "r")
+    )
+    n = emb.count()
+    # M-step
+    w_new = r.groupBy("c").agg((F.sum("r") / F.lit(float(n))).alias("w"))
+    mu_new = (
+        r.join(coo, "i")
+        .groupBy("c", "j")
+        .agg((F.sum(F.col("r") * F.col("v")) / F.sum("r")).alias("mu"))
+    )
+    return mu_new.join(w_new, "c").select(
+        F.col("c").cast("int").alias("c"), "j", "mu", "w"
+    )
+
+
+def _gmm_sql() -> str:
+    return f"""
+WITH coo AS (
+  SELECT vec_id AS i, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+mu0 AS (SELECT i AS c, j, v AS mu FROM coo WHERE i < {GMM_K}),
+d2 AS (
+  SELECT coo.i, mu0.c, sum((coo.v - mu0.mu) * (coo.v - mu0.mu)) AS d2
+  FROM coo JOIN mu0 ON coo.j = mu0.j GROUP BY coo.i, mu0.c
+),
+stab AS (
+  SELECT i, c, exp(-(d2 - min(d2) OVER (PARTITION BY i)) / 2) AS u FROM d2
+),
+r AS (SELECT i, c, u / sum(u) OVER (PARTITION BY i) AS r FROM stab),
+nn AS (SELECT CAST(count(DISTINCT i) AS DOUBLE) AS n FROM coo),
+w_new AS (SELECT c, sum(r) / (SELECT n FROM nn) AS w FROM r GROUP BY c),
+mu_new AS (
+  SELECT r.c, coo.j, sum(r.r * coo.v) / sum(r.r) AS mu
+  FROM r JOIN coo ON r.i = coo.i GROUP BY r.c, coo.j
+)
+SELECT CAST(m.c AS INTEGER) AS c, m.j, m.mu, w.w
+FROM mu_new m JOIN w_new w ON m.c = w.c
+"""
+
+
 QUERIES = {
     "pagerank": pagerank,
     "kmeans_assign": kmeans_assign,
     "ff_inference": ff_inference,
     "lstm_inference": lstm_inference,
+    "gmm_em": gmm_em,
 }
 
 ORACLE = {
@@ -474,4 +547,5 @@ ORACLE = {
     "kmeans_assign": _kmeans_sql(),
     "ff_inference": _ff_sql(),
     "lstm_inference": _lstm_sql(),
+    "gmm_em": _gmm_sql(),
 }
