@@ -534,12 +534,122 @@ FROM mu_new m JOIN w_new w ON m.c = w.c
 """
 
 
+# ---------------------------------------------------------------------------
+# Topic model EM step over documents (the reference's LDA workload family —
+# src/tests/source/TestLDA.cc).  Implemented as one EM iteration of the
+# mixture-of-unigrams model (the EM-tractable member of the LDA family;
+# the reference's collapsed-Gibbs LDA is sampling-based and not
+# deterministic, so it cannot be oracle-gated):
+#   E-step: p(topic|doc) ∝ exp(Σ_w count(w,d) · log φ_t(w))  (uniform prior)
+#   M-step: φ'_t(w) ∝ Σ_d r(d,t) · count(w,d), Laplace-smoothed.
+# Deterministic init: φ_t(w) ∝ 1 + (h60(t|w) % 1000)/1000.
+LDA_K = 3
+LDA_VOCAB = 1000  # words hashed into a fixed vocabulary
+
+
+def lda_em(spark, sf_dir):
+    """One EM step; returns the updated topic-word rows
+    (topic, word_id, phi) for words present in the corpus."""
+    from lachesis_spark.functions import text as TX
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    words = docs.select(
+        F.col("doc_id").alias("d"),
+        F.explode(TX.tokens("text")).alias("w"),
+    ).select("d", (H.h60(F.lower(F.col("w"))) % LDA_VOCAB).alias("word_id"))
+    counts = words.groupBy("d", "word_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # deterministic unnormalized init weights; log-space E-step
+    def phi0(topic_col, word_col):
+        s = F.concat(topic_col.cast("string"), F.lit("|"), word_col.cast("string"))
+        return 1.0 + (H.h60(s) % 1000) / 1000.0
+
+    topics = spark.range(LDA_K).select(F.col("id").alias("t"))
+    # per-topic normalizer over the full hashed vocabulary is constant by
+    # construction only in expectation; normalize over observed vocab
+    vocab = counts.select("word_id").distinct()
+    phi_raw = vocab.crossJoin(F.broadcast(topics)).select(
+        "t", "word_id", phi0(F.col("t"), F.col("word_id")).alias("u")
+    )
+    z = phi_raw.groupBy("t").agg(F.sum("u").alias("z"))
+    phi = phi_raw.join(F.broadcast(z), "t").select(
+        "t", "word_id", (F.col("u") / F.col("z")).alias("phi")
+    )
+
+    from pyspark.sql import Window
+
+    w_d = Window.partitionBy("d")
+    ll = (
+        counts.join(phi, "word_id")
+        .groupBy("d", "t")
+        .agg(F.sum(F.col("n") * F.log("phi")).alias("ll"))
+    )
+    r = (
+        ll.withColumn("m", F.max("ll").over(w_d))
+        .withColumn("u", F.exp(F.col("ll") - F.col("m")))
+        .withColumn("r", F.col("u") / F.sum("u").over(w_d))
+        .select("d", "t", "r")
+    )
+    # M-step with Laplace smoothing over the observed vocabulary
+    wsum = (
+        r.join(counts, "d")
+        .groupBy("t", "word_id")
+        .agg(F.sum(F.col("r") * F.col("n")).alias("c"))
+    )
+    tsum = wsum.groupBy("t").agg(F.sum("c").alias("tc"))
+    nv = vocab.count()
+    return (
+        wsum.join(F.broadcast(tsum), "t")
+        .select(
+            F.col("t").cast("int").alias("topic"),
+            "word_id",
+            ((F.col("c") + 1.0) / (F.col("tc") + float(nv))).alias("phi"),
+        )
+    )
+
+
+def _lda_sql() -> str:
+    h = H.sql_h60("CAST(t AS VARCHAR) || '|' || CAST(word_id AS VARCHAR)")
+    hw = H.sql_h60("lower(w)")
+    return f"""
+WITH words AS (
+  SELECT doc_id AS d, {hw} % {LDA_VOCAB} AS word_id
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents)
+),
+counts AS (SELECT d, word_id, count(*) AS n FROM words GROUP BY d, word_id),
+vocab AS (SELECT DISTINCT word_id FROM counts),
+topics AS (SELECT unnest(range(0, {LDA_K})) AS t),
+phi_raw AS (
+  SELECT t, word_id, 1.0 + ({h} % 1000) / 1000.0 AS u FROM vocab, topics
+),
+z AS (SELECT t, sum(u) AS z FROM phi_raw GROUP BY t),
+phi AS (SELECT p.t, p.word_id, p.u / z.z AS phi FROM phi_raw p JOIN z ON p.t = z.t),
+ll AS (
+  SELECT c.d, p.t, sum(c.n * ln(p.phi)) AS ll
+  FROM counts c JOIN phi p ON c.word_id = p.word_id GROUP BY c.d, p.t
+),
+stab AS (SELECT d, t, exp(ll - max(ll) OVER (PARTITION BY d)) AS u FROM ll),
+r AS (SELECT d, t, u / sum(u) OVER (PARTITION BY d) AS r FROM stab),
+wsum AS (
+  SELECT r.t, c.word_id, sum(r.r * c.n) AS c
+  FROM r JOIN counts c ON r.d = c.d GROUP BY r.t, c.word_id
+),
+tsum AS (SELECT t, sum(c) AS tc FROM wsum GROUP BY t),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab)
+SELECT CAST(w.t AS INTEGER) AS topic, w.word_id,
+       (w.c + 1.0) / (ts.tc + (SELECT v FROM nv)) AS phi
+FROM wsum w JOIN tsum ts ON w.t = ts.t
+"""
+
+
 QUERIES = {
     "pagerank": pagerank,
     "kmeans_assign": kmeans_assign,
     "ff_inference": ff_inference,
     "lstm_inference": lstm_inference,
     "gmm_em": gmm_em,
+    "lda_em": lda_em,
 }
 
 ORACLE = {
@@ -548,4 +658,5 @@ ORACLE = {
     "ff_inference": _ff_sql(),
     "lstm_inference": _lstm_sql(),
     "gmm_em": _gmm_sql(),
+    "lda_em": _lda_sql(),
 }
