@@ -125,6 +125,22 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.set_path(db, name))
 
+    def export_set(
+        self, db: str, name: str, out_path: str, fmt: str = "csv"
+    ) -> None:
+        """exportSet analog (reference src/mainClient/headers/PDBClient.h:131:
+        export a stored set to an external format).  ``fmt`` ∈ csv|json|parquet."""
+        df = self.read_set(db, name)
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(out_path)
+        elif fmt == "json":
+            writer.json(out_path)
+        elif fmt == "parquet":
+            writer.parquet(out_path)
+        else:
+            raise ValueError(f"unsupported export format {fmt!r}")
+
     def remove_set(self, db: str, name: str) -> None:
         if (db, name) in self._external:
             del self._external[(db, name)]

@@ -91,3 +91,14 @@ def test_reddit_pipeline_from_json_source(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n_comments"), F.avg("score").alias("avg_score"))
     )
     _same(got, reddit.reddit_pipeline(spark, SF_SMOKE))
+
+
+def test_catalog_export_set(spark, tmp_path):
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+    out = str(tmp_path / "region_csv")
+    cat.export_set("testdata", "region", out, "csv")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == cat.read_set("testdata", "region").count()
