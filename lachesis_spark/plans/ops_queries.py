@@ -258,7 +258,59 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# -- CPlusPlusLambda / native-lambda paths (reference CPlusPlusLambda.h:240)
+# These two run REAL Python (pandas UDF / mapInPandas) and are still
+# oracle-gated: the driver proves the Python escape hatch computes the same
+# answer as the declarative form.
+def op_native_filter(spark, sf_dir):
+    """SelectionComp whose predicate is a row-level Python closure over two
+    columns (the reference's native_lambda predicate shape)."""
+    from lachesis_spark.functions import lambdas as L
+
+    li = _t(spark, sf_dir, "lineitem")
+    pred = L.batch_lambda(
+        lambda qty, disc: (qty < 10) & (disc > 0.05), "boolean",
+        "l_quantity", "l_discount",
+    )
+    return core.selection(li, pred, [F.col("l_orderkey"), F.col("l_linenumber")])
+
+
+OP_NATIVE_FILTER_SQL = """
+SELECT l_orderkey, l_linenumber
+FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05
+"""
+
+
+def op_flatmap_python(spark, sf_dir):
+    """MultiSelectionComp whose projection is real Python over Arrow batches
+    (core.flatten_map → mapInPandas): explode documents into tokens with a
+    per-batch pandas function instead of a Catalyst explode."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_tok = [], []
+            for r in pdf.itertuples(index=False):
+                for tok in r.text.split(" "):
+                    if tok:
+                        out_id.append(r.doc_id)
+                        out_tok.append(tok)
+            yield pd.DataFrame({"doc_id": out_id, "token": out_tok})
+
+    return core.flatten_map(docs, fn, "doc_id bigint, token string")
+
+
+OP_FLATMAP_PYTHON_SQL = """
+SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+FROM documents
+"""
+
+
 QUERIES = {
+    "op_native_filter": op_native_filter,
+    "op_flatmap_python": op_flatmap_python,
     "op_selection": op_selection,
     "op_multi_selection": op_multi_selection,
     "op_aggregate": op_aggregate,
@@ -273,6 +325,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "op_native_filter": OP_NATIVE_FILTER_SQL,
+    "op_flatmap_python": OP_FLATMAP_PYTHON_SQL,
     "op_selection": OP_SELECTION_SQL,
     "op_multi_selection": OP_MULTI_SELECTION_SQL,
     "op_aggregate": OP_AGGREGATE_SQL,
