@@ -67,3 +67,51 @@ def test_window_oracle(spark, duck, name):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(QUERIES[name](spark, SF_SMOKE), duck, ORACLE[name])
+
+
+def test_stream_incremental_multibatch(spark, tmp_path):
+    """Real incremental processing: the events table split into 4
+    time-ordered files, replayed one file per trigger — streaming state
+    must accumulate across microbatches to the batch answer."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    # build the LTZ events frame the same way the stream source does
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    bounds = base.selectExpr(
+        "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS p"
+    ).first()["p"]
+    src = tmp_path / "ev_parts"
+    src.mkdir()
+    lo = None
+    for i, hi in enumerate(list(bounds) + [None]):
+        part = base
+        if lo is not None:
+            part = part.filter(F.unix_micros("ts") > lo)
+        if hi is not None:
+            part = part.filter(F.unix_micros("ts") <= hi)
+        tmp_out = str(tmp_path / f"w{i}")
+        part.coalesce(1).write.parquet(tmp_out)
+        f = glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+        shutil.move(f, str(src / f"{i:02d}.parquet"))
+        lo = hi
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    q = S.run_to_memory(S.stream_tumbling_counts(stream), "t_multi", "complete")
+    try:
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        assert n_batches >= 3, f"expected multiple microbatches, got {n_batches}"
+        _assert_same(spark.table("t_multi"), W.win_tumbling(spark, SF_SMOKE))
+    finally:
+        q.stop()
