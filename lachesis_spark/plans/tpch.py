@@ -222,6 +222,15 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q06_sql_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query through the SQL entry point (spark.sql over registered
+    views) — the front-end the reference lacks entirely (SURVEY.md §0: "no
+    SQL parser").  The oracle text IS the query text: one ANSI-SQL string
+    runs on both engines."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(Q06_SQL)
+
+
 # ---------------------------------------------------------------------------
 # Q12 — shipping modes & order priority (reference src/tpch/headers/
 # Query12.h:123-149: CASE-counting high/low priority per mode).
@@ -401,6 +410,7 @@ QUERIES = {
     "tpch_q03": q03,
     "tpch_q04": q04,
     "tpch_q06": q06,
+    "tpch_q06_sql": q06_sql_frontend,
     "tpch_q12": q12,
     "tpch_q13": q13,
     "tpch_q14": q14,
@@ -414,6 +424,7 @@ ORACLE = {
     "tpch_q03": Q03_SQL,
     "tpch_q04": Q04_SQL,
     "tpch_q06": Q06_SQL,
+    "tpch_q06_sql": Q06_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q13": Q13_SQL,
     "tpch_q14": Q14_SQL,
