@@ -258,6 +258,54 @@ FROM orders GROUP BY o_custkey
 """
 
 
+# -- two-level nested object model: Customer{ Vector<Order{ Vector<LineItem>
+#    }> } (reference src/tpchBench/headers/Customer.h:25-37, Order.h:23-26)
+#    built from the flat tables, then both levels FLATTENed back and
+#    aggregated — the tpchBench UDF-centric pipeline shape.  The doubly
+#    nested build costs two shuffles (lineitems→orders, orders→customers);
+#    the explode side is shuffle-free.  At 100 TB the nested form is the
+#    *storage* layout (one parquet struct column), so only the explode side
+#    runs per query.
+def op_nested_two_level(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    order_nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("lineItems"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", F.struct("o_orderkey", "lineItems").alias("order"))
+    )
+    cust_nested = order_nested.groupBy("o_custkey").agg(
+        F.collect_list("order").alias("orders")
+    )
+    # FLATTEN twice: customers → orders → lineitems
+    lvl1 = core.multi_selection(
+        cust_nested, None, "orders", extra_cols=["o_custkey"], out_name="o"
+    )
+    lvl2 = core.multi_selection(
+        lvl1, None, "o.lineItems", extra_cols=["o_custkey"], out_name="l"
+    )
+    return core.aggregate(
+        lvl2,
+        ["o_custkey"],
+        [
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum("l.l_quantity").alias("sum_qty"),
+            F.sum("l.l_extendedprice").alias("sum_price"),
+        ],
+    )
+
+
+OP_NESTED_TWO_LEVEL_SQL = """
+SELECT o.o_custkey, count(*) AS n_lineitems,
+       sum(l.l_quantity) AS sum_qty, sum(l.l_extendedprice) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+"""
+
+
 # -- CPlusPlusLambda / native-lambda paths (reference CPlusPlusLambda.h:240)
 # These two run REAL Python (pandas UDF / mapInPandas) and are still
 # oracle-gated: the driver proves the Python escape hatch computes the same
@@ -322,6 +370,7 @@ QUERIES = {
     "op_distinct": op_distinct,
     "op_jaccard_topk": op_jaccard_topk,
     "op_nested_explode": op_nested_explode,
+    "op_nested_two_level": op_nested_two_level,
 }
 
 ORACLE = {
@@ -338,4 +387,5 @@ ORACLE = {
     "op_distinct": OP_DISTINCT_SQL,
     "op_jaccard_topk": OP_JACCARD_SQL,
     "op_nested_explode": OP_NESTED_EXPLODE_SQL,
+    "op_nested_two_level": OP_NESTED_TWO_LEVEL_SQL,
 }
