@@ -114,3 +114,31 @@ def test_graph_join_topk(spark):
     j = JoinComp(2, equi=[F.col("k") == F.col("k2")]).set_input(0, left).set_input(1, right)
     t = TopKComp(1, "s").set_input(0, j)
     assert [(r.n, r.s) for r in t.to_df(spark).collect()] == [("b", 30.0)]
+
+
+def test_write_set_materializes_and_rescan(spark, tmp_path):
+    """executeComputations with a WriteUserSet sink: the result set is
+    persisted to the catalog and downstream consumers scan the materialized
+    set (reference PDBClient.h:206-221 lifecycle)."""
+    from lachesis_spark.catalog import Catalog
+    from lachesis_spark.operators.graph import (
+        AggregateComp,
+        DataFrameSource,
+        ScanSet,
+        WriteSet,
+        execute_computations,
+    )
+
+    cat = Catalog(spark, str(tmp_path))
+    src = DataFrameSource(
+        spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k int, v double")
+    )
+    agg = AggregateComp(key=["k"], values=[F.sum("v").alias("total")]).set_input(0, src)
+    sink = WriteSet(cat, "out_db", "totals").set_input(0, agg)
+
+    (result,) = execute_computations(spark, sink)
+    assert cat.exists_set("out_db", "totals")
+    # the returned frame scans the materialized set, not the lazy plan
+    rescan = ScanSet(cat, "out_db", "totals").to_df(spark)
+    assert sorted(map(tuple, result.collect())) == sorted(map(tuple, rescan.collect()))
+    assert {tuple(r) for r in rescan.collect()} == {(1, 15.0), (2, 7.0)}

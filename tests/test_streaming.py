@@ -115,3 +115,60 @@ def test_stream_incremental_multibatch(spark, tmp_path):
         _assert_same(spark.table("t_multi"), W.win_tumbling(spark, SF_SMOKE))
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode windows finalize when the watermark passes; a row older
+    than (max event time - watermark) arriving in a later microbatch is
+    dropped instead of reopening its window."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    batches = (
+        [(1, "2024-01-01 00:05:00"), (2, "2024-01-01 06:00:00")],
+        # watermark (04:00) now finalizes + emits the 00:00 window:
+        [(9, "2024-01-01 06:30:00")],
+        # late row for the already-emitted window → dropped
+        [(3, "2024-01-01 00:10:00")],
+    )
+    schema = "id bigint, ts_s string"
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema).select(
+            "id", F.to_timestamp("ts_s").alias("ts")
+        )
+        out = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.parquet(out)
+        f = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        dst = str(src / f"{i:02d}.parquet")
+        shutil.move(f, dst)
+        # the file source orders batches by modification time — make the
+        # intended processing order unambiguous
+        os.utime(dst, (1000000000 + i * 3600, 1000000000 + i * 3600))
+
+    stream = (
+        spark.readStream.schema("id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("win_start"), "n")
+    )
+    q = S.run_to_memory(agg, "t_late", "append")
+    try:
+        got = {
+            (str(r["win_start"]), r["n"]) for r in spark.table("t_late").collect()
+        }
+        # the 00:00 window closed with only id=1; late id=3 was dropped
+        assert ("2024-01-01 00:00:00", 1) in got
+        assert not any(n == 2 for _, n in got)
+    finally:
+        q.stop()
