@@ -306,6 +306,34 @@ GROUP BY o.o_custkey
 """
 
 
+# -- Map<K,V> surface (reference PDBMap.h:16 / PairArray.h:53): parse the
+#    events JSON payload into a MapType column, explode its entries, and
+#    aggregate per key — the map round-trip the reference's PairArray hash
+#    map supports, on engine types.
+def op_map_explode(spark, sf_dir):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "map<string,bigint>").alias("m"),
+    )
+    entries = parsed.select(
+        "event_type", F.explode("m").alias("key", "val")
+    )
+    return core.aggregate(
+        entries,
+        ["event_type", "key"],
+        [F.count(F.lit(1)).alias("n"), F.sum("val").alias("sum_val")],
+    )
+
+
+OP_MAP_EXPLODE_SQL = """
+SELECT event_type, 'k' AS key, count(*) AS n,
+       sum(CAST(props ->> 'k' AS BIGINT)) AS sum_val
+FROM events GROUP BY event_type
+"""
+
+
 # -- CPlusPlusLambda / native-lambda paths (reference CPlusPlusLambda.h:240)
 # These two run REAL Python (pandas UDF / mapInPandas) and are still
 # oracle-gated: the driver proves the Python escape hatch computes the same
@@ -371,6 +399,7 @@ QUERIES = {
     "op_jaccard_topk": op_jaccard_topk,
     "op_nested_explode": op_nested_explode,
     "op_nested_two_level": op_nested_two_level,
+    "op_map_explode": op_map_explode,
 }
 
 ORACLE = {
@@ -388,4 +417,5 @@ ORACLE = {
     "op_jaccard_topk": OP_JACCARD_SQL,
     "op_nested_explode": OP_NESTED_EXPLODE_SQL,
     "op_nested_two_level": OP_NESTED_TWO_LEVEL_SQL,
+    "op_map_explode": OP_MAP_EXPLODE_SQL,
 }
