@@ -27,8 +27,11 @@ Layout
                    (dedup, similarity search, text analysis, multimodal).
 - ``streaming``  : Structured Streaming surface over the events table.
 - ``advisor``    : the Lachesis self-learning data-placement analog —
-                   workload history + partitioning advisor
-                   (reference src/selfLearning/).
+                   workload history + partitioning advisor (rule-based and
+                   bandit policies; reference src/selfLearning/).
+- ``sources``    : schema-explicit JSON/CSV/parquet connectors with
+                   corrupt-record quarantine (reference src/reddit/ loaders,
+                   src/tpch/source/tpchDataLoader.cc).
 """
 
 __version__ = "0.1.0"
