@@ -131,6 +131,41 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_click_purchase_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join (the streaming twin of
+    windows.win_correlation): clicks joined to purchases by the same user
+    within 30 minutes.  Both sides carry watermarks so the join state is
+    bounded: a click older than watermark + 30 min can never match again
+    and is evicted — the state-cleanup contract that makes a stream-stream
+    join runnable indefinitely."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("b_ts", WATERMARK)
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("c_user").alias("user_id"), "click_id", "amount",
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("b_ts").cast("timestamp_ntz").alias("buy_ts"),
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""

@@ -134,14 +134,51 @@ FROM sess GROUP BY user_id, sid
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. Event correlation: click → purchase by the same user within 30 minutes
+#    (the batch twin of the stream-stream interval join in stream.py).
+def win_correlation(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return joined.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_attributed"),
+        F.sum("amount").alias("attributed_value"),
+    )
+
+
+WIN_CORRELATION_SQL = """
+SELECT c.user_id, count(*) AS n_attributed, sum(b.value) AS attributed_value
+FROM events c JOIN events b
+  ON c.user_id = b.user_id
+ AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL '30 minutes'
+WHERE c.event_type = 'click' AND b.event_type = 'purchase'
+GROUP BY c.user_id
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
     "win_session": win_session,
+    "win_correlation": win_correlation,
 }
 
 ORACLE = {
     "win_tumbling": WIN_TUMBLING_SQL,
     "win_sliding": WIN_SLIDING_SQL,
     "win_session": WIN_SESSION_SQL,
+    "win_correlation": WIN_CORRELATION_SQL,
 }

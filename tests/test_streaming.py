@@ -172,3 +172,18 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert not any(n == 2 for _, n in got)
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The watermarked stream-stream interval join must reproduce the batch
+    correlation pairs when the whole file is replayed."""
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    q = S.run_to_memory(S.stream_click_purchase_join(ev), "t_ssj", "append")
+    try:
+        got = spark.table("t_ssj").groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("amount").alias("attributed_value"),
+        )
+        _assert_same(got, W.win_correlation(spark, SF_SMOKE))
+    finally:
+        q.stop()
