@@ -33,6 +33,24 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenization pattern (ASCII-conservative so the Java and
+# RE2-family regex engines agree): letter runs, single digits, or single
+# non-alphanumeric non-space marks — the shape GPT-2-style tokenizers split
+# on before byte-pair merging.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """Pre-tokenizer pieces under BPE_PATTERN (the unit an LLM token counter
+    approximates; whitespace tokens over-merge punctuation)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def avg_token_len(col: Column | str) -> Column:
     ts = tokens(col)
     return F.aggregate(

@@ -162,7 +162,31 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. LLM-token accounting: BPE-style pre-tokenizer counts per source — the
+#    number a pretraining data budget is measured in (whitespace tokens
+#    over-merge punctuation).  Same regex evaluated by both engines.
+def text_tokens_bpe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("source").agg(
+        F.sum(TX.bpe_token_count("text")).cast("long").alias("total_bpe_tokens"),
+        F.avg(TX.bpe_token_count("text")).alias("avg_bpe_tokens"),
+        F.sum(TX.token_count("text")).cast("long").alias("total_ws_tokens"),
+    )
+
+
+TEXT_TOKENS_BPE_SQL = f"""
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '{TX.BPE_PATTERN}'))) AS BIGINT)
+         AS total_bpe_tokens,
+       avg(len(regexp_extract_all(text, '{TX.BPE_PATTERN}'))) AS avg_bpe_tokens,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS total_ws_tokens
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
+    "text_tokens_bpe": text_tokens_bpe,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -170,6 +194,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "text_tokens_bpe": TEXT_TOKENS_BPE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),

@@ -102,3 +102,34 @@ def test_catalog_export_set(spark, tmp_path):
     cat.export_set("testdata", "region", out, "csv")
     back = spark.read.option("header", True).csv(out)
     assert back.count() == cat.read_set("testdata", "region").count()
+
+
+def test_date_partitioned_write_prunes_scan(spark, tmp_path):
+    """Writing events date-partitioned makes a date filter prune the scan to
+    matching partitions (PartitionFilters in the plan; the SCALE.md claim)."""
+    from lachesis_spark.catalog import Catalog
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+        .withColumn(
+            "event_date",
+            F.date_format(
+                F.expr("timestampadd(MICROSECOND, ts div 1000,"
+                       " TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+                "yyyy-MM-dd",
+            ),
+        )
+    )
+    cat = Catalog(spark, str(tmp_path))
+    cat.write_set(ev, "parts", "events_by_date", partition_by=["event_date"])
+
+    one_day = ev.select("event_date").distinct().orderBy("event_date").first()[0]
+    scan = cat.read_set("parts", "events_by_date").filter(
+        F.col("event_date") == one_day
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan
+    # pruned scan returns exactly that day's rows
+    expected = ev.filter(F.col("event_date") == one_day).count()
+    assert scan.count() == expected > 0
