@@ -108,3 +108,21 @@ def fingerprint(col: Column | str) -> Column:
     """Document fingerprint: lexicographic min of per-token MD5s — a 1-perm
     MinHash, stable across engines (oracle uses min(md5(token)))."""
     return F.array_min(F.transform(tokens(col), lambda t: F.md5(t)))
+
+
+def rolling_fingerprint(col: Column | str, window: int = 16) -> Column:
+    """Rolling character-window fingerprint (winnowing-style): hash every
+    ``window``-char substring, keep the minimum — robust to token-boundary
+    edits the way Rabin-Karp/winnowing schemes are.  The window hash is
+    md5-based rather than an O(1)-update polynomial so both engines compute
+    identical values; cost is O(len × window) expression work per document,
+    still fully codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_windows = F.length(c) - (window - 1)
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(c, i, window)), 1, 15), 16, 10
+        ).cast("long"),
+    )
+    return F.array_min(hashes)

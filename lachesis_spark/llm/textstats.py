@@ -185,8 +185,37 @@ FROM documents GROUP BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Rolling-hash (winnowing-style) fingerprint groups: documents sharing
+#    the min hash over sliding 16-char windows — catches near-dups that
+#    token-level fingerprints miss when token boundaries shift.
+def text_rolling_fp(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", TX.rolling_fingerprint("text").alias("rfp"))
+        .groupBy("rfp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+TEXT_ROLLING_FP_SQL = """
+SELECT rfp, count(*) AS n_docs, min(doc_id) AS canonical_id
+FROM (
+  SELECT doc_id,
+         list_min(list_transform(
+           range(1, greatest(length(text) - 15, 1) + 1),
+           i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 16)), 1, 15))
+                     AS BIGINT)
+         )) AS rfp
+  FROM documents
+) GROUP BY rfp HAVING count(*) > 1
+"""
+
+
 QUERIES = {
     "text_tokens_bpe": text_tokens_bpe,
+    "text_rolling_fp": text_rolling_fp,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -195,6 +224,7 @@ QUERIES = {
 
 ORACLE = {
     "text_tokens_bpe": TEXT_TOKENS_BPE_SQL,
+    "text_rolling_fp": TEXT_ROLLING_FP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_sql(),
