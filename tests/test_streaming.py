@@ -187,3 +187,54 @@ def test_stream_stream_join_matches_batch(spark):
         _assert_same(got, W.win_correlation(spark, SF_SMOKE))
     finally:
         q.stop()
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Stop-and-resume with a checkpoint: a second run over the same source
+    (with new files added) processes only the new files — every input row
+    appears exactly once in the sink."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "cp_src"
+    src.mkdir()
+    sink = str(tmp_path / "cp_sink")
+    chk = str(tmp_path / "cp_chk")
+
+    def add_file(i: int, ids):
+        df = spark.createDataFrame([(x,) for x in ids], "id bigint")
+        out = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(out)
+        f = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.move(f, str(src / f"{i:02d}.parquet"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id bigint").format("parquet").load(str(src))
+        )
+        q = (
+            stream.select("id", (F.col("id") * 2).alias("doubled"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    add_file(0, [1, 2, 3])
+    add_file(1, [4, 5])
+    run_once()
+    first = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+    assert first == [1, 2, 3, 4, 5]
+
+    add_file(2, [6, 7])
+    run_once()  # same checkpoint → only the new file is processed
+    rows = spark.read.parquet(sink).collect()
+    assert sorted(r["id"] for r in rows) == [1, 2, 3, 4, 5, 6, 7]
+    assert all(r["doubled"] == 2 * r["id"] for r in rows)
