@@ -234,14 +234,94 @@ SELECT a_id, b_id, cos, CAST(rk AS INTEGER) AS rk FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. IVF (inverted-file) ANN: a coarse quantizer (here the deterministic
+#    seed centroids vec_id 0..IVF_K-1) partitions vectors into cells; the
+#    query probes only its own cell, exact cosine inside.  At 100 TB the
+#    cell id is the storage partition key (write-time clustering), so a
+#    query reads one cell's files — the IVF counterpart of ann_lsh's
+#    hyperplane buckets, with data-adaptive cells instead of random ones.
+IVF_K = 4
+
+
+def _ivf_assign(emb):
+    """(vec_id, e, cell): nearest seed centroid by squared distance —
+    deterministic tie-break on the lower cell id via struct ordering."""
+    cents = emb.filter(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cell"), F.col("e").alias("ce")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "e", "cell",
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "e", "cell")
+    )
+
+
+def ann_ivf(spark, sf_dir, query_id: int = QUERY_VEC_ID, k: int = TOP_K):
+    emb = _emb(spark, sf_dir).select("vec_id", V.to_double_array("embedding").alias("e"))
+    assigned = _ivf_assign(emb)
+    q = assigned.filter(F.col("vec_id") == query_id).select(
+        F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    )
+    cand = assigned.filter(F.col("vec_id") != query_id).join(
+        F.broadcast(q), F.col("cell") == F.col("qcell")
+    )
+    scored = cand.select("vec_id", V.cosine(F.col("e"), F.col("qe")).alias("cos"))
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc()).limit(k)
+
+
+ANN_IVF_SQL = f"""
+WITH coo AS ({_SQL_COO}),
+cents AS (SELECT vec_id AS cell, j, v AS cv FROM coo WHERE vec_id < {IVF_K}),
+d2 AS (
+  SELECT coo.vec_id, cents.cell, sum((coo.v - cents.cv) * (coo.v - cents.cv)) AS d2
+  FROM coo JOIN cents ON coo.j = cents.j GROUP BY coo.vec_id, cents.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+q AS (SELECT j, v FROM coo WHERE vec_id = {QUERY_VEC_ID}),
+qcell AS (SELECT cell FROM assign WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id FROM assign
+  WHERE cell = (SELECT cell FROM qcell) AND vec_id <> {QUERY_VEC_ID}
+),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dp, sqrt(sum(c.v * c.v)) AS cn
+  FROM coo c JOIN q ON c.j = q.j
+  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT vec_id, dp / (cn * (SELECT n FROM qn)) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "knn_bucketed": knn_bucketed,
 }
 
 ORACLE = {
     "ann_bruteforce": ANN_BRUTEFORCE_SQL,
     "ann_lsh": ANN_LSH_SQL,
+    "ann_ivf": ANN_IVF_SQL,
     "knn_bucketed": KNN_BUCKETED_SQL,
 }
