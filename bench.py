@@ -37,6 +37,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # drop caches left by iterative queries (kmeans/pagerank/dedup):
+        # accumulated cached RDDs otherwise build heap pressure and a full
+        # GC lands on one arbitrary later query's wall-clock
+        spark.catalog.clearCache()
     ok = [v for v in timings.values() if v >= 0]
     print(
         json.dumps(

@@ -58,6 +58,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics for the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # the testdata events table stores TIMESTAMP(NANOS); reading it as
+        # int64 is session-wide so per-query conf.set calls (kept for
+        # foreign sessions, e.g. the driver's) are same-value no-ops
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         # Readers should split large files: at 100 TB a 128 MB split keeps
         # ~800k tasks, each fitting comfortably in executor memory.
