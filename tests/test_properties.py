@@ -97,3 +97,33 @@ def test_shingle_count_and_content(spark, words, n):
         " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
     ] if len(words) >= n else []
     assert list(got) == exp
+
+
+@SET
+@given(text=st.text(alphabet="abc XY.,!7\t", min_size=0, max_size=60))
+def test_bpe_token_count_matches_python(spark, text):
+    import re
+
+    from lachesis_spark.functions import text as TX
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(TX.bpe_token_count("text").alias("n")).first()["n"]
+    assert got == len(re.findall(TX.BPE_PATTERN, text))
+
+
+@SET
+@given(text=st.text(alphabet="abcd efg", min_size=1, max_size=80))
+def test_rolling_fingerprint_matches_python(spark, text):
+    import hashlib
+
+    from lachesis_spark.functions import text as TX
+
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(TX.rolling_fingerprint("text", 16).alias("fp")).first()["fp"]
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_windows = max(len(text) - 15, 1)
+    exp = min(h(text[i : i + 16]) for i in range(n_windows))
+    assert got == exp
