@@ -75,7 +75,8 @@ class HistoryDB:
             """
             SELECT u.key_cols, sum(j.runtime_sec)
             FROM key_usage u JOIN jobs j ON u.job_id = j.id
-            WHERE u.dataset = ? AND u.op IN ('join', 'aggregate', 'partition')
+            WHERE u.dataset = ?
+              AND u.op IN ('join', 'aggregate', 'partition', 'shuffle')
             GROUP BY u.key_cols
             """,
             (dataset,),

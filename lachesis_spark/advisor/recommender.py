@@ -98,6 +98,38 @@ def capture_usages(*sinks) -> list[KeyUsage]:
     return usages
 
 
+_SCAN_RE = re.compile(
+    r"FileScan \w+ \[([^\]]*)\].*?Location: \w+(?:\(\d+ paths?\))?\[([^\]]+)\]"
+)
+_EXCHANGE_RE = re.compile(r"Exchange hashpartitioning\(([^)]*)\)")
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
+
+
+def capture_usages_from_plan(df) -> list[KeyUsage]:
+    """Plan-level usage capture for arbitrary DataFrame queries (no graph
+    API needed): map scan output attributes (name#exprId) to their source
+    files, then attribute every shuffle ``Exchange hashpartitioning`` key
+    back to the table it came from.  This is the fully-general form of the
+    reference's TCAP-time recording — any query Spark runs can feed the
+    placement history."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    attr_to_table: dict[str, str] = {}
+    for cols, loc in _SCAN_RE.findall(plan):
+        table = loc.rsplit("/", 1)[-1].split(".")[0]
+        for name, eid in _ATTR_RE.findall(cols):
+            attr_to_table[eid] = table
+    usages: set[KeyUsage] = set()
+    for keys in _EXCHANGE_RE.findall(plan):
+        by_table: dict[str, list[str]] = {}
+        for name, eid in _ATTR_RE.findall(keys):
+            table = attr_to_table.get(eid)
+            if table:
+                by_table.setdefault(table, []).append(name)
+        for table, cols in by_table.items():
+            usages.add(KeyUsage(table, "shuffle", tuple(sorted(set(cols)))))
+    return sorted(usages, key=lambda u: (u.dataset, u.key_text))
+
+
 def run_and_record(
     history: HistoryDB, name: str, spark: SparkSession, *sinks
 ) -> list:

@@ -164,3 +164,37 @@ def test_bandit_exploration_is_seeded():
     picks2 = [o2.choose("db.t").key_cols for _ in range(6)]
     assert picks1 == picks2  # deterministic under a seed
     assert len(set(picks1)) == 2  # ε=1 explores both arms
+
+
+def test_capture_usages_from_plan(spark, tmp_path):
+    """Plan-level capture works on plain DataFrame queries: shuffle keys in
+    the executed plan are attributed back to their source tables."""
+    from lachesis_spark.advisor.recommender import capture_usages_from_plan
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ords = cat.read_set("testdata", "orders")
+        cust = cat.read_set("testdata", "customer")
+        q = ords.join(cust, ords["o_custkey"] == cust["c_custkey"]).groupBy(
+            "o_orderpriority"
+        ).count()
+        usages = capture_usages_from_plan(q)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    assert KeyUsage("orders", "shuffle", ("o_custkey",)) in usages
+    assert KeyUsage("customer", "shuffle", ("c_custkey",)) in usages
+
+    # feeds the same recommendation machinery: both observed keys carry the
+    # job's runtime weight; more custkey-shuffling jobs tip the decision
+    h = HistoryDB(":memory:")
+    h.record_job("q", 3.0, usages)
+    assert h.key_weights("orders") == {
+        "o_custkey": 3.0, "o_orderpriority": 3.0
+    }
+    h.record_job("q2", 5.0, [KeyUsage("orders", "shuffle", ("o_custkey",))])
+    rec = recommend(h, "orders")
+    assert rec is not None and rec.key_cols == ("o_custkey",)
