@@ -169,11 +169,59 @@ GROUP BY c.user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. As-of join: each purchase matched to the same user's most recent click
+#    at or before it.  Implemented as a union + ordered window carry-forward
+#    (one shuffle on user_id, no range-join pair blowup): tag both event
+#    kinds, sort per user by (ts, kind, id), and carry the last click
+#    forward — the standard scalable as-of formulation.
+def win_asof(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"),
+        F.col("event_id").alias("click_id"), F.lit(None).cast("long").alias("purchase_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # at equal ts the click sorts first (kind 0) → "at or before" semantics;
+    # among same-ts clicks the highest id wins (deterministic)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("click_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(buys).withColumn(
+        "last_click", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return (
+        carried.filter((F.col("kind") == 1) & F.col("last_click").isNotNull())
+        .select("purchase_id", "user_id", F.col("last_click").alias("click_id"))
+    )
+
+
+WIN_ASOF_SQL = """
+SELECT purchase_id, user_id, click_id FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM events p JOIN events c
+    ON c.user_id = p.user_id AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
     "win_session": win_session,
     "win_correlation": win_correlation,
+    "win_asof": win_asof,
 }
 
 ORACLE = {
@@ -181,4 +229,5 @@ ORACLE = {
     "win_sliding": WIN_SLIDING_SQL,
     "win_session": WIN_SESSION_SQL,
     "win_correlation": WIN_CORRELATION_SQL,
+    "win_asof": WIN_ASOF_SQL,
 }
