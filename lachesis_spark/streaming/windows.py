@@ -216,12 +216,55 @@ SELECT purchase_id, user_id, click_id FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Hierarchical (hypertable-style) rollup: hourly aggregates computed FROM
+#    the minute-level rollup rather than raw events — the continuous-
+#    aggregate chain pattern.  At 100 TB each level reads the previous
+#    level's materialization (~60-3600× smaller than raw); associative
+#    aggregates (count/sum + min/max) make the chain exact, which the
+#    oracle proves by computing the hourly result straight from raw.
+def win_hier_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    minute = ev.groupBy(
+        F.window("ts", "1 minute").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sv"),
+        F.max("value").alias("mx"),
+    )
+    hourly = (
+        minute.groupBy(
+            F.window(F.col("w.start"), "1 hour").alias("h"), "event_type"
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("sv").alias("sum_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return hourly.select(
+        F.col("h.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "max_value",
+    )
+
+
+WIN_HIER_ROLLUP_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       count(*) AS n_events, sum(value) AS sum_value, max(value) AS max_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
     "win_session": win_session,
     "win_correlation": win_correlation,
     "win_asof": win_asof,
+    "win_hier_rollup": win_hier_rollup,
 }
 
 ORACLE = {
@@ -230,4 +273,5 @@ ORACLE = {
     "win_session": WIN_SESSION_SQL,
     "win_correlation": WIN_CORRELATION_SQL,
     "win_asof": WIN_ASOF_SQL,
+    "win_hier_rollup": WIN_HIER_ROLLUP_SQL,
 }
