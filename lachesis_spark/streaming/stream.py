@@ -166,6 +166,93 @@ def stream_click_purchase_join(events: DataFrame) -> DataFrame:
     )
 
 
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("sv", T.DoubleType()),
+    ]
+)
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("sess_start", T.TimestampType()),
+        T.StructField("sess_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def stream_custom_sessions(events: DataFrame, gap_sec: int = 600) -> DataFrame:
+    """Hand-rolled sessionization as a CUSTOM stateful operator — the same
+    semantics as the built-in ``session_window`` (10-min gap, end = last
+    event + gap) but implemented with explicit per-user state and
+    event-time timeouts: sessions closed by a later event in the same batch
+    emit immediately; the open session per user is kept in state and fires
+    when the watermark passes its gap.  This is the template for stateful
+    operators Spark has no built-in for (the reference's arbitrary
+    aggregation states, reference ClusterAggregateComp.h:21-28)."""
+    import datetime as _dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_sec * 1_000_000
+
+    def emit_row(user_id, st):
+        start_us, last_us, n, sv = st
+        return {
+            "user_id": user_id,
+            "sess_start": _dt.datetime.utcfromtimestamp(start_us / 1e6),
+            "sess_end": _dt.datetime.utcfromtimestamp((last_us + gap_us) / 1e6),
+            "n_events": n,
+            "sum_value": sv,
+        }
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        out = []
+        if state.hasTimedOut:
+            out.append(emit_row(key[0], state.get))
+            state.remove()
+        else:
+            pts = []
+            for pdf in pdfs:
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    pts.append((int(ts.value // 1000), float(v)))
+            pts.sort()
+            cur = list(state.get) if state.exists else None
+            for us, v in pts:
+                if cur is not None and us - cur[1] > gap_us:
+                    out.append(emit_row(key[0], cur))
+                    cur = None
+                if cur is None:
+                    cur = [us, us, 0, 0.0]
+                cur[1] = max(cur[1], us)
+                cur[2] += 1
+                cur[3] += v
+            if cur is not None:
+                state.update(tuple(cur))
+                # fire when the watermark passes last event + gap
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(out, columns=[f.name for f in _SESS_OUT.fields])
+
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SESS_OUT,
+            stateStructType=_SESS_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""

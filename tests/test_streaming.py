@@ -238,3 +238,33 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(sink).collect()
     assert sorted(r["id"] for r in rows) == [1, 2, 3, 4, 5, 6, 7]
     assert all(r["doubled"] == 2 * r["id"] for r in rows)
+
+
+def test_custom_sessionization_matches_builtin(spark):
+    """The hand-rolled stateful sessionizer must reproduce the built-in
+    session_window result for every session the watermark could close
+    (sessions still within one gap of the global max event time stay open
+    in state and are legitimately unemitted)."""
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    q = S.run_to_memory(S.stream_custom_sessions(ev), "t_custom_sess", "append")
+    try:
+        got = spark.table("t_custom_sess").select(
+            "user_id",
+            F.col("sess_start").cast("timestamp_ntz").alias("sess_start"),
+            F.col("sess_end").cast("timestamp_ntz").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+        batch = W.win_session(spark, SF_SMOKE)
+        max_ts = (
+            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .selectExpr(
+                "max(timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')) AS m"
+            )
+            .first()["m"]
+        )
+        closeable = batch.filter(F.col("sess_end") <= F.lit(max_ts))
+        _assert_same(got, closeable)
+    finally:
+        q.stop()
