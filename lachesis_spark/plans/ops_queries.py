@@ -419,3 +419,144 @@ ORACLE = {
     "op_nested_two_level": OP_NESTED_TWO_LEVEL_SQL,
     "op_map_explode": OP_MAP_EXPLODE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# SURVEY §2.8 surface: operators the reference LACKS but Spark has natively —
+# included in the engine's public surface as promised there (cube/rollup,
+# outer/semi/anti joins, set operators, exact percentiles).
+def op_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty")
+    )
+
+
+OP_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def op_rollup(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+    )
+
+
+OP_ROLLUP_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def op_outer_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_matched"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_orderless"),
+    )
+
+
+OP_OUTER_JOIN_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_rows, count(o.o_totalprice) AS n_matched,
+       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def op_semi_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(
+        "o_custkey"
+    )
+    semi = cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi")
+    anti = cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_anti")
+    return (
+        semi.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("kind", F.lit("has_big_order"))
+        .unionByName(
+            anti.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("kind", F.lit("no_big_order"))
+        )
+    )
+
+
+OP_SEMI_ANTI_SQL = """
+WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+SELECT c_mktsegment, count(*) AS n, 'has_big_order' AS kind
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM big)
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, count(*) AS n, 'no_big_order' AS kind
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM big)
+GROUP BY c_mktsegment
+"""
+
+
+def op_set_ops(spark, sf_dir):
+    """intersect / except over key sets: customers with orders vs customers
+    with big orders."""
+    with_orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    ).distinct()
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    inter = with_orders.intersect(big).withColumn("src", F.lit("both"))
+    only_small = with_orders.exceptAll(big).withColumn("src", F.lit("small_only"))
+    return inter.unionByName(only_small)
+
+
+OP_SET_OPS_SQL = """
+WITH w AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+SELECT custkey, 'both' AS src FROM (SELECT custkey FROM w INTERSECT SELECT custkey FROM b)
+UNION ALL
+SELECT custkey, 'small_only' AS src FROM (SELECT custkey FROM w EXCEPT SELECT custkey FROM b)
+"""
+
+
+def op_percentiles(spark, sf_dir):
+    """Exact linear-interpolated percentiles (both engines implement the
+    same continuous quantile definition)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+
+
+OP_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES.update({
+    "op_cube": op_cube,
+    "op_rollup": op_rollup,
+    "op_outer_join": op_outer_join,
+    "op_semi_anti": op_semi_anti,
+    "op_set_ops": op_set_ops,
+    "op_percentiles": op_percentiles,
+})
+
+ORACLE.update({
+    "op_cube": OP_CUBE_SQL,
+    "op_rollup": OP_ROLLUP_SQL,
+    "op_outer_join": OP_OUTER_JOIN_SQL,
+    "op_semi_anti": OP_SEMI_ANTI_SQL,
+    "op_set_ops": OP_SET_OPS_SQL,
+    "op_percentiles": OP_PERCENTILES_SQL,
+})
