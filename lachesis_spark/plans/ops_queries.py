@@ -560,3 +560,41 @@ ORACLE.update({
     "op_set_ops": OP_SET_OPS_SQL,
     "op_percentiles": OP_PERCENTILES_SQL,
 })
+
+
+def op_window_analytics(spark, sf_dir):
+    """Analytic window frames (absent from the reference — SURVEY §2.8):
+    per-customer running order count/revenue in order-date order, plus the
+    previous order's price.  One shuffle on the partition key; frames are
+    evaluated inside the sorted partition."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+        F.sum("o_totalprice").over(w).alias("running_revenue"),
+        F.lag("o_totalprice", 1).over(wo).alias("prev_price"),
+    )
+
+
+OP_WINDOW_ANALYTICS_SQL = """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER w_cum AS order_seq,
+       sum(o_totalprice) OVER w_cum AS running_revenue,
+       lag(o_totalprice, 1) OVER w_ord AS prev_price
+FROM orders
+WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING),
+       w_ord AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+QUERIES["op_window_analytics"] = op_window_analytics
+ORACLE["op_window_analytics"] = OP_WINDOW_ANALYTICS_SQL
