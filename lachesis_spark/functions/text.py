@@ -110,6 +110,34 @@ def fingerprint(col: Column | str) -> Column:
     return F.array_min(F.transform(tokens(col), lambda t: F.md5(t)))
 
 
+def lang_trigram_profiles() -> dict[str, list[str]]:
+    """Per-language character-trigram profiles derived deterministically
+    from the stopword lists (within-word trigrams; short words kept whole)
+    — the n-gram language-ID heuristic's reference data, no external
+    models."""
+    profiles: dict[str, list[str]] = {}
+    for lang, words in STOPWORDS.items():
+        tris: set[str] = set()
+        for w in words:
+            if len(w) < 3:
+                tris.add(w)
+            else:
+                tris.update(w[i : i + 3] for i in range(len(w) - 2))
+        profiles[lang] = sorted(tris)
+    return profiles
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct lowercase character trigrams.  IMPORTANT: pass an already-
+    materialized (attribute) column — an inline expression would be
+    re-evaluated per trigram position (see word_shingles note)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.greatest(F.length(c) - 2, F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, 3))
+    )
+
+
 def rolling_fingerprint(col: Column | str, window: int = 16) -> Column:
     """Rolling character-window fingerprint (winnowing-style): hash every
     ``window``-char substring, keep the minimum — robust to token-boundary

@@ -230,3 +230,67 @@ ORACLE = {
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 7. Char-n-gram language ID: argmax over languages of the fraction of the
+#    document's distinct character trigrams found in that language's
+#    stopword-derived trigram profile — the classic n-gram LID heuristic
+#    (profiles are deterministic, no external models).  Trigrams are built
+#    over a barrier-materialized lowercase column so extraction stays linear.
+def text_langid_ngram(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    lowered = docs.select(
+        "doc_id", "lang", F.lower("text").alias("lt")
+    ).repartition("doc_id")
+    tri = lowered.select(
+        "doc_id", "lang", TX.char_trigrams(F.col("lt")).alias("tris")
+    ).repartition("doc_id")
+    profiles = TX.lang_trigram_profiles()
+    langs = sorted(profiles)
+    scored = tri.select(
+        "doc_id",
+        "lang",
+        *[
+            (
+                F.size(F.filter(F.col("tris"), lambda x: x.isin(profiles[lg])))
+                / F.size("tris")
+            ).alias(f"r_{lg}")
+            for lg in langs
+        ],
+    )
+    ratios = F.array(*[
+        F.struct(F.col(f"r_{lg}").alias("r"), F.lit(lg).alias("lg")) for lg in langs
+    ])
+    pred = F.array_max(ratios)["lg"]
+    return (
+        scored.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _langid_ngram_sql() -> str:
+    profiles = __import__("lachesis_spark.functions.text", fromlist=["x"]).lang_trigram_profiles()
+    langs = sorted(profiles)
+    tris = ("list_distinct(list_transform(range(1, greatest(length(lt) - 2, 1) + 1), "
+            "i -> substr(lt, CAST(i AS INTEGER), 3)))")
+    cols = []
+    for lg in langs:
+        inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in profiles[lg])
+        cols.append(
+            f"(CAST(len(list_filter(tris, x -> x IN ({inlist}))) AS DOUBLE)"
+            f" / CAST(len(tris) AS DOUBLE)) AS r_{lg}"
+        )
+    structs = ", ".join(f"{{'r': r_{lg}, 'lg': '{lg}'}}" for lg in langs)
+    return f"""
+WITH lowered AS (SELECT doc_id, lang, lower(text) AS lt FROM documents),
+tri AS (SELECT doc_id, lang, {tris} AS tris FROM lowered),
+scored AS (SELECT doc_id, lang, {', '.join(cols)} FROM tri),
+pred AS (SELECT lang, list_max([{structs}]).lg AS pred_lang FROM scored)
+SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY lang, pred_lang
+"""
+
+
+QUERIES["text_langid_ngram"] = text_langid_ngram
+ORACLE["text_langid_ngram"] = _langid_ngram_sql()
