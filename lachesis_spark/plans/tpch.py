@@ -404,17 +404,605 @@ GROUP BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q05 — local supplier volume (TPC-H spec 2.8; beyond the reference's set —
+# it stops at {01,02,03,04,06,12,13,14,17,22}).  Six-way join where customer
+# and supplier must share a nation; classic star-join: region/nation/supplier
+# broadcast, orders⋈lineitem shuffles on the order key.
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = core.selection(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01")),
+        ["o_orderkey", "o_custkey"],
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = core.selection(_t(spark, sf_dir, "region"), F.col("r_name") == "ASIA", ["r_regionkey"])
+    joined = core.join(
+        [li, orders, cust, F.broadcast(sup), F.broadcast(nat), F.broadcast(reg)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ],
+        theta=F.col("c_nationkey") == F.col("s_nationkey"),
+    )
+    return core.aggregate(
+        joined,
+        ["n_name"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+
+
+Q05_SQL = """
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q07 — volume shipping between two nations (TPC-H spec 2.10).  The nation
+# dimension joins twice under two roles (supplier side / customer side) with
+# a symmetric pair predicate; grouped by both nations and ship year.
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    li = core.selection(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01")),
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    joined = core.join(
+        [li, orders, cust, F.broadcast(sup), F.broadcast(n1), F.broadcast(n2)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("s_nationkey") == F.col("n1_key"),
+            F.col("c_nationkey") == F.col("n2_key"),
+        ],
+        theta=pair,
+    )
+    return core.aggregate(
+        joined.withColumn("l_year", F.year("l_shipdate").cast("long")),
+        ["supp_nation", "cust_nation", "l_year"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+
+
+Q07_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q08 — national market share (TPC-H spec 2.11).  Eight-way join; the share
+# is a conditional-sum-over-sum per order year.  p_type='ECONOMY' stands in
+# for the spec's long type string.
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = core.selection(_t(spark, sf_dir, "part"), F.col("p_type") == "ECONOMY", ["p_partkey"])
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = core.selection(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01")),
+        ["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    reg = core.selection(_t(spark, sf_dir, "region"), F.col("r_name") == "AMERICA", ["r_regionkey"])
+    joined = core.join(
+        [li, orders, cust, F.broadcast(part), F.broadcast(sup), F.broadcast(n1), F.broadcast(n2), F.broadcast(reg)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("c_nationkey") == F.col("n1_key"),
+            F.col("s_nationkey") == F.col("n2_key"),
+            F.col("n1_region") == F.col("r_regionkey"),
+        ],
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return core.aggregate(
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long")),
+        ["o_year"],
+        [(F.sum(nation_vol) / F.sum(vol)).alias("mkt_share")],
+    )
+
+
+Q08_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(CASE WHEN n2.n_name = 'NATION_5'
+                THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)) AS mkt_share
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q09 — product type profit (TPC-H spec 2.12).  Driver data has no partsupp,
+# so ps_supplycost is proxied as 0.1 * p_retailprice (FIXTURES.md); profit
+# shape (revenue minus cost*qty, grouped by supplier nation and year) is
+# unchanged.  p_type='STANDARD' stands in for p_name LIKE '%green%'.
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = core.selection(
+        _t(spark, sf_dir, "part"), F.col("p_type") == "STANDARD", ["p_partkey", "p_retailprice"]
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    joined = core.join(
+        [li, orders, F.broadcast(part), F.broadcast(sup), F.broadcast(nat)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ],
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return core.aggregate(
+        joined.withColumn("o_year", F.year("o_orderdate").cast("long")),
+        ["n_name", "o_year"],
+        [F.sum(profit).alias("sum_profit")],
+    )
+
+
+Q09_SQL = """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       sum(l.l_extendedprice * (1 - l.l_discount)
+           - 0.1 * p.p_retailprice * l.l_quantity) AS sum_profit
+FROM part p
+JOIN lineitem l ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = 'STANDARD'
+GROUP BY n.n_name, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned item reporting (TPC-H spec 2.13).  Top-20 customers by
+# lost revenue on returned items in a quarter.  c_phone/c_address/c_comment
+# do not exist in driver data and are dropped from the projection.
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    orders = core.selection(
+        _t(spark, sf_dir, "orders"),
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01")),
+        ["o_orderkey", "o_custkey"],
+    )
+    li = core.selection(
+        _t(spark, sf_dir, "lineitem"),
+        F.col("l_returnflag") == "R",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = core.join(
+        [li, orders, cust, F.broadcast(nat)],
+        equi=[
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ],
+    )
+    agg = core.aggregate(
+        joined,
+        ["c_custkey", "c_name", "c_acctbal", "n_name"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+    return core.top_k(agg, 20, "revenue", tiebreak=["c_custkey"])
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (TPC-H spec 2.14).  partsupp does not
+# exist, so part value is re-anchored on shipped lineitem revenue for
+# suppliers of one nation; the shape — per-key value vs a scalar fraction of
+# the global total (group-by + HAVING over a scalar subquery) — is unchanged.
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = core.selection(
+        _t(spark, sf_dir, "supplier"), F.col("s_nationkey") == 7, ["s_suppkey"]
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    joined = core.join([li, F.broadcast(sup)], equi=[F.col("l_suppkey") == F.col("s_suppkey")])
+    per_part = core.aggregate(
+        joined,
+        ["l_partkey"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value")],
+    )
+    total = per_part.agg(F.sum("part_value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 0.001 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.001 * (SELECT sum(part_value) FROM per_part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (TPC-H spec 2.18).  The spec's revenue VIEW is a CTE /
+# derived DataFrame; suppliers whose quarterly revenue equals the max.
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = core.selection(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1996-04-01")),
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    revenue = core.aggregate(
+        li,
+        ["l_suppkey"],
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")],
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (TPC-H spec 2.19).  partsupp is
+# re-anchored on the distinct (l_partkey, l_suppkey) pairs actually shipped;
+# the spec's complaints-supplier exclusion becomes s_acctbal < 0 (driver
+# data has no s_comment).  Shape: anti-join exclusion + count-distinct per
+# part attribute group.
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = core.distinct_by(
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey"),
+        ["l_partkey", "l_suppkey"],
+    )
+    part = core.selection(
+        _t(spark, sf_dir, "part"),
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45),
+        ["p_partkey", "p_brand", "p_type", "p_size"],
+    )
+    bad_sup = core.selection(
+        _t(spark, sf_dir, "supplier"), F.col("s_acctbal") < 0.0, ["s_suppkey"]
+    )
+    kept = pairs.join(
+        F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    joined = core.join([kept, F.broadcast(part)], equi=[F.col("l_partkey") == F.col("p_partkey")])
+    return core.aggregate(
+        joined,
+        ["p_brand", "p_type", "p_size"],
+        [F.countDistinct("l_suppkey").alias("supplier_cnt")],
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large volume customers (TPC-H spec 2.21).  Orders whose total
+# quantity exceeds 300, joined back to customer; the HAVING subquery is a
+# grouped aggregate semi-joined to the fact — no row explosion.
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = core.aggregate(
+        li, ["l_orderkey"], [F.sum("l_quantity").alias("total_qty")]
+    ).filter(F.col("total_qty") > 300.0)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = core.join(
+        [orders, F.broadcast(big), F.broadcast(cust)],
+        equi=[
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        ],
+    )
+    out = joined.select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+    return core.top_k(out, 100, "o_totalprice", tiebreak=["o_orderkey"])
+
+
+Q18_SQL = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       t.total_qty
+FROM orders o
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300.0) t
+  ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 — discounted revenue (TPC-H spec 2.22).  Disjunction of three
+# conjunctive brackets over part and lineitem attributes — the classic
+# OR-of-ANDs join predicate Catalyst splits into a common equi-join plus a
+# residual filter.  l_shipmode/l_shipinstruct don't exist and are dropped.
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    joined = core.join(
+        [li, F.broadcast(part)], equi=[F.col("l_partkey") == F.col("p_partkey")], theta=bracket
+    )
+    return core.aggregate(
+        joined,
+        None,
+        [F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")],
+    )
+
+
+Q19_SQL = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 — potential part promotion (TPC-H spec 2.23).  partsupp availqty is
+# re-anchored: (part, supplier) pairs whose shipped 1996 quantity exceeds a
+# threshold stand in for ps_availqty > ½ yearly demand; the nested
+# semi-join chain (supplier ← pairs ← part) is the spec's shape.
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    small_part = core.selection(
+        _t(spark, sf_dir, "part"), F.col("p_type") == "SMALL", ["p_partkey"]
+    )
+    li = core.selection(
+        _t(spark, sf_dir, "lineitem"),
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01")),
+        ["l_partkey", "l_suppkey", "l_quantity"],
+    )
+    heavy_pairs = core.aggregate(
+        li, ["l_partkey", "l_suppkey"], [F.sum("l_quantity").alias("qty_supplied")]
+    ).filter(F.col("qty_supplied") > 50.0)
+    promo_pairs = heavy_pairs.join(
+        F.broadcast(small_part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    sup = core.selection(
+        _t(spark, sf_dir, "supplier"), F.col("s_nationkey") == 3, ["s_suppkey", "s_name", "s_acctbal"]
+    )
+    return sup.join(
+        promo_pairs, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier s
+WHERE s.s_nationkey = 3
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    GROUP BY l_partkey, l_suppkey
+    HAVING sum(l_quantity) > 50.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (TPC-H spec 2.24).  "Late" is
+# l_shipdate > o_orderdate + 90 days (no commit/receipt dates in driver
+# data).  The spec's EXISTS(other supplier) / NOT EXISTS(other late
+# supplier) pair is computed distributively as per-order distinct-supplier
+# counts — one shuffle instead of two correlated self-joins.
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = core.selection(
+        _t(spark, sf_dir, "orders"),
+        F.col("o_orderstatus") == "F",
+        ["o_orderkey", "o_orderdate"],
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = core.join([li, orders], equi=[F.col("l_orderkey") == F.col("o_orderkey")])
+    lo = lo.withColumn(
+        "is_late", (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).cast("int")
+    )
+    per_order = core.aggregate(
+        lo,
+        ["o_orderkey"],
+        [
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("n_late_supp"),
+        ],
+    )
+    sole_late_orders = core.selection(
+        per_order, (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1), ["o_orderkey"]
+    ).withColumnRenamed("o_orderkey", "so_orderkey")
+    late_lines = core.selection(lo, F.col("is_late") == 1, ["l_orderkey", "l_suppkey"])
+    culprits = late_lines.join(
+        sole_late_orders, F.col("l_orderkey") == F.col("so_orderkey"), "left_semi"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    named = core.join(
+        [culprits, F.broadcast(sup)],
+        equi=[F.col("l_suppkey") == F.col("s_suppkey")],
+        theta=F.col("s_nationkey") == 5,
+    )
+    numwait = core.aggregate(
+        core.distinct_by(named.select("s_name", "l_orderkey"), ["s_name", "l_orderkey"]),
+        ["s_name"],
+        [F.count(F.lit(1)).alias("numwait")],
+    )
+    return core.top_k(numwait, 100, "numwait", tiebreak=["s_name"])
+
+
+Q21_SQL = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM (SELECT DISTINCT lo.l_suppkey, lo.l_orderkey
+      FROM lo JOIN per_order po ON lo.l_orderkey = po.l_orderkey
+      WHERE lo.is_late = 1 AND po.n_supp >= 2 AND po.n_late_supp = 1) c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE s.s_nationkey = 5
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 QUERIES = {
     "tpch_q01": q01,
     "tpch_q02": q02,
     "tpch_q03": q03,
     "tpch_q04": q04,
+    "tpch_q05": q05,
     "tpch_q06": q06,
     "tpch_q06_sql": q06_sql_frontend,
+    "tpch_q07": q07,
+    "tpch_q08": q08,
+    "tpch_q09": q09,
+    "tpch_q10": q10,
+    "tpch_q11": q11,
     "tpch_q12": q12,
     "tpch_q13": q13,
     "tpch_q14": q14,
+    "tpch_q15": q15,
+    "tpch_q16": q16,
     "tpch_q17": q17,
+    "tpch_q18": q18,
+    "tpch_q19": q19,
+    "tpch_q20": q20,
+    "tpch_q21": q21,
     "tpch_q22": q22,
 }
 
@@ -423,11 +1011,23 @@ ORACLE = {
     "tpch_q02": Q02_SQL,
     "tpch_q03": Q03_SQL,
     "tpch_q04": Q04_SQL,
+    "tpch_q05": Q05_SQL,
     "tpch_q06": Q06_SQL,
     "tpch_q06_sql": Q06_SQL,
+    "tpch_q07": Q07_SQL,
+    "tpch_q08": Q08_SQL,
+    "tpch_q09": Q09_SQL,
+    "tpch_q10": Q10_SQL,
+    "tpch_q11": Q11_SQL,
     "tpch_q12": Q12_SQL,
     "tpch_q13": Q13_SQL,
     "tpch_q14": Q14_SQL,
+    "tpch_q15": Q15_SQL,
+    "tpch_q16": Q16_SQL,
     "tpch_q17": Q17_SQL,
+    "tpch_q18": Q18_SQL,
+    "tpch_q19": Q19_SQL,
+    "tpch_q20": Q20_SQL,
+    "tpch_q21": Q21_SQL,
     "tpch_q22": Q22_SQL,
 }
