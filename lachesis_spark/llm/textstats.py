@@ -248,12 +248,15 @@ def text_langid_ngram(spark, sf_dir):
     ).repartition("doc_id")
     profiles = TX.lang_trigram_profiles()
     langs = sorted(profiles)
+    # tris is distinct (char_trigrams applies array_distinct), so the match
+    # count is |tris ∩ profile|; array_intersect hash-builds the profile side
+    # once instead of isin's O(|tris|×|profile|) OR-chain per document
     scored = tri.select(
         "doc_id",
         "lang",
         *[
             (
-                F.size(F.filter(F.col("tris"), lambda x: x.isin(profiles[lg])))
+                F.size(F.array_intersect("tris", F.array(*[F.lit(t) for t in profiles[lg]])))
                 / F.size("tris")
             ).alias(f"r_{lg}")
             for lg in langs

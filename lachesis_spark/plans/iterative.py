@@ -557,7 +557,10 @@ def lda_em(spark, sf_dir):
         F.col("doc_id").alias("d"),
         F.explode(TX.tokens("text")).alias("w"),
     ).select("d", (H.h60(F.lower(F.col("w"))) % LDA_VOCAB).alias("word_id"))
-    counts = words.groupBy("d", "word_id").agg(F.count(F.lit(1)).alias("n"))
+    # counts feeds four consumers (vocab, the E-step join, the M-step join,
+    # and the eager nv action below); without a cache the tokenize+explode
+    # pipeline — the expensive part — re-executes once per consumer
+    counts = words.groupBy("d", "word_id").agg(F.count(F.lit(1)).alias("n")).cache()
 
     # deterministic unnormalized init weights; log-space E-step
     def phi0(topic_col, word_col):
