@@ -253,6 +253,25 @@ def stream_custom_sessions(events: DataFrame, gap_sec: int = 600) -> DataFrame:
     )
 
 
+def stream_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of the tumbling-window stream: replay the events
+    file through the streaming engine (availableNow) into a memory sink and
+    return the finished table.  Oracle = the batch twin's SQL — binding
+    because complete-mode replay of a bounded source equals the batch query
+    (asserted in test_streaming replay-equivalence tests)."""
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_tumbling_counts(ev), "q_stream_tumbling", "complete")
+    return spark.table("q_stream_tumbling")
+
+
+def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of the session-window stream (10-minute gap),
+    replayed to completion; oracle = batch twin's gaps-and-islands SQL."""
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_session_counts(ev), "q_stream_session", "complete")
+    return spark.table("q_stream_session")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""
@@ -265,3 +284,18 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+# Driver-facing registry: the streaming engine's results are oracle-gated
+# against the batch twins' SQL (replay equivalence makes the oracle binding).
+from lachesis_spark.streaming.windows import WIN_SESSION_SQL, WIN_TUMBLING_SQL  # noqa: E402
+
+QUERIES = {
+    "stream_tumbling": stream_tumbling_query,
+    "stream_session": stream_session_query,
+}
+
+ORACLE = {
+    "stream_tumbling": WIN_TUMBLING_SQL,
+    "stream_session": WIN_SESSION_SQL,
+}
