@@ -150,6 +150,41 @@ def join(
     return acc
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: manual salting for hot join keys.
+
+    The skewed (left/fact) side gets a deterministic salt in [0, n_salts)
+    derived from the whole row, so one hot key's rows spread over n_salts
+    shuffle partitions; the right side is replicated once per salt value and
+    the join runs on (key, salt).  Results are identical to the plain join —
+    every left row still meets every matching right row, exactly once.
+
+    Scale: this is the *static* fallback for the case AQE's runtime skew-join
+    split (``spark.sql.adaptive.skewJoin``) can't fix — e.g. a skewed
+    *aggregation* feeding the join, or a build side too large to split.  The
+    reference's equivalent knob is its hash-partitioned join fan-out
+    (JoinComp dispatch; TCAPAnalyzer.cc:715-760 strategy pick).  Cost: the
+    right side is materialized n_salts×, so keep it dimension-sized.
+    """
+    if n_salts < 1:
+        raise ValueError("n_salts must be >= 1")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).cast("int")
+    l_s = left.withColumn("__salt", salt)
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (l_s[left_key] == r_s[right_key]) & (l_s["__salt"] == r_s["__salt"])
+    return l_s.join(r_s, cond, "inner").drop("__salt")
+
+
 def partition(
     df: DataFrame, key: Sequence[ColumnLike], num_partitions: int | None = None
 ) -> DataFrame:

@@ -384,7 +384,25 @@ FROM documents
 """
 
 
+# -- salted join (skew mitigation; results identical to the plain join) ----
+def op_join_salted(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    joined = core.salted_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return joined.groupBy("s_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+OP_JOIN_SALTED_SQL = """
+SELECT s_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s_name
+"""
+
+
 QUERIES = {
+    "op_join_salted": op_join_salted,
     "op_native_filter": op_native_filter,
     "op_flatmap_python": op_flatmap_python,
     "op_selection": op_selection,
@@ -403,6 +421,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "op_join_salted": OP_JOIN_SALTED_SQL,
     "op_native_filter": OP_NATIVE_FILTER_SQL,
     "op_flatmap_python": OP_FLATMAP_PYTHON_SQL,
     "op_selection": OP_SELECTION_SQL,

@@ -68,6 +68,37 @@ def test_join_multiway_equi_plus_theta(spark):
     assert [tuple(r) for r in out.collect()] == [(1, 100)]
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must not change results: every left row meets each matching
+    right row exactly once, including duplicate keys on both sides."""
+    left = _df(spark, [(1, i) for i in range(50)] + [(2, 99), (3, 7)], "k int, lv int")
+    right = _df(spark, [(1, "hot"), (2, "warm"), (2, "dup"), (4, "miss")], "rk int, rv string")
+    salted = core.salted_join(left, right, "k", "rk", n_salts=4)
+    plain = left.join(right, F.col("k") == F.col("rk"), "inner")
+    assert sorted(map(tuple, salted.select("k", "lv", "rv").collect())) == sorted(
+        map(tuple, plain.select("k", "lv", "rv").collect())
+    )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in >1 shuffle partition of the join."""
+    left = _df(spark, [(1, i) for i in range(200)], "k int, lv int")
+    right = _df(spark, [(1, "hot")], "rk int, rv string")
+    salted = core.salted_join(left, right, "k", "rk", n_salts=8)
+    # distinct salts actually assigned to the single hot key
+    n_salts_used = (
+        left.withColumn(
+            "s",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+        )
+        .select("s")
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 1
+    assert salted.count() == 200
+
+
 def test_join_cartesian_fallback(spark):
     a = _df(spark, [(1,), (2,)], "x int")
     b = _df(spark, [(10,), (20,)], "y int")
