@@ -121,6 +121,55 @@ def test_bucketed_layout_removes_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
 
+def test_tpch_workload_learns_fact_placement(spark, tmp_path):
+    """End-to-end Lachesis loop on the flagship workload: run a TPC-H
+    slice, capture shuffle keys from the *executed plans*, let the
+    recommender pick the facts' layout, apply it, and show the learned
+    layout makes the orders⋈lineitem join exchange-free."""
+    import time
+
+    from lachesis_spark.advisor.recommender import capture_usages_from_plan
+    from lachesis_spark.plans import tpch
+
+    h = HistoryDB(":memory:")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # disable broadcast so the workload's true shuffle demand is observable
+    # (at cluster scale the fact-fact join shuffles regardless)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ("tpch_q03", "tpch_q04", "tpch_q12", "tpch_q18"):
+            t0 = time.perf_counter()
+            df = tpch.QUERIES[name](spark, SF_SMOKE)
+            df.count()
+            h.record_job(name, time.perf_counter() - t0, capture_usages_from_plan(df))
+
+        # the order key dominates both facts' shuffle history
+        li_rec = recommend(h, "lineitem", n_buckets=8)
+        o_rec = recommend(h, "orders", n_buckets=8)
+        assert li_rec is not None and li_rec.key_cols == ("l_orderkey",)
+        assert o_rec is not None and o_rec.key_cols == ("o_orderkey",)
+
+        # apply the learned layout and re-run the join shape shuffle-free
+        cat = Catalog(spark, str(tmp_path))
+        cat.register_testdata(SF_SMOKE)
+        cat.write_set(
+            cat.read_set("testdata", "lineitem").select("l_orderkey", "l_quantity"),
+            "layout", "lineitem_b", bucket_by=li_rec.as_bucket_by(),
+        )
+        cat.write_set(
+            cat.read_set("testdata", "orders").select("o_orderkey", "o_orderpriority"),
+            "layout", "orders_b", bucket_by=o_rec.as_bucket_by(),
+        )
+        joined = spark.table("layout_orders_b").join(
+            spark.table("layout_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bandit_explores_then_exploits():
     from lachesis_spark.advisor.bandit import BanditPlacementOptimizer
 
