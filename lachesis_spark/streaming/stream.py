@@ -272,6 +272,50 @@ def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_session")
 
 
+def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of the custom stateful operator
+    (applyInPandasWithState running totals): replay in update mode, then
+    keep each user's final state (the row with max n_events — update mode
+    re-emits a user's row once per microbatch that touches it).  The final
+    state equals the batch per-user aggregate, so a plain GROUP BY is a
+    binding oracle for the custom-state path."""
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_user_running_totals(ev), "q_stream_totals", "update")
+    got = spark.table("q_stream_totals")
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+        )
+    )
+
+
+STREAM_TOTALS_SQL = """
+SELECT user_id, count(*) AS n_events, sum(value) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of the watermarked stream-stream interval join:
+    replay in append mode and aggregate attributed purchases per user —
+    the same finalization as the batch twin win_correlation, whose SQL is
+    the oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    run_to_memory(stream_click_purchase_join(ev), "q_stream_ssj", "append")
+    return (
+        spark.table("q_stream_ssj")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum("amount").alias("attributed_value"),
+        )
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""
@@ -288,14 +332,22 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 
 # Driver-facing registry: the streaming engine's results are oracle-gated
 # against the batch twins' SQL (replay equivalence makes the oracle binding).
-from lachesis_spark.streaming.windows import WIN_SESSION_SQL, WIN_TUMBLING_SQL  # noqa: E402
+from lachesis_spark.streaming.windows import (  # noqa: E402
+    WIN_CORRELATION_SQL,
+    WIN_SESSION_SQL,
+    WIN_TUMBLING_SQL,
+)
 
 QUERIES = {
     "stream_tumbling": stream_tumbling_query,
     "stream_session": stream_session_query,
+    "stream_running_totals": stream_running_totals_query,
+    "stream_interval_join": stream_interval_join_query,
 }
 
 ORACLE = {
     "stream_tumbling": WIN_TUMBLING_SQL,
     "stream_session": WIN_SESSION_SQL,
+    "stream_running_totals": STREAM_TOTALS_SQL,
+    "stream_interval_join": WIN_CORRELATION_SQL,
 }
