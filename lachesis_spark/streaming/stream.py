@@ -253,6 +253,26 @@ def stream_custom_sessions(events: DataFrame, gap_sec: int = 600) -> DataFrame:
     )
 
 
+class _state_partitions:
+    """Scope spark.sql.shuffle.partitions for a streaming replay: stateful
+    operators create one state-store instance per shuffle partition, and the
+    per-partition open/commit overhead dominates small replays (measured
+    11.2s → 2.8s on the sf0.1 stream-stream join going 32 → 8).  A real
+    deployment sizes this to expected state volume ONCE — the partitioning
+    is sticky in the checkpoint — so per-query scoping here mirrors that
+    one-time sizing decision, and the batch queries keep the session's 32."""
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+
+
 def stream_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing form of the tumbling-window stream: replay the events
     file through the streaming engine (availableNow) into a memory sink and
@@ -260,7 +280,8 @@ def stream_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     because complete-mode replay of a bounded source equals the batch query
     (asserted in test_streaming replay-equivalence tests)."""
     ev = read_events_stream(spark, sf_dir)
-    run_to_memory(stream_tumbling_counts(ev), "q_stream_tumbling", "complete")
+    with _state_partitions(spark):
+        run_to_memory(stream_tumbling_counts(ev), "q_stream_tumbling", "complete")
     return spark.table("q_stream_tumbling")
 
 
@@ -268,7 +289,8 @@ def stream_session_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing form of the session-window stream (10-minute gap),
     replayed to completion; oracle = batch twin's gaps-and-islands SQL."""
     ev = read_events_stream(spark, sf_dir)
-    run_to_memory(stream_session_counts(ev), "q_stream_session", "complete")
+    with _state_partitions(spark):
+        run_to_memory(stream_session_counts(ev), "q_stream_session", "complete")
     return spark.table("q_stream_session")
 
 
@@ -280,7 +302,8 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     state equals the batch per-user aggregate, so a plain GROUP BY is a
     binding oracle for the custom-state path."""
     ev = read_events_stream(spark, sf_dir)
-    run_to_memory(stream_user_running_totals(ev), "q_stream_totals", "update")
+    with _state_partitions(spark):
+        run_to_memory(stream_user_running_totals(ev), "q_stream_totals", "update")
     got = spark.table("q_stream_totals")
     return (
         got.groupBy("user_id")
@@ -305,7 +328,8 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same finalization as the batch twin win_correlation, whose SQL is
     the oracle."""
     ev = read_events_stream(spark, sf_dir)
-    run_to_memory(stream_click_purchase_join(ev), "q_stream_ssj", "append")
+    with _state_partitions(spark):
+        run_to_memory(stream_click_purchase_join(ev), "q_stream_ssj", "append")
     return (
         spark.table("q_stream_ssj")
         .groupBy("user_id")
