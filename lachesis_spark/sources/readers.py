@@ -69,6 +69,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark; same pushdown/pruning machinery as
+    parquet — the scan carries PushedFilters and a pruned ReadSchema)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean_rows, corrupt_rows) — route the latter to a dead-letter sink.
 

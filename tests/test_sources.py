@@ -30,6 +30,18 @@ def test_json_roundtrip(spark, tmp_path):
     _same(clean, docs)
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    docs = _docs(spark)
+    path = str(tmp_path / "docs_orc")
+    R.write_orc(docs, path)
+    back = R.read_orc(spark, path)
+    _same(back, docs)
+    # ORC scans get the same filter pushdown machinery as parquet
+    q = back.filter(F.col("doc_id") < 10).select("doc_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(doc_id)" in plan or "LessThan(doc_id" in plan
+
+
 def test_csv_roundtrip_pipe_delimited(spark, tmp_path):
     # tpch-dbgen style: '|' separator, no header
     docs = _docs(spark).select("doc_id", "lang", "source", "n_chars")
