@@ -562,7 +562,21 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# -- approximate sketches (the 100 TB path: HLL++ distinct counts and
+#    t-digest-style quantiles aggregate in fixed memory with partial merge,
+#    where exact distinct is a full shuffle of the key universe).  Sketch
+#    internals differ across engines, so no value-hash oracle — rows-only
+#    driver check; test_ops asserts tolerance vs the exact answers.
+def op_approx_sketches(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    )
+
+
 QUERIES.update({
+    "op_approx_sketches": op_approx_sketches,
     "op_cube": op_cube,
     "op_rollup": op_rollup,
     "op_outer_join": op_outer_join,

@@ -68,6 +68,30 @@ def test_join_multiway_equi_plus_theta(spark):
     assert [tuple(r) for r in out.collect()] == [(1, 100)]
 
 
+def test_approx_sketches_within_tolerance(spark):
+    """HLL++ distinct counts within the configured rsd of exact; t-digest
+    median within 2% of the exact percentile (no cross-engine hash oracle
+    exists for sketch internals, so tolerance vs exact is the gate)."""
+    from lachesis_spark.plans.ops_queries import op_approx_sketches
+    from tests.conftest import SF_SMOKE
+
+    got = {r["l_returnflag"]: r for r in op_approx_sketches(spark, SF_SMOKE).collect()}
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, row in got.items():
+        assert abs(row["approx_orders"] - exact[flag]["n"]) <= 0.05 * exact[flag]["n"]
+        assert abs(row["approx_p50"] - exact[flag]["p50"]) <= 0.02 * exact[flag]["p50"]
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must not change results: every left row meets each matching
     right row exactly once, including duplicate keys on both sides."""
