@@ -562,6 +562,57 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# -- global ORDER BY (§2.8 gap: the reference has no sort at all).  A full
+#    sort is its own plan shape — RangePartitioning (sampled bounds) + per-
+#    partition sort — distinct from top-k's TakeOrdered; at scale it's the
+#    write-ordered-output path (ZORDER-ish layout prep, sorted exports).
+def op_order_by(spark, sf_dir):
+    nat = _t(spark, sf_dir, "nation")
+    return nat.select("n_nationkey", "n_name", "n_regionkey").orderBy(
+        F.col("n_regionkey").asc(), F.col("n_name").desc()
+    )
+
+
+OP_ORDER_BY_SQL = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_regionkey ASC, n_name DESC
+"""
+
+
+# -- date/interval arithmetic library (§2.8 gap: the reference open-codes
+#    all date math in per-query C++).  Exercises truncation, diffs, interval
+#    shifts, and component extraction against the same ANSI semantics.
+def op_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.datediff(F.col("o_orderdate"), F.to_timestamp(F.lit("1995-01-01"))).alias(
+                "days_since_epoch_start"
+            ),
+            (F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias("due_date"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.dayofweek("o_orderdate").cast("long").alias("o_dow"),
+        )
+        .filter(F.col("o_orderkey") % 100 == 0)
+    )
+
+
+OP_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+         AS days_since_epoch_start,
+       o_orderdate + INTERVAL 45 DAY AS due_date,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS o_dow
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
 # -- approximate sketches (the 100 TB path: HLL++ distinct counts and
 #    t-digest-style quantiles aggregate in fixed memory with partial merge,
 #    where exact distinct is a full shuffle of the key universe).  Sketch
@@ -577,6 +628,8 @@ def op_approx_sketches(spark, sf_dir):
 
 QUERIES.update({
     "op_approx_sketches": op_approx_sketches,
+    "op_order_by": op_order_by,
+    "op_datetime": op_datetime,
     "op_cube": op_cube,
     "op_rollup": op_rollup,
     "op_outer_join": op_outer_join,
@@ -586,6 +639,8 @@ QUERIES.update({
 })
 
 ORACLE.update({
+    "op_order_by": OP_ORDER_BY_SQL,
+    "op_datetime": OP_DATETIME_SQL,
     "op_cube": OP_CUBE_SQL,
     "op_rollup": OP_ROLLUP_SQL,
     "op_outer_join": OP_OUTER_JOIN_SQL,
