@@ -13,10 +13,15 @@ match the reference queries.
 Every computed column is aliased identically in the Spark plan and the oracle
 SQL — the driver's hash compare sorts columns by name.
 
-Scale notes: dims (region/nation/supplier/part ≤ ~2M rows at 100 TB TPC-H
-scale) broadcast; fact-fact joins (orders⋈lineitem) shuffle on the join key
-and AQE handles skew.  No query here collects more than an aggregate's
-result.
+Scale notes — broadcast policy: explicit ``broadcast()`` hints only on sides
+that are provably bounded at ANY scale factor (region=5 rows, nation=25
+rows, 1-row scalar aggregates).  customer/supplier/part and filtered or
+pre-aggregated derivatives grow with SF, so they carry NO hint: AQE
+broadcasts them at runtime while their measured size is under the
+threshold and falls back to a shuffled join beyond it — a forced hint
+would OOM the build side at 1000×.  Fact-fact joins (orders⋈lineitem)
+shuffle on the join key and AQE handles skew.  No query here collects
+more than an aggregate's result.
 """
 
 from __future__ import annotations
@@ -134,7 +139,7 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_orderkey", "l_extendedprice", "l_discount"],
     )
     joined = core.join(
-        [li, orders, F.broadcast(cust)],
+        [li, orders, cust],
         equi=[
             F.col("l_orderkey") == F.col("o_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -309,7 +314,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_partkey", "l_extendedprice", "l_discount"],
     )
     joined = core.join(
-        [li, F.broadcast(part)], equi=[F.col("l_partkey") == F.col("p_partkey")]
+        [li, part], equi=[F.col("l_partkey") == F.col("p_partkey")]
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
@@ -342,7 +347,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_partkey"], [(0.2 * F.avg("l_quantity")).alias("qty_threshold")]
     ).withColumnRenamed("l_partkey", "a_partkey")
     joined = core.join(
-        [li, F.broadcast(part), F.broadcast(avg_qty)],
+        [li, part, avg_qty],
         equi=[
             F.col("l_partkey") == F.col("p_partkey"),
             F.col("l_partkey") == F.col("a_partkey"),
@@ -421,7 +426,7 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     reg = core.selection(_t(spark, sf_dir, "region"), F.col("r_name") == "ASIA", ["r_regionkey"])
     joined = core.join(
-        [li, orders, cust, F.broadcast(sup), F.broadcast(nat), F.broadcast(reg)],
+        [li, orders, cust, sup, F.broadcast(nat), F.broadcast(reg)],
         equi=[
             F.col("l_orderkey") == F.col("o_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -473,7 +478,7 @@ def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     joined = core.join(
-        [li, orders, cust, F.broadcast(sup), F.broadcast(n1), F.broadcast(n2)],
+        [li, orders, cust, sup, F.broadcast(n1), F.broadcast(n2)],
         equi=[
             F.col("l_orderkey") == F.col("o_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -528,7 +533,7 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
     reg = core.selection(_t(spark, sf_dir, "region"), F.col("r_name") == "AMERICA", ["r_regionkey"])
     joined = core.join(
-        [li, orders, cust, F.broadcast(part), F.broadcast(sup), F.broadcast(n1), F.broadcast(n2), F.broadcast(reg)],
+        [li, orders, cust, part, sup, F.broadcast(n1), F.broadcast(n2), F.broadcast(reg)],
         equi=[
             F.col("l_orderkey") == F.col("o_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -583,7 +588,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     joined = core.join(
-        [li, orders, F.broadcast(part), F.broadcast(sup), F.broadcast(nat)],
+        [li, orders, part, sup, F.broadcast(nat)],
         equi=[
             F.col("l_orderkey") == F.col("o_orderkey"),
             F.col("l_partkey") == F.col("p_partkey"),
@@ -673,7 +678,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"), F.col("s_nationkey") == 7, ["s_suppkey"]
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-    joined = core.join([li, F.broadcast(sup)], equi=[F.col("l_suppkey") == F.col("s_suppkey")])
+    joined = core.join([li, sup], equi=[F.col("l_suppkey") == F.col("s_suppkey")])
     per_part = core.aggregate(
         joined,
         ["l_partkey"],
@@ -720,7 +725,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -760,9 +765,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "supplier"), F.col("s_acctbal") < 0.0, ["s_suppkey"]
     )
     kept = pairs.join(
-        F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad_sup, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
-    joined = core.join([kept, F.broadcast(part)], equi=[F.col("l_partkey") == F.col("p_partkey")])
+    joined = core.join([kept, part], equi=[F.col("l_partkey") == F.col("p_partkey")])
     return core.aggregate(
         joined,
         ["p_brand", "p_type", "p_size"],
@@ -796,7 +801,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     joined = core.join(
-        [orders, F.broadcast(big), F.broadcast(cust)],
+        [orders, big, cust],
         equi=[
             F.col("o_orderkey") == F.col("l_orderkey"),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -847,7 +852,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     joined = core.join(
-        [li, F.broadcast(part)], equi=[F.col("l_partkey") == F.col("p_partkey")], theta=bracket
+        [li, part], equi=[F.col("l_partkey") == F.col("p_partkey")], theta=bracket
     )
     return core.aggregate(
         joined,
@@ -886,7 +891,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, ["l_partkey", "l_suppkey"], [F.sum("l_quantity").alias("qty_supplied")]
     ).filter(F.col("qty_supplied") > 50.0)
     promo_pairs = heavy_pairs.join(
-        F.broadcast(small_part), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+        small_part, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
     )
     sup = core.selection(
         _t(spark, sf_dir, "supplier"), F.col("s_nationkey") == 3, ["s_suppkey", "s_name", "s_acctbal"]
@@ -943,7 +948,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     named = core.join(
-        [culprits, F.broadcast(sup)],
+        [culprits, sup],
         equi=[F.col("l_suppkey") == F.col("s_suppkey")],
         theta=F.col("s_nationkey") == 5,
     )
