@@ -1,0 +1,313 @@
+"""Deterministic sampling / splitting / mixing / packing for training-data
+pipelines over the ``documents`` table.
+
+A 100 TB pre-training corpus is never consumed whole: it is subsampled,
+split into train/valid/test, mixed across sources with per-source weights,
+and packed into fixed-token-budget sequences.  Every operator here is
+deterministic (MD5-keyed, seedable) so a pipeline re-run reproduces the
+exact same corpus — the property `df.sample()` cannot give across retries,
+re-partitions, or cluster sizes.
+
+All decisions are pure JVM-side column expressions over the cross-engine
+hash family in ``functions.hashing`` (md5-prefix → BIGINT), so each operator
+has an exact DuckDB oracle and zero Python in the hot path.
+
+Operators
+---------
+- ``sample_bernoulli``  : keep a row iff hash01(key, seed) < rate — a
+  deterministic Bernoulli sample, stable under repartitioning.
+- ``assign_split``      : hash-bucket rows into named splits by weight
+  (train/valid/test); every row lands in exactly one split, membership is
+  a pure function of the key, so train/test never leak across re-runs.
+- ``mix_sources``       : per-source keep-rates in one scan (CASE on the
+  source column → rate), the standard corpus-mixture step (e.g. wiki ×1.0,
+  crawl ×0.1) without a per-source union.
+- ``pack_sequences``    : concat-and-chunk packing — deterministic order
+  within hash buckets, running token count, bin = floor(cum_before / budget);
+  the linear-packing approximation LLM data loaders use.
+- ``sample_stratified`` : exact-n-per-group sample by hash order, computed
+  in two window passes so no executor ever sees a whole group.
+
+Scale notes
+-----------
+- bernoulli / split / mixture are *scan-only*: filter or tag with a codegen
+  expression, 0 shuffles before the (optional) summary agg.  At 100 TB the
+  sample is produced at full scan speed.
+- ``pack_sequences`` needs an order to be deterministic; a global sort is
+  the naive answer and is wrong at scale.  Instead rows are hash-bucketed
+  (``n_buckets`` ≈ cluster cores) and ordered within buckets only — one
+  shuffle, bounded per-task sort, buckets pack independently and in
+  parallel.  Bin ids are (bucket, bin) pairs, which is all a data loader
+  needs.
+- ``sample_stratified``'s two-pass plan prunes each (group, bucket) to its
+  local top-n before the per-group global pass, so the final window sees at
+  most n_buckets×n rows per group instead of the whole group — the same
+  trick as grouped top-k, immune to group skew (a 90%-English corpus never
+  funnels 90 TB into one task).
+
+Reference: the reference engine has no sampling surface at all (SURVEY §2.8
+gap list); these are beyond-reference training-pipeline capabilities built
+on the same hash family as its dedup operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions import hashing as H
+from lachesis_spark.functions import text as TX
+
+SEED_SAMPLE = 2101
+SEED_SPLIT = 2102
+SEED_MIX = 2103
+SEED_PACK = 2104
+SEED_STRAT = 2105
+
+SAMPLE_RATE = 0.25
+SPLITS = (("train", 8), ("valid", 1), ("test", 1))  # weights out of 10
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_BUCKETS = 8
+STRAT_N = 20
+
+# mixture: keep-rate per source (sf docs have sources src0..src19)
+MIX_RATES = {f"src{i}": r for i, r in zip(range(20), [1.0, 0.5, 0.25, 0.1] * 5)}
+
+_KEY_SQL = "CAST(doc_id AS VARCHAR)"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _key(df: DataFrame, key_col: str) -> Column:
+    return df[key_col].cast("string")
+
+
+# ---------------------------------------------------------------------------
+# 1. Deterministic Bernoulli sample
+def sample_bernoulli(df: DataFrame, key_col: str, rate: float, seed: int) -> DataFrame:
+    """Rows where hash01(key, seed) < rate — same rows on every run and any
+    partitioning, unlike ``DataFrame.sample``."""
+    return df.where(H.hash01(_key(df, key_col), seed) < rate)
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return sample_bernoulli(docs, "doc_id", SAMPLE_RATE, SEED_SAMPLE).select(
+        "doc_id", "lang", "source"
+    )
+
+
+SAMPLE_HASH_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {H.sql_hash01(_KEY_SQL, SEED_SAMPLE)} < {SAMPLE_RATE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Train/valid/test split assignment
+def assign_split(
+    df: DataFrame, key_col: str, splits=SPLITS, seed: int = SEED_SPLIT
+) -> DataFrame:
+    """Add a ``split`` column; hash-bucket membership by integer weights.
+
+    Total weight W buckets; split i owns the next weights[i] buckets.  A
+    row's split is a pure function of its key: stable across runs, no
+    train/test leakage when the corpus is re-ingested.
+    """
+    total = sum(w for _, w in splits)
+    bucket = F.floor(H.hash01(_key(df, key_col), seed) * total)
+    expr = None
+    lo = 0
+    for name, w in splits[:-1]:
+        cond = bucket < lo + w
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        lo += w
+    expr = expr.otherwise(splits[-1][0]) if expr is not None else F.lit(splits[-1][0])
+    return df.withColumn("split", expr)
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = assign_split(_docs(spark, sf_dir), "doc_id")
+    return docs.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SAMPLE_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT source, n_chars,
+         CASE WHEN floor({H.sql_hash01(_KEY_SQL, SEED_SPLIT)} * 10) < 8 THEN 'train'
+              WHEN floor({H.sql_hash01(_KEY_SQL, SEED_SPLIT)} * 10) < 9 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM tagged GROUP BY split, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Weighted source mixture in one scan
+def mix_sources(
+    df: DataFrame, source_col: str, key_col: str, rates: dict, seed: int = SEED_MIX
+) -> DataFrame:
+    """Keep each row with its source's rate: single filter expression, no
+    per-source union — one scan at any corpus size.  Sources absent from
+    ``rates`` are dropped (rate 0)."""
+    rate = None
+    for s, r in sorted(rates.items()):
+        cond = df[source_col] == s
+        rate = F.when(cond, r) if rate is None else rate.when(cond, r)
+    rate = rate.otherwise(0.0)
+    return df.where(H.hash01(_key(df, key_col), seed) < rate)
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = mix_sources(_docs(spark, sf_dir), "source", "doc_id", MIX_RATES)
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(TX.token_count("text")).cast("long").alias("sum_tokens"),
+    )
+
+
+def _mix_case_sql() -> str:
+    arms = "\n".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES.items())
+    )
+    return f"CASE source {arms} ELSE 0.0 END"
+
+
+_SQL_NTOK = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+SAMPLE_MIXTURE_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum({_SQL_NTOK}) AS BIGINT) AS sum_tokens
+FROM documents
+WHERE {H.sql_hash01(_KEY_SQL, SEED_MIX)} < {_mix_case_sql()}
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Sequence packing (concat-and-chunk within hash buckets)
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_count_col: Column,
+    budget: int = PACK_BUDGET,
+    n_buckets: int = PACK_BUCKETS,
+    seed: int = SEED_PACK,
+) -> DataFrame:
+    """Assign each row a (bucket, bin) packed-sequence id.
+
+    bucket = h60(key) % n_buckets; rows ordered by key within the bucket;
+    bin = floor(tokens_before / budget) — the concat-and-chunk packing rule.
+    Deterministic, one shuffle, per-bucket bounded sort; buckets pack
+    independently so parallelism = n_buckets (size it to cluster cores).
+    """
+    keyed = df.select(
+        df[key_col].alias("pack_key"),
+        token_count_col.cast("long").alias("n_tok"),
+        (H.h60_seeded(_key(df, key_col), seed) % n_buckets).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("pack_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return keyed.withColumn("bin", F.floor((cum - F.col("n_tok")) / F.lit(budget)))
+
+
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, "doc_id", TX.token_count("text"))
+    return packed.groupBy("bucket", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+         {H.sql_h60_seeded(_KEY_SQL, SEED_PACK)} % {PACK_BUCKETS} AS bucket
+  FROM documents),
+c AS (
+  SELECT bucket, n_tok,
+         sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT bucket, CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
+       count(*) AS n_docs, sum(n_tok) AS bin_tokens
+FROM c GROUP BY bucket, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Stratified exact-n-per-group sample, skew-immune two-pass plan
+def sample_stratified(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    n: int,
+    seed: int = SEED_STRAT,
+    n_buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """First n rows per group by seeded hash order.
+
+    Pass 1 keeps each (group, hash-bucket)'s local top-n — every global
+    top-n row survives (its bucket rank ≤ its group rank), and each group
+    is cut to ≤ n_buckets×n rows.  Pass 2 ranks those survivors per group.
+    No task ever sorts a whole group, so a dominant group (90% of a corpus
+    in one language) cannot funnel into a single executor.
+    """
+    ordk = H.h60_seeded(_key(df, key_col), seed).alias("_ord")
+    bucket = (H.h60_seeded(_key(df, key_col), seed + 1) % n_buckets).alias("_bkt")
+    tagged = df.select("*", ordk, bucket)
+    w1 = Window.partitionBy(group_col, "_bkt").orderBy("_ord", key_col)
+    pruned = tagged.withColumn("_r1", F.row_number().over(w1)).where(
+        F.col("_r1") <= n
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_ord", key_col)
+    return (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= n)
+        .drop("_ord", "_bkt", "_r1", "_r2")
+    )
+
+
+def sample_stratified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return sample_stratified(docs, "lang", "doc_id", STRAT_N).select("doc_id", "lang")
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY {H.sql_h60_seeded(_KEY_SQL, SEED_STRAT)}, doc_id) <= {STRAT_N}
+"""
+
+
+QUERIES = {
+    "sample_hash": sample_hash,
+    "sample_split": sample_split,
+    "sample_mixture": sample_mixture,
+    "sample_stratified": sample_stratified_query,
+    "pack_sequences": pack_sequences_query,
+}
+
+ORACLE = {
+    "sample_hash": SAMPLE_HASH_SQL,
+    "sample_split": SAMPLE_SPLIT_SQL,
+    "sample_mixture": SAMPLE_MIXTURE_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "pack_sequences": PACK_SEQUENCES_SQL,
+}

@@ -1,0 +1,82 @@
+"""Training-pipeline sampling operators: oracle parity + invariants."""
+
+from __future__ import annotations
+
+import pytest
+from conftest import SF_SMOKE, assert_matches_oracle
+
+from lachesis_spark.llm import sampling as S
+
+
+@pytest.mark.parametrize("name", sorted(S.QUERIES))
+def test_oracle_parity(spark, duck, name):
+    assert_matches_oracle(S.QUERIES[name](spark, SF_SMOKE), duck, S.ORACLE[name])
+
+
+def test_bernoulli_deterministic_and_stable_under_repartition(spark):
+    docs = S._docs(spark, SF_SMOKE)
+    a = {r.doc_id for r in S.sample_bernoulli(docs, "doc_id", 0.25, 7).collect()}
+    b = {
+        r.doc_id
+        for r in S.sample_bernoulli(docs.repartition(13), "doc_id", 0.25, 7).collect()
+    }
+    assert a == b
+    n = docs.count()
+    # hash-uniformity: rate within ±35% relative at this corpus size
+    assert 0.25 * n * 0.65 <= len(a) <= 0.25 * n * 1.35
+
+
+def test_split_is_partition_of_corpus(spark):
+    docs = S._docs(spark, SF_SMOKE)
+    tagged = S.assign_split(docs, "doc_id")
+    per = {r.split: r.n for r in tagged.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(per) == {"train", "valid", "test"}
+    assert sum(per.values()) == docs.count()
+    assert per["train"] > per["valid"] and per["train"] > per["test"]
+
+
+def test_stratified_exact_n_per_group(spark):
+    docs = S._docs(spark, SF_SMOKE)
+    got = (
+        S.sample_stratified(docs, "lang", "doc_id", S.STRAT_N)
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    sizes = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert {r.lang: r["count"] for r in got} == {
+        lang: min(S.STRAT_N, n) for lang, n in sizes.items()
+    }
+
+
+def test_packing_conserves_tokens_and_bins_are_contiguous(spark):
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.functions import text as TX
+
+    docs = S._docs(spark, SF_SMOKE)
+    packed = S.pack_sequences(docs, "doc_id", TX.token_count("text")).cache()
+    try:
+        total = docs.select(F.sum(TX.token_count("text"))).first()[0]
+        assert packed.select(F.sum("n_tok")).first()[0] == total
+        # bins are 0..max contiguous within each bucket
+        bins = packed.groupBy("bucket").agg(
+            F.countDistinct("bin").alias("n"), F.max("bin").alias("mx")
+        )
+        assert all(r.n == r.mx + 1 for r in bins.collect())
+        # chunk rule: a bin's tokens-before-last-doc stay under budget
+        per_bin = (
+            packed.groupBy("bucket", "bin")
+            .agg(F.sum("n_tok").alias("t"), F.max("n_tok").alias("m"))
+            .collect()
+        )
+        assert all(r.t - r.m < S.PACK_BUDGET for r in per_bin)
+    finally:
+        packed.unpersist()
+
+
+def test_mixture_drops_unlisted_sources(spark):
+    docs = S._docs(spark, SF_SMOKE)
+    kept = S.mix_sources(docs, "source", "doc_id", {"src0": 1.0})
+    assert kept.select("source").distinct().collect()[0].source == "src0"
+    assert kept.count() == docs.where("source = 'src0'").count()
