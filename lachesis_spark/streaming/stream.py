@@ -340,6 +340,43 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_events(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """Exactly-once deduplication over an at-least-once source: the two
+    inputs are the SAME events delivered twice (an at-least-once bus
+    re-delivering); ``dropDuplicatesWithinWatermark`` keeps one copy per
+    event_id with state bounded by the watermark — a duplicate arriving
+    later than the watermark window can no longer be suppressed, which is
+    the contract production ingestion pipelines size their watermark by.
+    Unbounded-state ``dropDuplicates`` would leak one state row per event
+    forever at 100 TB/day; the watermarked form is the only scale-safe one."""
+    doubled = events_a.unionByName(events_b).withWatermark("ts", WATERMARK)
+    return doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type", "value"
+    )
+
+
+def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form: replay the doubled stream, dedup in-stream
+    (append mode), then batch-summarize the sink per event_type.  Oracle =
+    the same summary over the ORIGINAL events — binding exactly when the
+    in-stream dedup removed every duplicate copy."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    with _state_partitions(spark):
+        run_to_memory(stream_dedup_events(a, b), "q_stream_dedup", "append")
+    return (
+        spark.table("q_stream_dedup")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events, sum(value) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""
@@ -367,6 +404,7 @@ QUERIES = {
     "stream_session": stream_session_query,
     "stream_running_totals": stream_running_totals_query,
     "stream_interval_join": stream_interval_join_query,
+    "stream_dedup": stream_dedup_query,
 }
 
 ORACLE = {
@@ -374,4 +412,5 @@ ORACLE = {
     "stream_session": WIN_SESSION_SQL,
     "stream_running_totals": STREAM_TOTALS_SQL,
     "stream_interval_join": WIN_CORRELATION_SQL,
+    "stream_dedup": STREAM_DEDUP_SQL,
 }

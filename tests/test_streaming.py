@@ -268,3 +268,19 @@ def test_custom_sessionization_matches_builtin(spark):
         _assert_same(got, closeable)
     finally:
         q.stop()
+
+
+def test_stream_dedup_removes_duplicate_deliveries(spark):
+    """Doubled delivery (same file read as two union'd streams) must come out
+    with exactly one copy per event_id, matching the batch per-type summary."""
+    import os
+
+    got = S.stream_dedup_query(spark, SF_SMOKE)
+    ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    batch = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    _assert_same(got, batch)
+    sink = spark.table("q_stream_dedup")
+    assert sink.count() == ev.count()
+    assert sink.select("event_id").distinct().count() == ev.count()
