@@ -283,3 +283,18 @@ def flatten_map(
     if group is None:
         return df.mapInPandas(fn, schema=schema)
     return df.groupBy(*[_col(g) for g in group]).applyInPandas(fn, schema=schema)
+
+
+def parallelism_floor(df: DataFrame, spark=None) -> DataFrame:
+    """Re-spread ``df`` when its source offers fewer splits than the cluster
+    has cores — the case where an expensive per-row expression downstream
+    (JSON parse, regex extraction, UDF) would otherwise run on a handful of
+    tasks.  A big input already scans as many splits (maxPartitionBytes), so
+    this is a no-op at scale and costs nothing; only a source smaller than
+    cores × one split pays the (tiny, by definition) round-robin shuffle."""
+    spark = spark or df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files and len(files) >= cores:
+        return df
+    return df.repartition(cores)

@@ -313,7 +313,11 @@ GROUP BY o.o_custkey
 def op_map_explode(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    parsed = ev.select(
+    # single-file testdata scans as one split; floor the parallelism so the
+    # JSON parse (the expensive part) uses every core — no-op at scale where
+    # the scan already yields >= cores splits
+    narrow = core.parallelism_floor(ev.select("event_type", "props"), spark)
+    parsed = narrow.select(
         "event_type",
         F.from_json("props", "map<string,bigint>").alias("m"),
     )
