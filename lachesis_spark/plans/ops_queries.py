@@ -474,6 +474,58 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def op_pivot(spark, sf_dir):
+    """PIVOT: long→wide on a known value list.  The explicit value list
+    matters at scale — without it Spark runs an extra distinct pass over the
+    pivot column to discover values; with it the pivot is a single
+    partial+final aggregate, same shuffle as a plain groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+        .withColumnsRenamed({"F": "total_f", "O": "total_o", "P": "total_p"})
+    )
+
+
+OP_PIVOT_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) AS total_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) AS total_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) AS total_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def op_unpivot(spark, sf_dir):
+    """UNPIVOT (melt): wide→long without a union of scans — one pass emits
+    all three measures per row (Spark Expand), vs the 3× scan the UNION ALL
+    oracle spells out."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        "l_discount",
+        "l_tax",
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+OP_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+       CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""
+
+
 def op_outer_join(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
@@ -636,6 +688,8 @@ QUERIES.update({
     "op_datetime": op_datetime,
     "op_cube": op_cube,
     "op_rollup": op_rollup,
+    "op_pivot": op_pivot,
+    "op_unpivot": op_unpivot,
     "op_outer_join": op_outer_join,
     "op_semi_anti": op_semi_anti,
     "op_set_ops": op_set_ops,
@@ -647,6 +701,8 @@ ORACLE.update({
     "op_datetime": OP_DATETIME_SQL,
     "op_cube": OP_CUBE_SQL,
     "op_rollup": OP_ROLLUP_SQL,
+    "op_pivot": OP_PIVOT_SQL,
+    "op_unpivot": OP_UNPIVOT_SQL,
     "op_outer_join": OP_OUTER_JOIN_SQL,
     "op_semi_anti": OP_SEMI_ANTI_SQL,
     "op_set_ops": OP_SET_OPS_SQL,
