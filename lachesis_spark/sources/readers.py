@@ -18,6 +18,7 @@ wrappers here enforce the two production rules the raw API leaves optional:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
@@ -99,3 +100,28 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", sep: str = ",", header: bool = True
 ) -> None:
     df.write.mode(mode).option("sep", sep).option("header", header).csv(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingestion via Spark's built-in ``binaryFile`` format:
+    one row per file — (path, modificationTime, length, content binary) —
+    the entry point for image/audio/video corpora (llm.multimodal consumes
+    the ``content`` column as its opaque payload).
+
+    Scale: listing is distributed, each file is one task (binary files
+    don't split), and a ``length <= max_bytes`` predicate is pushed into
+    the file index so oversized media are skipped without reading a byte —
+    the only filter binaryFile can push down.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df

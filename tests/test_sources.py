@@ -145,3 +145,24 @@ def test_date_partitioned_write_prunes_scan(spark, tmp_path):
     # pruned scan returns exactly that day's rows
     expected = ev.filter(F.col("event_date") == one_day).count()
     assert scan.count() == expected > 0
+
+
+def test_binary_file_source_reads_payloads(spark, tmp_path):
+    """binaryFile ingestion: one row per file with raw bytes; size filter
+    prunes at the file index; glob restricts extensions."""
+    from lachesis_spark.sources import readers as R
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89IMG" + b"\x00" * 10)
+    (d / "b.img").write_bytes(b"\x89IMG" + b"\xff" * 2000)
+    (d / "notes.txt").write_text("not media")
+
+    all_media = R.read_binary_files(spark, str(d), glob="*.img")
+    rows = {r.path.split("/")[-1]: r for r in all_media.collect()}
+    assert set(rows) == {"a.img", "b.img"}
+    assert bytes(rows["a.img"].content)[:4] == b"\x89IMG"
+    assert rows["b.img"].length == 2004
+
+    small = R.read_binary_files(spark, str(d), glob="*.img", max_bytes=100)
+    assert [r.path.split("/")[-1] for r in small.collect()] == ["a.img"]
