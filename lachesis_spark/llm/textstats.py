@@ -213,11 +213,43 @@ FROM (
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# 2b. Quantile-threshold corpus filter: keep the top quality quartile.  The
+#     threshold is an exact percentile computed in one aggregate pass and
+#     broadcast back as a 1-row scalar join — never collected to the driver,
+#     so the whole filter is a single job at any corpus size (agg pass +
+#     filter pass), the standard shape of a perplexity/quality cut.
+_SQL_Q = f"""((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END)
+          + (CASE WHEN {_SQL_ATL} BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+          + (1.0 - least({_SQL_PUNCT} * 5.0, 1.0))) / 3.0"""
+
+
+def text_quality_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "lang", TX.quality_score("text").alias("q"))
+    thr = scored.agg(F.expr("percentile(q, 0.75)").alias("thr"))
+    kept = scored.join(F.broadcast(thr), scored["q"] >= F.col("thr"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("q").alias("avg_q")
+    )
+
+
+TEXT_QUALITY_FILTER_SQL = f"""
+WITH scored AS (SELECT doc_id, lang, {_SQL_Q} AS q FROM documents),
+t AS (SELECT quantile_cont(q, 0.75) AS thr FROM scored)
+SELECT lang, count(*) AS n_docs, avg(q) AS avg_q
+FROM scored, t WHERE q >= thr GROUP BY lang
+"""
+
+
 QUERIES = {
     "text_tokens_bpe": text_tokens_bpe,
     "text_rolling_fp": text_rolling_fp,
     "text_stats": text_stats,
     "text_quality": text_quality,
+    "text_quality_filter": text_quality_filter,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
@@ -227,6 +259,7 @@ ORACLE = {
     "text_rolling_fp": TEXT_ROLLING_FP_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_quality": TEXT_QUALITY_SQL,
+    "text_quality_filter": TEXT_QUALITY_FILTER_SQL,
     "text_langid": _langid_sql(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
 }
