@@ -166,3 +166,52 @@ def test_binary_file_source_reads_payloads(spark, tmp_path):
 
     small = R.read_binary_files(spark, str(d), glob="*.img", max_bytes=100)
     assert [r.path.split("/")[-1] for r in small.collect()] == ["a.img"]
+
+
+def test_merge_set_upserts_by_key(spark, tmp_path):
+    """Unpartitioned MERGE: updated keys replaced, new keys inserted,
+    untouched rows preserved."""
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    cat.write_set(base, "db", "t")
+    updates = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    cat.merge_set(updates, "db", "t", ["k"])
+    got = {r.k: (r.s, r.v) for r in cat.read_set("db", "t").collect()}
+    assert got == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+
+def test_merge_set_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    """Partition-scoped MERGE: only partitions present in the updates are
+    rewritten; untouched partition files stay byte-identical on disk."""
+    import os
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-01-02", 30.0)],
+        "k long, day string, v double",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(cat.set_path("db", "t"))
+
+    def listing(day):
+        d = os.path.join(cat.set_path("db", "t"), f"day={day}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_untouched = listing("2024-01-02")
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", 99.0), (5, "2024-01-01", 50.0)], "k long, day string, v double"
+    )
+    cat.merge_set(updates, "db", "t", ["k"], partition_col="day")
+    got = {r.k: r.v for r in cat.read_set("db", "t").collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0, 5: 50.0}
+    assert listing("2024-01-02") == before_untouched
