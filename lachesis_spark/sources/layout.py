@@ -1,0 +1,68 @@
+"""Physical layout helpers: Z-order clustering for multi-dimensional data
+skipping.
+
+Parquet scans prune row groups whose column min/max statistics exclude the
+predicate.  A single-column sort gives tight statistics on that column only;
+Z-ordering interleaves the bits of several columns so that *each* row group
+covers a small hyper-rectangle of the key space — point or range predicates
+on ANY of the clustered columns then exclude most row groups (≈ N^(1-1/d)
+of them for d dimensions), which is how engines with OPTIMIZE ZORDER BY
+(Delta, Hudi, Iceberg's sort orders) buy scan locality without an index.
+
+Everything is codegen expressions: a one-pass min/max aggregate normalizes
+each column to ``bits``-bit integers (driver-side scalars — a layout-time
+decision, same as the advisor's bucket choice), then the interleave is a
+fixed chain of shift/and/or terms.  ``repartitionByRange`` on the z-value
+plus ``sortWithinPartitions`` yields files whose row groups tile the curve.
+
+Scale: this is a write-time operation (one extra range shuffle over the
+data being laid out, the same cost class as bucketBy); the payoff is every
+subsequent scan.  Used for the fact-table layouts the advisor cannot serve
+with a single bucket key — e.g. events filtered sometimes by user and
+sometimes by value band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _normalize(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Scale col into [0, 2^bits) as a long; constant range collapses to 0."""
+    span = hi - lo
+    if span <= 0:
+        return F.lit(0).cast("long")
+    top = (1 << bits) - 1
+    scaled = ((col.cast("double") - F.lit(lo)) / F.lit(span)) * F.lit(top)
+    return F.least(F.greatest(F.round(scaled).cast("long"), F.lit(0)), F.lit(top))
+
+
+def z_value(norm_cols: list[Column], bits: int) -> Column:
+    """Bit-interleave ``bits``-bit normalized columns into one z-value."""
+    d = len(norm_cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(norm_cols):
+            bit = F.shiftright(c, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * d + j))
+    return z
+
+
+def zorder(df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 16) -> DataFrame:
+    """Return ``df`` re-arranged along the Z-curve of ``cols``; write the
+    result to get row groups that prune on every clustered column."""
+    row = df.agg(
+        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(cols)],
+    ).first()
+    norms = [
+        _normalize(F.col(c), float(row[f"lo{i}"]), float(row[f"hi{i}"]), bits)
+        for i, c in enumerate(cols)
+    ]
+    zed = df.withColumn("__z", z_value(norms, bits))
+    return (
+        zed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -215,3 +215,54 @@ def test_merge_set_partitioned_rewrites_only_touched_partitions(spark, tmp_path)
     got = {r.k: r.v for r in cat.read_set("db", "t").collect()}
     assert got == {1: 10.0, 2: 99.0, 3: 30.0, 5: 50.0}
     assert listing("2024-01-02") == before_untouched
+
+
+def test_zorder_layout_prunes_row_groups_on_both_dimensions(spark, tmp_path):
+    """Z-ordered files carry tight min/max stats on BOTH clustered columns,
+    so a predicate on either dimension excludes most row groups; a linear
+    sort only prunes its own sort column."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lachesis_spark.sources.layout import zorder
+
+    ev = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "user_id", "value"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    zorder(ev, ["user_id", "value"], bits=8, n_files=16).write.parquet(zpath)
+    (
+        ev.repartitionByRange(16, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.parquet(lpath)
+    )
+
+    def matching_groups(path, col, point):
+        total = hit = 0
+        for f in _glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                total += 1
+                if st.min <= point <= st.max:
+                    hit += 1
+        return hit, total
+
+    lo, hi = ev.agg(F.min("value"), F.max("value")).first()
+    mid_val = (lo + hi) / 2
+    mid_user = ev.agg(F.expr("percentile(user_id, 0.5)")).first()[0]
+
+    zu, zt = matching_groups(zpath, "user_id", int(mid_user))
+    zv, _ = matching_groups(zpath, "value", mid_val)
+    lv, lt = matching_groups(lpath, "value", mid_val)
+
+    assert zu <= zt // 2, f"z-order should prune user_id: {zu}/{zt}"
+    assert zv <= zt // 2, f"z-order should prune value: {zv}/{zt}"
+    # linear layout prunes the non-sort column strictly worse than z-order
+    # (small files can exclude mid_val by chance, so compare, don't absolutize)
+    assert lv / lt > zv / zt, f"linear {lv}/{lt} should prune value worse than z {zv}/{zt}"
+    # layout is a permutation, not a transformation
+    assert spark.read.parquet(zpath).count() == ev.count()
