@@ -474,6 +474,88 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def op_grouping_sets(spark, sf_dir):
+    """GROUPING SETS: the general form cube/rollup specialize — here the two
+    single-column marginals without the (status, priority) cross, i.e.
+    strictly less work than cube.  One Expand + one aggregate, same single
+    shuffle as a plain groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"]], "o_orderstatus", "o_orderpriority"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+
+
+OP_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, sum(o_totalprice) AS total
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+def op_correlated_subquery(spark, sf_dir):
+    """Correlated EXISTS + scalar subquery — the reference has no subquery
+    machinery at all (SURVEY §4.1); Catalyst decorrelates both into joins:
+    EXISTS → left-semi, the correlated scalar avg → an aggregate joined on
+    the correlation key.  Expressed in SQL because subqueries are a SQL-text
+    surface."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, count(*) AS n_cust
+        FROM v_customer c
+        WHERE EXISTS (SELECT 1 FROM v_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > (SELECT avg(o2.o_totalprice)
+                                              FROM v_orders o2
+                                              WHERE o2.o_orderstatus = o.o_orderstatus))
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+OP_CORRELATED_SUBQUERY_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_cust
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > (SELECT avg(o2.o_totalprice)
+                                      FROM orders o2
+                                      WHERE o2.o_orderstatus = o.o_orderstatus))
+GROUP BY c.c_mktsegment
+"""
+
+
+def op_range_window(spark, sf_dir):
+    """Time-range window frame: each order's trailing-7-day spend per
+    customer — RANGE frame over event time (frame bound by VALUE distance,
+    not row count).  Ordered on epoch seconds because range frames need a
+    numeric order key; one shuffle on the partition key, per-partition sort,
+    no global sort."""
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum("o_totalprice").over(w).alias("trailing_7d_spend"),
+    )
+
+
+OP_RANGE_WINDOW_SQL = """
+SELECT o_orderkey, o_custkey,
+       sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS trailing_7d_spend
+FROM orders
+"""
+
+
 def op_pivot(spark, sf_dir):
     """PIVOT: long→wide on a known value list.  The explicit value list
     matters at scale — without it Spark runs an extra distinct pass over the
@@ -689,6 +771,9 @@ QUERIES.update({
     "op_cube": op_cube,
     "op_rollup": op_rollup,
     "op_pivot": op_pivot,
+    "op_grouping_sets": op_grouping_sets,
+    "op_correlated_subquery": op_correlated_subquery,
+    "op_range_window": op_range_window,
     "op_unpivot": op_unpivot,
     "op_outer_join": op_outer_join,
     "op_semi_anti": op_semi_anti,
@@ -702,6 +787,9 @@ ORACLE.update({
     "op_cube": OP_CUBE_SQL,
     "op_rollup": OP_ROLLUP_SQL,
     "op_pivot": OP_PIVOT_SQL,
+    "op_grouping_sets": OP_GROUPING_SETS_SQL,
+    "op_correlated_subquery": OP_CORRELATED_SUBQUERY_SQL,
+    "op_range_window": OP_RANGE_WINDOW_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
     "op_outer_join": OP_OUTER_JOIN_SQL,
     "op_semi_anti": OP_SEMI_ANTI_SQL,
