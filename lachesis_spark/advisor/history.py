@@ -83,6 +83,21 @@ class HistoryDB:
         ).fetchall()
         return {k: w for k, w in rows}
 
+    def filter_weights(self, dataset: str) -> dict[str, float]:
+        """Total runtime of jobs that pushed a scan filter on each column of
+        ``dataset`` — the signal for data-skipping layout (Z-order) choices,
+        which shuffle keys say nothing about."""
+        rows = self.con.execute(
+            """
+            SELECT u.key_cols, sum(j.runtime_sec)
+            FROM key_usage u JOIN jobs j ON u.job_id = j.id
+            WHERE u.dataset = ? AND u.op = 'filter'
+            GROUP BY u.key_cols
+            """,
+            (dataset,),
+        ).fetchall()
+        return {k: w for k, w in rows}
+
     def datasets(self) -> list[str]:
         return [
             r[0]

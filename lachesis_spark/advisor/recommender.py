@@ -103,6 +103,12 @@ _SCAN_RE = re.compile(
 )
 _EXCHANGE_RE = re.compile(r"Exchange hashpartitioning\(([^)]*)\)")
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
+_LOC_RE = re.compile(r"Location: \w+(?:\(\d+ paths?\))?\[([^\]]+)\]")
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+_FILTER_COL_RE = re.compile(
+    r"(?:EqualTo|GreaterThan(?:OrEqual)?|LessThan(?:OrEqual)?|In|String\w+)"
+    r"\(([A-Za-z_][A-Za-z0-9_]*)"
+)
 
 
 def capture_usages_from_plan(df) -> list[KeyUsage]:
@@ -127,7 +133,20 @@ def capture_usages_from_plan(df) -> list[KeyUsage]:
                 by_table.setdefault(table, []).append(name)
         for table, cols in by_table.items():
             usages.add(KeyUsage(table, "shuffle", tuple(sorted(set(cols)))))
-    return sorted(usages, key=lambda u: (u.dataset, u.key_text))
+    # scan-filter columns (per pushed selective predicate, one usage per
+    # column): the data-skipping signal — IsNotNull is implied by every
+    # join/agg and carries no layout information, so it is skipped
+    for line in plan.splitlines():
+        if "FileScan" not in line:
+            continue
+        loc = _LOC_RE.search(line)
+        pushed = _PUSHED_RE.search(line)
+        if not loc or not pushed:
+            continue
+        table = loc.group(1).rsplit("/", 1)[-1].split(".")[0]
+        for col in _FILTER_COL_RE.findall(pushed.group(1)):
+            usages.add(KeyUsage(table, "filter", (col,)))
+    return sorted(usages, key=lambda u: (u.dataset, u.op, u.key_text))
 
 
 def run_and_record(
@@ -173,3 +192,38 @@ def recommend(
 def recommend_all(history: HistoryDB, n_buckets: int = 32) -> list[Recommendation]:
     recs = (recommend(history, ds, n_buckets) for ds in history.datasets())
     return [r for r in recs if r is not None]
+
+
+@dataclass(frozen=True)
+class LayoutRecommendation:
+    """A full physical-layout decision for one dataset."""
+
+    dataset: str
+    kind: str  # 'bucket_by' | 'zorder'
+    key_cols: tuple[str, ...]
+    weight: float
+
+
+def recommend_layout(
+    history: HistoryDB, dataset: str, n_buckets: int = 32
+) -> LayoutRecommendation | None:
+    """Extend the bucket-key rule with the data-skipping dimension the
+    reference never had: when history shows the dataset's scans filter on
+    TWO OR MORE columns whose combined runtime outweighs the best shuffle
+    key, no single bucket/sort key serves the workload — Z-order the top
+    filter columns instead (sources.layout.zorder).  Otherwise keep the
+    reference's rule: bucket on the runtime-weighted dominant shuffle key.
+    """
+    shuffle = history.key_weights(dataset)
+    filters = history.filter_weights(dataset)
+    best_shuffle = max(shuffle.values()) if shuffle else 0.0
+    multi = sorted(filters.items(), key=lambda kv: -kv[1])[:2]
+    if len(multi) >= 2 and sum(w for _, w in multi) > best_shuffle:
+        cols = tuple(sorted(k for k, _ in multi))
+        return LayoutRecommendation(
+            dataset, "zorder", cols, sum(w for _, w in multi)
+        )
+    rec = recommend(history, dataset, n_buckets)
+    if rec is None:
+        return None
+    return LayoutRecommendation(dataset, "bucket_by", rec.key_cols, rec.weight)

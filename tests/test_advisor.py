@@ -247,3 +247,43 @@ def test_capture_usages_from_plan(spark, tmp_path):
     h.record_job("q2", 5.0, [KeyUsage("orders", "shuffle", ("o_custkey",))])
     rec = recommend(h, "orders")
     assert rec is not None and rec.key_cols == ("o_custkey",)
+
+
+def test_plan_capture_records_pushed_filter_columns(spark, tmp_path):
+    """Scan-filter columns land in the history as op='filter' usages
+    (IsNotNull noise excluded) — the data-skipping signal."""
+    from lachesis_spark.advisor.recommender import capture_usages_from_plan
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+    ev = cat.read_set("testdata", "events")
+    q = ev.where((F.col("user_id") == 7) & (F.col("value") > 100.0)).groupBy(
+        "event_type"
+    ).count()
+    usages = capture_usages_from_plan(q)
+    assert KeyUsage("events", "filter", ("user_id",)) in usages
+    assert KeyUsage("events", "filter", ("value",)) in usages
+    # IsNotNull-only columns are not recorded as filter signals
+    assert not any(
+        u.op == "filter" and u.key_cols == ("event_type",) for u in usages
+    )
+
+
+def test_recommend_layout_prefers_zorder_for_multi_column_filters():
+    """Two heavy filter columns outweighing the best shuffle key → Z-order;
+    a dominant shuffle key → bucket_by (the reference's original rule)."""
+    from lachesis_spark.advisor import recommend_layout
+
+    h = HistoryDB(":memory:")
+    h.record_job("scan_u", 10.0, [KeyUsage("events", "filter", ("user_id",))])
+    h.record_job("scan_v", 8.0, [KeyUsage("events", "filter", ("value",))])
+    h.record_job("agg", 5.0, [KeyUsage("events", "aggregate", ("user_id",))])
+    rec = recommend_layout(h, "events")
+    assert rec is not None and rec.kind == "zorder"
+    assert rec.key_cols == ("user_id", "value")
+
+    # pile shuffle weight on user_id until bucketing wins back
+    h.record_job("agg2", 20.0, [KeyUsage("events", "aggregate", ("user_id",))])
+    rec2 = recommend_layout(h, "events")
+    assert rec2 is not None and rec2.kind == "bucket_by"
+    assert rec2.key_cols == ("user_id",)
