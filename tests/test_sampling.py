@@ -80,3 +80,32 @@ def test_mixture_drops_unlisted_sources(spark):
     kept = S.mix_sources(docs, "source", "doc_id", {"src0": 1.0})
     assert kept.select("source").distinct().collect()[0].source == "src0"
     assert kept.count() == docs.where("source = 'src0'").count()
+
+
+def test_pii_scrub_removes_every_span(spark):
+    """After scrubbing, no email/phone pattern survives anywhere."""
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.llm import scrub as SC
+
+    docs = SC._docs(spark, SF_SMOKE).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me: a.b-c_d@mail.example.org or 123-456-7890 ok"),
+        ).alias("text"),
+    )
+    left = docs.select(
+        (
+            F.regexp_count(SC.scrub_text(F.col("text")), F.lit(SC.EMAIL_RE))
+            + F.regexp_count(SC.scrub_text(F.col("text")), F.lit(SC.PHONE_RE))
+        ).alias("n")
+    )
+    assert left.agg(F.sum("n")).first()[0] == 0
+
+
+def test_decontaminate_oracle_and_eval_split_excluded(spark, duck):
+    from lachesis_spark.llm import scrub as SC
+
+    df = SC.decontaminate(spark, SF_SMOKE)
+    assert_matches_oracle(df, duck, SC.DECONTAMINATE_SQL)
