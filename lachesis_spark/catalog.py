@@ -99,6 +99,7 @@ class Catalog:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         bucket_by: tuple[int, list[str]] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """WriteUserSet analog (reference
         src/builtInPDBObjects/headers/WriteUserSet.h:18).
@@ -110,6 +111,12 @@ class Catalog:
         """
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        if zorder_by is not None:
+            if bucket_by is not None:
+                raise ValueError("zorder_by and bucket_by are exclusive layouts")
+            from lachesis_spark.sources.layout import zorder
+
+            df = zorder(df, zorder_by)
         if bucket_by is not None:
             n, cols = bucket_by
             (

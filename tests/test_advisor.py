@@ -287,3 +287,51 @@ def test_recommend_layout_prefers_zorder_for_multi_column_filters():
     rec2 = recommend_layout(h, "events")
     assert rec2 is not None and rec2.kind == "bucket_by"
     assert rec2.key_cols == ("user_id",)
+
+
+def test_layout_recommendation_applies_end_to_end(spark, tmp_path):
+    """Close the loop: observed multi-column filter history → zorder
+    recommendation → Catalog.write_set(zorder_by=...) → the written files
+    carry tight row-group stats on both filter columns."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lachesis_spark.advisor import recommend_layout
+    from lachesis_spark.advisor.recommender import capture_usages_from_plan
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.register_testdata(SF_SMOKE)
+    cat.create_database("db")
+    ev = cat.read_set("testdata", "events")
+
+    h = HistoryDB(":memory:")
+    q1 = ev.where(F.col("user_id") == 7).groupBy("event_type").count()
+    q2 = ev.where(F.col("value") > 500.0).groupBy((F.col("event_id") % 10)).count()
+    h.record_job("by_user", 10.0, capture_usages_from_plan(q1))
+    h.record_job("by_value", 9.0, capture_usages_from_plan(q2))
+
+    rec = recommend_layout(h, "events")
+    assert rec is not None and rec.kind == "zorder"
+    assert set(rec.key_cols) == {"user_id", "value"}
+
+    cat.write_set(
+        ev.select("event_id", "user_id", "value"), "db", "events_z",
+        zorder_by=list(rec.key_cols),
+    )
+    files = glob.glob(os.path.join(cat.set_path("db", "events_z"), "*.parquet"))
+    assert len(files) > 4  # range-partitioned output, one tile per file
+
+    def spread(col):
+        spans = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            i = md.schema.names.index(col)
+            st = md.row_group(0).column(i).statistics
+            spans.append(float(st.max) - float(st.min))
+        return sorted(spans)
+
+    full_u = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
+    # median per-file span is a fraction of the full range on BOTH columns
+    assert spread("user_id")[len(files) // 2] < full_u * 0.8
