@@ -296,8 +296,47 @@ QUALIFY row_number() OVER (
 """
 
 
+# ---------------------------------------------------------------------------
+# 6. Deterministic weighted sampling without replacement (Efraimidis–
+#    Spirakis): key = u^(1/w) with u the seeded hash-uniform; the top-n keys
+#    are a weight-proportional sample.  Deterministic because u comes from
+#    the hash family, distributed because top-n is TakeOrdered (per-partition
+#    heap + driver merge), no global sort.
+def sample_weighted(
+    df: DataFrame, key_col: str, weight_col: Column, n: int, seed: int
+) -> DataFrame:
+    u = H.hash01(_key(df, key_col), seed)
+    es_key = F.pow(u, F.lit(1.0) / weight_col.cast("double"))
+    return (
+        df.withColumn("_es", es_key)
+        .orderBy(F.desc("_es"), df[key_col])
+        .limit(n)
+        .drop("_es")
+    )
+
+
+WEIGHTED_N = 50
+SEED_WEIGHTED = 2106
+
+
+def sample_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return sample_weighted(
+        docs, "doc_id", F.col("n_chars"), WEIGHTED_N, SEED_WEIGHTED
+    ).select("doc_id", "lang", "n_chars")
+
+
+SAMPLE_WEIGHTED_SQL = f"""
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY pow({H.sql_hash01(_KEY_SQL, SEED_WEIGHTED)},
+             1.0 / CAST(n_chars AS DOUBLE)) DESC, doc_id
+LIMIT {WEIGHTED_N}
+"""
+
+
 QUERIES = {
     "sample_hash": sample_hash,
+    "sample_weighted": sample_weighted_query,
     "sample_split": sample_split,
     "sample_mixture": sample_mixture,
     "sample_stratified": sample_stratified_query,
@@ -306,6 +345,7 @@ QUERIES = {
 
 ORACLE = {
     "sample_hash": SAMPLE_HASH_SQL,
+    "sample_weighted": SAMPLE_WEIGHTED_SQL,
     "sample_split": SAMPLE_SPLIT_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,

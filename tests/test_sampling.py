@@ -109,3 +109,18 @@ def test_decontaminate_oracle_and_eval_split_excluded(spark, duck):
 
     df = SC.decontaminate(spark, SF_SMOKE)
     assert_matches_oracle(df, duck, SC.DECONTAMINATE_SQL)
+
+
+def test_weighted_sample_is_biased_toward_heavy_docs(spark):
+    """The E-S sample over-represents high-weight rows: the sampled mean
+    n_chars must exceed the corpus mean, and the draw is deterministic."""
+    from pyspark.sql import functions as F
+
+    docs = S._docs(spark, SF_SMOKE)
+    a = S.sample_weighted(docs, "doc_id", F.col("n_chars"), 50, 7)
+    b = S.sample_weighted(docs.repartition(9), "doc_id", F.col("n_chars"), 50, 7)
+    ids = {r.doc_id for r in a.collect()}
+    assert ids == {r.doc_id for r in b.collect()}
+    mean_all = docs.agg(F.avg("n_chars")).first()[0]
+    mean_sample = a.agg(F.avg("n_chars")).first()[0]
+    assert mean_sample > mean_all
