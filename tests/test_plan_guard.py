@@ -54,3 +54,35 @@ def test_plan_has_no_scale_antipatterns(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: unexpected BNLJ"
     if name.startswith("tpch_"):
         assert "PushedFilters: [" in plan, f"{name}: lost parquet pushdown"
+
+
+def test_runtime_bloom_filter_injects_for_big_big_selective_joins(spark):
+    """At production scale a selective dim filter on a shuffle join injects
+    a bloom filter that prunes the fact scan before the shuffle.  The
+    feature is threshold-gated (10 GB application-side scan) so it is
+    dormant at test scale; this locks the plumbing by simulating the
+    big-big shape: thresholds lowered, broadcast disabled."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+        part = spark.read.parquet(os.path.join(SF_SMOKE, "part.parquet")).where(
+            "p_size > 45"
+        )
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_type").agg(
+            F.sum("l_quantity")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
