@@ -26,6 +26,20 @@ def main():
     # query, not session startup (the driver measures steady-state throughput)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # JIT warm-up: run every query once at the smallest SF so codegen/C2
+    # compilation happens outside the timed loop.  Without this the first
+    # execution of each distinct generated pipeline pays 3-15 s of JIT at
+    # ANY data scale, and the measurement reflects compiler wall-clock, not
+    # query throughput (a long-running cluster is always steady-state).
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in sorted(QUERIES):
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception:  # noqa: BLE001  (failure surfaces in timed run)
+                pass
+            spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]

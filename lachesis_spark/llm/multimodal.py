@@ -231,3 +231,32 @@ ORACLE = {
     "mm_meta_stats": MM_META_STATS_SQL,
     "mm_frame_index": MM_FRAME_INDEX_SQL,
 }
+
+
+def media_from_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Ingest raw media files (sources.readers.read_binary_files) into the
+    typed media schema: payload = file bytes, kind from the extension, meta
+    defaulted for the stub decoder (a real pipeline fills meta by probing
+    headers in the same mapInPandas pass as the decode)."""
+    from lachesis_spark.sources.readers import read_binary_files
+
+    raw = read_binary_files(spark, path, glob=glob)
+    ext = F.lower(F.element_at(F.split(F.col("path"), "\\."), -1))
+    kind = (
+        F.when(ext.isin("png", "jpg", "jpeg", "img"), "image")
+        .when(ext.isin("wav", "mp3", "flac"), "audio")
+        .otherwise("video")
+    )
+    meta = F.struct(
+        F.lit(64).cast("int").alias("width"),
+        F.lit(48).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        F.lit(8).cast("int").alias("n_frames"),
+        ext.alias("format"),
+    )
+    return raw.select(
+        F.abs(F.xxhash64("path")).alias("media_id"),
+        kind.alias("kind"),
+        F.col("content").alias("payload"),
+        meta.alias("meta"),
+    )

@@ -61,3 +61,25 @@ def test_sample_frames_stride(spark):
     for r in per:
         assert r["n"] == (r["nf"] + 1) // 2  # ceil(n_frames / 2)
         assert r["mx"] < r["nf"]
+
+
+def test_binary_files_feed_the_media_pipeline(spark, tmp_path):
+    """End-to-end: files on disk → binaryFile source → typed media schema →
+    Arrow-batched feature extraction (stub decode)."""
+    from lachesis_spark.llm import multimodal as M
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.img").write_bytes(bytes(range(200)))
+    (d / "b.img").write_bytes(bytes([7] * 300))
+    (d / "skip.wav").write_bytes(b"RIFF....")
+
+    media = M.media_from_binary_files(spark, str(d))
+    kinds = {r.kind for r in media.select("kind").collect()}
+    assert kinds == {"image", "audio"}
+
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 2  # only images decode
+    flat = {round(f.std_px, 3) for f in feats}
+    assert 0.0 in flat  # constant-byte payload has zero variance
+    assert any(s > 0 for s in flat)

@@ -266,3 +266,20 @@ def test_zorder_layout_prunes_row_groups_on_both_dimensions(spark, tmp_path):
     assert lv / lt > zv / zt, f"linear {lv}/{lt} should prune value worse than z {zv}/{zt}"
     # layout is a permutation, not a transformation
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """A corpus written in waves with evolving schemas reads back as one
+    table: mergeSchema unions the fields, missing columns are null — the
+    append-only ingestion pattern for a long-lived 100 TB corpus."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "alpha")], "id long, text string")
+    v2 = spark.createDataFrame(
+        [(2, "beta", "en")], "id long, text string, lang string"
+    )
+    v1.write.mode("append").parquet(p)
+    v2.write.mode("append").parquet(p)
+    got = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(got.columns) == {"id", "text", "lang"}
+    rows = {r.id: (r.text, r.lang) for r in got.collect()}
+    assert rows == {1: ("alpha", None), 2: ("beta", "en")}
