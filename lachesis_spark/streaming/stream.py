@@ -414,3 +414,34 @@ ORACLE = {
     "stream_interval_join": WIN_CORRELATION_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
 }
+
+
+def write_stream_merge(
+    events: DataFrame,
+    catalog,
+    db: str,
+    name: str,
+    key_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """Exactly-once ingestion sink: foreachBatch + catalog MERGE.
+
+    A restarted/replayed stream may redeliver a microbatch; upserting each
+    batch by key makes the sink idempotent — redelivered rows overwrite
+    themselves instead of appending duplicates.  This (checkpointed offsets
+    + idempotent sink) is Spark's end-to-end exactly-once recipe, and the
+    streaming twin of the batch ``Catalog.merge_set`` incremental refresh.
+    The checkpoint must live with the sink: offsets commit only after the
+    merge completes, so a crash between merge and commit replays a batch
+    into an upsert that lands identically."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        catalog.merge_set(batch_df, db, name, key_cols)
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

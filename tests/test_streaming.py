@@ -284,3 +284,42 @@ def test_stream_dedup_removes_duplicate_deliveries(spark):
     sink = spark.table("q_stream_dedup")
     assert sink.count() == ev.count()
     assert sink.select("event_id").distinct().count() == ev.count()
+
+
+def test_foreach_batch_merge_sink_is_exactly_once(spark, tmp_path):
+    """Replaying the stream into the MERGE sink (fresh checkpoint, same
+    target) must not duplicate rows: the upsert makes redelivery idempotent,
+    the checkpointed offsets make restarts no-ops."""
+    import os
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.create_database("ing")
+    ev = S.read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    ck1 = str(tmp_path / "ck1")
+    with S._state_partitions(spark):
+        S.write_stream_merge(ev, cat, "ing", "events", ["event_id"], ck1)
+    n_src = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).count()
+    assert cat.read_set("ing", "events").count() == n_src
+
+    # restart with the SAME checkpoint: offsets already committed, no-op
+    ev2 = S.read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    with S._state_partitions(spark):
+        S.write_stream_merge(ev2, cat, "ing", "events", ["event_id"], ck1)
+    assert cat.read_set("ing", "events").count() == n_src
+
+    # full redelivery (fresh checkpoint, same sink): upsert stays exact
+    ev3 = S.read_events_stream(spark, SF_SMOKE).select(
+        "event_id", "event_type", "value"
+    )
+    with S._state_partitions(spark):
+        S.write_stream_merge(ev3, cat, "ing", "events", ["event_id"],
+                             str(tmp_path / "ck2"))
+    got = cat.read_set("ing", "events")
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src
