@@ -191,6 +191,55 @@ class Catalog:
         shutil.rmtree(path)
         os.rename(tmp, path)
 
+    def compact_set(
+        self,
+        db: str,
+        name: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        partition_col: str | None = None,
+    ) -> int:
+        """Rewrite a fragmented set into ~``target_file_bytes`` files.
+
+        Streaming/microbatch sinks (write_stream_merge) and repeated MERGEs
+        accumulate small files; at scale, scan task count and file-listing
+        cost grow with file count, not data size, so periodic compaction is
+        an operational necessity.  File count is computed from actual bytes
+        on disk; with ``partition_col`` the coalesce happens per partition
+        directory (dynamic overwrite), preserving partition pruning.
+        Returns the new file count."""
+        from pyspark.sql import functions as F
+
+        if (db, name) in self._external:
+            raise ValueError(f"set {db}.{name} is external/read-only")
+        path = self.set_path(db, name)
+        size = 0
+        for root, _dirs, files in os.walk(path):
+            size += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        n_files = max(1, -(-size // target_file_bytes))  # ceil
+        df = self.read_set(db, name)
+        if partition_col:
+            old = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    df.repartition(n_files, F.col(partition_col))
+                    .write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
+            finally:
+                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        else:
+            tmp = path.rstrip("/") + ".__compact_tmp__"
+            df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+        return n_files
+
     def export_set(
         self, db: str, name: str, out_path: str, fmt: str = "csv"
     ) -> None:

@@ -283,3 +283,25 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     assert set(got.columns) == {"id", "text", "lang"}
     rows = {r.id: (r.text, r.lang) for r in got.collect()}
     assert rows == {1: ("alpha", None), 2: ("beta", "en")}
+
+
+def test_compact_set_coalesces_fragmented_files(spark, tmp_path):
+    """A set fragmented by many tiny writes compacts to few files with
+    identical contents."""
+    import glob
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    base = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    base.repartition(64).write.parquet(cat.set_path("db", "frag"))
+    before = len(glob.glob(cat.set_path("db", "frag") + "/*.parquet"))
+    assert before >= 32
+
+    n = cat.compact_set("db", "frag")
+    after = len(glob.glob(cat.set_path("db", "frag") + "/*.parquet"))
+    assert after == n < before
+    got = cat.read_set("db", "frag")
+    assert got.count() == 10_000
+    assert got.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
