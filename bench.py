@@ -56,16 +56,34 @@ def main():
         # GC lands on one arbitrary later query's wall-clock
         spark.catalog.clearCache()
     ok = [v for v in timings.values() if v >= 0]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full per-query timings go to a repo file; the printed JSON line stays
+    # short because the driver only retains a bounded tail of stdout (the
+    # round-1 line with 111 entries overflowed it and parsed as null)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        json.dump({"sf": sf_val, "total_sec": round(sum(ok), 3),
+                   "n_queries": len(timings), "queries": timings}, f, indent=1, sort_keys=True)
+    headline = [
+        "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q06",
+        "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q22",
+        "op_jaccard_topk", "op_multi_selection", "op_join_multiway",
+        "op_topk", "op_aggregate", "dedup_minhash_lsh", "ann_bruteforce",
+        "text_quality_filter", "stream_tumbling", "pagerank",
+        "reddit_pipeline", "la_gram",
+    ]
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(sum(ok), 3),
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "queries": {k: timings[k] for k in headline if k in timings},
+                "n_queries": len(timings),
+                "full": "BENCH_FULL.json",
+                "sf": sf_val,
             }
-        )
+        ),
+        flush=True,
     )
 
 

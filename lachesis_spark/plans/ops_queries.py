@@ -333,7 +333,7 @@ def op_map_explode(spark, sf_dir):
 
 OP_MAP_EXPLODE_SQL = """
 SELECT event_type, 'k' AS key, count(*) AS n,
-       sum(CAST(props ->> 'k' AS BIGINT)) AS sum_val
+       CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_val
 FROM events GROUP BY event_type
 """
 
@@ -621,7 +621,7 @@ def op_outer_join(spark, sf_dir):
 
 OP_OUTER_JOIN_SQL = """
 SELECT c.c_mktsegment, count(*) AS n_rows, count(o.o_totalprice) AS n_matched,
-       sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS n_orderless
+       CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orderless
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_mktsegment
 """
