@@ -86,8 +86,10 @@ class Catalog:
         """ScanUserSet analog (reference
         src/builtInPDBObjects/headers/ScanUserSet.h:23): a batched scan whose
         column pruning / predicate pushdown Catalyst applies automatically."""
-        # the testdata events table stores TIMESTAMP(NANOS); expose it as
-        # raw int64 nanos (callers convert — see streaming.windows.TS_FROM_NANOS)
+        # some testdata vintages store events.ts as TIMESTAMP(NANOS); expose
+        # those as raw int64 nanos (callers normalize via
+        # sources.readers.read_events / event_ts_expr).  No-op for the
+        # current timestamp[us] encoding.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return self.spark.read.parquet(self.set_path(db, name))
 

@@ -146,7 +146,8 @@ WITH tagged AS (
               WHEN floor({H.sql_hash01(_KEY_SQL, SEED_SPLIT)} * 10) < 9 THEN 'valid'
               ELSE 'test' END AS split
   FROM documents)
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT split, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM tagged GROUP BY split, source
 """
 
@@ -244,7 +245,7 @@ c AS (
                           ROWS UNBOUNDED PRECEDING) AS cum
   FROM t)
 SELECT bucket, CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
-       count(*) AS n_docs, sum(n_tok) AS bin_tokens
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
 FROM c GROUP BY bucket, bin
 """
 

@@ -99,9 +99,9 @@ scrubbed AS (
          length(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<PII>', 'g'),
                                '{PHONE_RE}', '<PII>', 'g')) AS clean_len
   FROM planted)
-SELECT lang, sum(n_redacted) AS total_redacted,
+SELECT lang, CAST(sum(n_redacted) AS BIGINT) AS total_redacted,
        count(CASE WHEN n_redacted > 0 THEN 1 END) AS docs_with_pii,
-       sum(clean_len) AS sum_clean_len
+       CAST(sum(clean_len) AS BIGINT) AS sum_clean_len
 FROM scrubbed GROUP BY lang
 """
 

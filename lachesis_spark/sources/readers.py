@@ -24,6 +24,45 @@ from pyspark.sql import types as T
 CORRUPT_COL = "_corrupt_record"
 
 
+# ---------------------------------------------------------------------------
+# Events-table ingestion.  The testdata generator has shipped `ts` as both
+# TIMESTAMP(NANOS) (read by Spark as raw int64 under
+# spark.sql.legacy.parquet.nanosAsLong) and timestamp[us] (read natively as
+# TIMESTAMP_NTZ).  Rather than assume either, branch on the dtype actually
+# present in the file so a regenerated testdata set can never break event-time
+# queries again.  DuckDB oracles read `ts` natively in both encodings, so the
+# SQL side needs no branch.
+
+def event_ts_expr(dtype: str, ltz: bool = False) -> str:
+    """SQL expression normalizing an events `ts` column of the given Spark
+    dtype to TIMESTAMP_NTZ (default) or TIMESTAMP (``ltz=True``, required by
+    streaming watermarks; session TZ is pinned UTC so both name the same
+    instant DuckDB sees)."""
+    if dtype in ("bigint", "long"):
+        # int64 nanos since epoch -> truncate to micros (DuckDB's coercion)
+        if ltz:
+            return "timestamp_micros(ts div 1000)"
+        return (
+            "timestampadd(MICROSECOND, ts div 1000, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+        )
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return f"CAST(ts AS {'TIMESTAMP' if ltz else 'TIMESTAMP_NTZ'})"
+    raise TypeError(f"events.ts has unsupported dtype {dtype!r}")
+
+
+def read_events(spark: SparkSession, sf_dir: str, ltz: bool = False) -> DataFrame:
+    """Schema-drift-tolerant reader for the events table: normalizes `ts`
+    to an event-time timestamp whatever encoding the parquet file uses."""
+    import os
+
+    path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events.parquet")
+    # legacy conf only matters for genuinely-nanos files; harmless otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.expr(event_ts_expr(dict(df.dtypes)["ts"], ltz=ltz)))
+
+
 def _with_corrupt(schema: T.StructType | str, spark: SparkSession) -> T.StructType:
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)

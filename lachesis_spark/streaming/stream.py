@@ -31,9 +31,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     a production deployment points the same code at a Kafka topic)."""
     import tempfile
 
+    from lachesis_spark.sources.readers import event_ts_expr
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    static = spark.read.parquet(path)
+    schema = static.schema
+    ts_dtype = dict(static.dtypes)["ts"]
     if os.path.isfile(path):
         # file-stream sources require a directory; expose the single-file
         # testdata table through a symlink dir (no data copy)
@@ -45,12 +49,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(path, link)
         path = d
     # Watermarks require TIMESTAMP (with local TZ); session TZ is pinned UTC,
-    # so timestamp_micros(ns/1000) is the same instant DuckDB sees.
+    # so the LTZ normalization names the same instant DuckDB sees.  Branch on
+    # the dtype actually in the file (nanos-int64 vs timestamp[us] testdata).
     return (
         spark.readStream.schema(schema)
         .format("parquet")
         .load(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.expr(event_ts_expr(ts_dtype, ltz=True)))
     )
 
 

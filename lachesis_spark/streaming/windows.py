@@ -19,21 +19,13 @@ from pyspark.sql import functions as F
 
 GAP = "10 minutes"
 
-# The testdata events parquet stores TIMESTAMP(NANOS), which Spark's reader
-# rejects; read as raw int64 and rebuild a TZ-independent timestamp_ntz
-# (truncated to micros, matching DuckDB's nanos→micros coercion).
-TS_FROM_NANOS = (
-    "timestampadd(MICROSECOND, ts div 1000, "
-    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-)
-
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.expr(TS_FROM_NANOS))
-    )
+    # dtype-branching reader: the testdata `ts` encoding has drifted between
+    # rounds (int64-nanos vs timestamp[us]); read_events handles both.
+    from lachesis_spark.sources.readers import read_events
+
+    return read_events(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

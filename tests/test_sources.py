@@ -121,17 +121,10 @@ def test_date_partitioned_write_prunes_scan(spark, tmp_path):
     matching partitions (PartitionFilters in the plan; the SCALE.md claim)."""
     from lachesis_spark.catalog import Catalog
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
-        .withColumn(
-            "event_date",
-            F.date_format(
-                F.expr("timestampadd(MICROSECOND, ts div 1000,"
-                       " TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-                "yyyy-MM-dd",
-            ),
-        )
+    from lachesis_spark.sources.readers import read_events
+
+    ev = read_events(spark, SF_SMOKE).withColumn(
+        "event_date", F.date_format(F.col("ts"), "yyyy-MM-dd")
     )
     cat = Catalog(spark, str(tmp_path))
     cat.write_set(ev, "parts", "events_by_date", partition_by=["event_date"])
@@ -305,3 +298,61 @@ def test_compact_set_coalesces_fragmented_files(spark, tmp_path):
     got = cat.read_set("db", "frag")
     assert got.count() == 10_000
     assert got.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_read_events_handles_both_ts_encodings(spark, tmp_path):
+    """Schema-drift guard: the testdata generator has shipped events.ts as
+    both TIMESTAMP(NANOS) (Spark reads int64 under nanosAsLong) and
+    timestamp[us] (Spark reads TIMESTAMP_NTZ).  read_events must normalize
+    either encoding to the same instants — this exact drift broke all 11
+    event-time queries in round 2 and must never reach the gate again."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = {
+        "event_id": [1, 2, 3],
+        "us": [0, 1_700_000_000_123_456, 1_700_003_600_654_321],
+    }
+    nanos_tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array([u * 1000 for u in rows["us"]], pa.timestamp("ns")),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    micros_tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "ts": pa.array(rows["us"], pa.timestamp("us")),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        }
+    )
+    p_nanos = str(tmp_path / "events_nanos.parquet")
+    p_micros = str(tmp_path / "events_micros.parquet")
+    pq.write_table(nanos_tbl, p_nanos, store_schema=False)
+    pq.write_table(micros_tbl, p_micros)
+
+    for ltz in (False, True):
+        a = R.read_events(spark, p_nanos, ltz=ltz)
+        b = R.read_events(spark, p_micros, ltz=ltz)
+        assert dict(a.dtypes)["ts"] == dict(b.dtypes)["ts"]
+        got_a = [r["us"] for r in a.selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us").orderBy("us").collect()]
+        got_b = [r["us"] for r in b.selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS us").orderBy("us").collect()]
+        assert got_a == got_b == sorted(rows["us"])
+
+
+def test_read_events_rejects_unknown_ts_dtype(spark, tmp_path):
+    """A ts column of a dtype the normalizer doesn't understand must fail
+    loudly at read time, not produce silently-wrong windows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    bad = pa.table({"event_id": pa.array([1], pa.int64()),
+                    "ts": pa.array(["oops"], pa.string())})
+    p = str(tmp_path / "events_bad.parquet")
+    pq.write_table(bad, p)
+    with pytest.raises(TypeError, match="unsupported dtype"):
+        R.read_events(spark, p)

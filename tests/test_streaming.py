@@ -80,11 +80,9 @@ def test_stream_incremental_multibatch(spark, tmp_path):
     from pyspark.sql import functions as F
 
     # build the LTZ events frame the same way the stream source does
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from lachesis_spark.sources.readers import read_events
+
+    base = read_events(spark, SF_SMOKE, ltz=True)
     bounds = base.selectExpr(
         "percentile(unix_micros(ts), array(0.25, 0.5, 0.75)) AS p"
     ).first()["p"]
@@ -256,12 +254,11 @@ def test_custom_sessionization_matches_builtin(spark):
             "sum_value",
         )
         batch = W.win_session(spark, SF_SMOKE)
+        from lachesis_spark.sources.readers import read_events
+
         max_ts = (
-            spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-            .selectExpr(
-                "max(timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')) AS m"
-            )
+            read_events(spark, SF_SMOKE)
+            .selectExpr("max(ts) AS m")
             .first()["m"]
         )
         closeable = batch.filter(F.col("sess_end") <= F.lit(max_ts))
