@@ -191,10 +191,10 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS kind,
        count(*) AS n_media,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        avg(64 + (doc_id % 3) * 32) AS avg_width,
        avg(48 + (doc_id % 5) * 16) AS avg_height,
-       sum(8 + (doc_id % 7)) AS total_frames
+       CAST(sum(8 + (doc_id % 7)) AS BIGINT) AS total_frames
 FROM documents GROUP BY 1
 """
 
