@@ -26,43 +26,40 @@ def main():
     # query, not session startup (the driver measures steady-state throughput)
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
-    # JIT warm-up: run every query once at the smallest SF so codegen/C2
-    # compilation happens outside the timed loop.  Without this the first
-    # execution of each distinct generated pipeline pays 3-15 s of JIT at
-    # ANY data scale, and the measurement reflects compiler wall-clock, not
-    # query throughput (a long-running cluster is always steady-state).
-    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
-    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in sorted(QUERIES):
-            try:
-                QUERIES[name](spark, warm_dir).count()
-            except Exception:  # noqa: BLE001  (failure surfaces in timed run)
-                pass
-            spark.catalog.clearCache()
-
+    # Steady-state, order-insensitive timing: each query runs REPS times at
+    # the target SF and the LAST run is reported.  The untimed first run
+    # absorbs JIT/C2 compilation of that query's generated pipelines and
+    # parquet footer reads, so per-query numbers measure throughput, not
+    # compiler wall-clock or run-order position (round 2 saw 2-10x per-query
+    # swings from ordering alone).  SPARK_GRAFT_BENCH_REPS=1 restores the
+    # single-shot mode for a faster smoke run.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
-        t0 = time.perf_counter()
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                timings[name] = round(time.perf_counter() - t0, 3)
+                # drop caches left by iterative queries (kmeans/pagerank/
+                # dedup): accumulated cached RDDs otherwise build heap
+                # pressure and a full GC lands on an arbitrary later query
+                spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
-        # drop caches left by iterative queries (kmeans/pagerank/dedup):
-        # accumulated cached RDDs otherwise build heap pressure and a full
-        # GC lands on one arbitrary later query's wall-clock
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
     ok = [v for v in timings.values() if v >= 0]
+    failed = sorted(k for k, v in timings.items() if v < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # full per-query timings go to a repo file; the printed JSON line stays
     # short because the driver only retains a bounded tail of stdout (the
     # round-1 line with 111 entries overflowed it and parsed as null)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump({"sf": sf_val, "total_sec": round(sum(ok), 3),
-                   "n_queries": len(timings), "queries": timings}, f, indent=1, sort_keys=True)
+                   "n_queries": len(timings), "n_failed": len(failed),
+                   "failed": failed, "queries": timings}, f, indent=1, sort_keys=True)
     headline = [
         "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q06",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q22",
@@ -79,6 +76,10 @@ def main():
                 "unit": "sec",
                 "queries": {k: timings[k] for k in headline if k in timings},
                 "n_queries": len(timings),
+                # a smaller total from skipped work must be distinguishable
+                # from a genuine speedup: surface failures in the headline
+                "n_failed": len(failed),
+                "failed": failed,
                 "full": "BENCH_FULL.json",
                 "sf": sf_val,
             }

@@ -53,11 +53,21 @@ _PRIORITY = [
     # sampling / scrubbing
     "sample_split",
 ]
-assert len(_PRIORITY) == 50, len(_PRIORITY)
+# NOTE on curation: everything NOT in the priority window still carries its
+# oracle and is swept by tools/check_oracle_strict.py every round (output
+# committed, e.g. STRICT_SWEEP_r3.txt), so the gate's sample being author-
+# ordered stays auditable.  op_approx_sketches is rows-only BY DESIGN —
+# approx_count_distinct / approx quantile sketches have no exact SQL
+# equivalent; its accuracy is tolerance-tested in tests/test_ops.py instead.
+# Plain `raise` (not assert) so the invariants survive `python -O`.
+if len(_PRIORITY) != 50:
+    raise RuntimeError(f"_PRIORITY must have exactly 50 entries, got {len(_PRIORITY)}")
 _missing = [k for k in _PRIORITY if k not in QUERIES]
-assert not _missing, _missing
+if _missing:
+    raise RuntimeError(f"_PRIORITY names unknown queries: {_missing}")
 _unoracled = [k for k in _PRIORITY if k not in ORACLE]
-assert not _unoracled, _unoracled
+if _unoracled:
+    raise RuntimeError(f"_PRIORITY entries missing oracles: {_unoracled}")
 QUERIES = {k: QUERIES[k] for k in _PRIORITY} | {
     k: v for k, v in QUERIES.items() if k not in set(_PRIORITY)
 }
