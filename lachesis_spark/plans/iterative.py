@@ -535,21 +535,33 @@ FROM mu_new m JOIN w_new w ON m.c = w.c
 
 
 # ---------------------------------------------------------------------------
-# Topic model EM step over documents (the reference's LDA workload family —
-# src/tests/source/TestLDA.cc).  Implemented as one EM iteration of the
-# mixture-of-unigrams model (the EM-tractable member of the LDA family;
-# the reference's collapsed-Gibbs LDA is sampling-based and not
-# deterministic, so it cannot be oracle-gated):
-#   E-step: p(topic|doc) ∝ exp(Σ_w count(w,d) · log φ_t(w))  (uniform prior)
-#   M-step: φ'_t(w) ∝ Σ_d r(d,t) · count(w,d), Laplace-smoothed.
-# Deterministic init: φ_t(w) ∝ 1 + (h60(t|w) % 1000)/1000.
+# LDA variational-EM step over documents (the reference's LDA workload —
+# src/tests/source/TestLDA.cc runs LDA over (doc, word, count) triples).
+# Unlike the mixture-of-unigrams stand-in this replaces (one topic per
+# DOCUMENT), this is LDA's actual data flow: each WORD occurrence carries its
+# own topic responsibility under a per-document topic mixture θ_d —
+# the deterministic variational analog of the reference's Gibbs sampler
+# (sampling is nondeterministic and cannot be oracle-gated; the variational
+# E-step is the standard deterministic member of the same model family):
+#   E-step: γ(d,w,t) ∝ θ_d(t) · φ_t(w), normalized over t per (doc, word)
+#   M-step: φ'_t(w) ∝ β + Σ_d n(d,w) · γ(d,w,t)   (β = 1, Laplace)
+# θ's per-doc normalizer is constant across t for fixed d, so it cancels in
+# γ's normalization — θ enters unnormalized and needs no separate pass.
+# Deterministic init: θ_d(t) ∝ 1 + (h60(d|t) % 1000)/1000, likewise φ.
+#
+# Scale: counts(d, word_id, n) is the sparse doc-term matrix; the E-step is
+# counts ⋈ φ (broadcastable: |vocab|×K rows) fanned out ×K, normalized by a
+# window over (d, word_id); the M-step is one groupBy(t, word_id) — the
+# canonical two-shuffle LDA iteration that scales linearly in corpus nnz.
 LDA_K = 3
 LDA_VOCAB = 1000  # words hashed into a fixed vocabulary
 
 
 def lda_em(spark, sf_dir):
-    """One EM step; returns the updated topic-word rows
+    """One LDA variational-EM step; returns the updated topic-word rows
     (topic, word_id, phi) for words present in the corpus."""
+    from pyspark.sql import Window
+
     from lachesis_spark.functions import text as TX
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -557,47 +569,40 @@ def lda_em(spark, sf_dir):
         F.col("doc_id").alias("d"),
         F.explode(TX.tokens("text")).alias("w"),
     ).select("d", (H.h60(F.lower(F.col("w"))) % LDA_VOCAB).alias("word_id"))
-    # counts feeds four consumers (vocab, the E-step join, the M-step join,
-    # and the eager nv action below); without a cache the tokenize+explode
-    # pipeline — the expensive part — re-executes once per consumer
+    # counts feeds three consumers (vocab, the E-step join, the eager nv
+    # action); without a cache the tokenize+explode pipeline — the expensive
+    # part — re-executes once per consumer
     counts = words.groupBy("d", "word_id").agg(F.count(F.lit(1)).alias("n")).cache()
 
-    # deterministic unnormalized init weights; log-space E-step
-    def phi0(topic_col, word_col):
-        s = F.concat(topic_col.cast("string"), F.lit("|"), word_col.cast("string"))
+    # deterministic unnormalized init weights
+    def init_u(a_col, b_col):
+        s = F.concat(a_col.cast("string"), F.lit("|"), b_col.cast("string"))
         return 1.0 + (H.h60(s) % 1000) / 1000.0
 
     topics = spark.range(LDA_K).select(F.col("id").alias("t"))
-    # per-topic normalizer over the full hashed vocabulary is constant by
-    # construction only in expectation; normalize over observed vocab
+    # φ normalized over the observed vocabulary (the hashed-vocab normalizer
+    # is only constant in expectation)
     vocab = counts.select("word_id").distinct()
     phi_raw = vocab.crossJoin(F.broadcast(topics)).select(
-        "t", "word_id", phi0(F.col("t"), F.col("word_id")).alias("u")
+        "t", "word_id", init_u(F.col("t"), F.col("word_id")).alias("u")
     )
     z = phi_raw.groupBy("t").agg(F.sum("u").alias("z"))
     phi = phi_raw.join(F.broadcast(z), "t").select(
         "t", "word_id", (F.col("u") / F.col("z")).alias("phi")
     )
 
-    from pyspark.sql import Window
-
-    w_d = Window.partitionBy("d")
-    ll = (
-        counts.join(phi, "word_id")
-        .groupBy("d", "t")
-        .agg(F.sum(F.col("n") * F.log("phi")).alias("ll"))
+    # E-step: per-(doc, word) topic responsibilities.  θ_d(t) enters
+    # unnormalized (its per-doc normalizer cancels below); the ×K fan-out
+    # happens in the broadcast hash join against φ — no extra shuffle.
+    w_dw = Window.partitionBy("d", "word_id")
+    gamma = (
+        counts.join(F.broadcast(phi), "word_id")
+        .withColumn("u", init_u(F.col("d"), F.col("t")) * F.col("phi"))
+        .withColumn("g", F.col("u") / F.sum("u").over(w_dw))
     )
-    r = (
-        ll.withColumn("m", F.max("ll").over(w_d))
-        .withColumn("u", F.exp(F.col("ll") - F.col("m")))
-        .withColumn("r", F.col("u") / F.sum("u").over(w_d))
-        .select("d", "t", "r")
-    )
-    # M-step with Laplace smoothing over the observed vocabulary
-    wsum = (
-        r.join(counts, "d")
-        .groupBy("t", "word_id")
-        .agg(F.sum(F.col("r") * F.col("n")).alias("c"))
+    # M-step: φ'_t(w) with Laplace smoothing over the observed vocabulary
+    wsum = gamma.groupBy("t", "word_id").agg(
+        F.sum(F.col("g") * F.col("n")).alias("c")
     )
     tsum = wsum.groupBy("t").agg(F.sum("c").alias("tc"))
     nv = vocab.count()
@@ -612,7 +617,8 @@ def lda_em(spark, sf_dir):
 
 
 def _lda_sql() -> str:
-    h = H.sql_h60("CAST(t AS VARCHAR) || '|' || CAST(word_id AS VARCHAR)")
+    h_tw = H.sql_h60("CAST(t AS VARCHAR) || '|' || CAST(word_id AS VARCHAR)")
+    h_dt = H.sql_h60("CAST(d AS VARCHAR) || '|' || CAST(t AS VARCHAR)")
     hw = H.sql_h60("lower(w)")
     return f"""
 WITH words AS (
@@ -624,20 +630,21 @@ counts AS (SELECT d, word_id, count(*) AS n FROM words GROUP BY d, word_id),
 vocab AS (SELECT DISTINCT word_id FROM counts),
 topics AS (SELECT unnest(range(0, {LDA_K})) AS t),
 phi_raw AS (
-  SELECT t, word_id, 1.0 + ({h} % 1000) / 1000.0 AS u FROM vocab, topics
+  SELECT t, word_id, 1.0 + ({h_tw} % 1000) / 1000.0 AS u FROM vocab, topics
 ),
 z AS (SELECT t, sum(u) AS z FROM phi_raw GROUP BY t),
 phi AS (SELECT p.t, p.word_id, p.u / z.z AS phi FROM phi_raw p JOIN z ON p.t = z.t),
-ll AS (
-  SELECT c.d, p.t, sum(c.n * ln(p.phi)) AS ll
-  FROM counts c JOIN phi p ON c.word_id = p.word_id GROUP BY c.d, p.t
+gam AS (
+  SELECT c.d, c.word_id, p.t, c.n,
+         (1.0 + ({h_dt} % 1000) / 1000.0) * p.phi AS u
+  FROM counts c JOIN phi p ON c.word_id = p.word_id
 ),
-stab AS (SELECT d, t, exp(ll - max(ll) OVER (PARTITION BY d)) AS u FROM ll),
-r AS (SELECT d, t, u / sum(u) OVER (PARTITION BY d) AS r FROM stab),
-wsum AS (
-  SELECT r.t, c.word_id, sum(r.r * c.n) AS c
-  FROM r JOIN counts c ON r.d = c.d GROUP BY r.t, c.word_id
+g AS (
+  SELECT d, word_id, t, n,
+         u / sum(u) OVER (PARTITION BY d, word_id) AS g
+  FROM gam
 ),
+wsum AS (SELECT t, word_id, sum(g * n) AS c FROM g GROUP BY t, word_id),
 tsum AS (SELECT t, sum(c) AS tc FROM wsum GROUP BY t),
 nv AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab)
 SELECT CAST(w.t AS INTEGER) AS topic, w.word_id,

@@ -29,3 +29,23 @@ def test_kmeans_uses_k_clusters(spark):
 
     got = {r["cluster"] for r in kmeans_assign(spark, SF_SMOKE).collect()}
     assert got.issubset(set(range(KM_K))) and len(got) > 1
+
+
+def test_lda_em_is_proper_distribution(spark, duck):
+    """The LDA variational-EM step's output φ'_t must be a probability
+    distribution over the observed vocabulary (Σ_w φ_t(w) = 1 per topic) —
+    an invariant of the word-level LDA M-step that the doc-level
+    mixture-of-unigrams stand-in shared, plus the oracle gate that pins the
+    word-level responsibilities themselves."""
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.plans.iterative import LDA_K, lda_em
+    from lachesis_spark.registry import ORACLE
+
+    out = lda_em(spark, SF_SMOKE)
+    sums = {r["topic"]: r["s"] for r in
+            out.groupBy("topic").agg(F.sum("phi").alias("s")).collect()}
+    assert set(sums) == set(range(LDA_K))
+    for t, s in sums.items():
+        assert abs(s - 1.0) < 1e-9, (t, s)
+    assert_matches_oracle(out, duck, ORACLE["lda_em"])
