@@ -15,14 +15,17 @@ key into partition-local work (the reference's LocalJoin).
 """
 
 from lachesis_spark.advisor.bandit import BanditPlacementOptimizer  # noqa: F401
-from lachesis_spark.advisor.history import HistoryDB, KeyUsage  # noqa: F401
+from lachesis_spark.advisor.history import HistoryDB, KeyUsage, ScanStat  # noqa: F401
 from lachesis_spark.advisor.recommender import (  # noqa: F401
+    FileSizeRecommendation,
     LayoutRecommendation,
     Recommendation,
     capture_usages,
     capture_usages_from_plan,
     recommend,
     recommend_all,
+    recommend_file_size,
     recommend_layout,
     run_and_record,
+    scan_stat_for_set,
 )

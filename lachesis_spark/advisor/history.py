@@ -29,7 +29,23 @@ CREATE TABLE IF NOT EXISTS key_usage (
   key_cols TEXT NOT NULL       -- comma-joined, order-normalized
 );
 CREATE INDEX IF NOT EXISTS key_usage_dataset ON key_usage(dataset);
+CREATE TABLE IF NOT EXISTS scan_stats (
+  job_id      INTEGER NOT NULL REFERENCES jobs(id),
+  dataset     TEXT NOT NULL,
+  n_files     INTEGER NOT NULL,
+  total_bytes INTEGER NOT NULL
+);
+CREATE INDEX IF NOT EXISTS scan_stats_dataset ON scan_stats(dataset);
 """
+
+
+@dataclass(frozen=True)
+class ScanStat:
+    """Physical shape of one dataset as observed by one job's scan."""
+
+    dataset: str
+    n_files: int
+    total_bytes: int
 
 
 @dataclass(frozen=True)
@@ -53,7 +69,11 @@ class HistoryDB:
         self.con.executescript(_SCHEMA)
 
     def record_job(
-        self, name: str, runtime_sec: float, usages: list[KeyUsage]
+        self,
+        name: str,
+        runtime_sec: float,
+        usages: list[KeyUsage],
+        scans: list[ScanStat] = (),
     ) -> int:
         cur = self.con.execute(
             "INSERT INTO jobs (name, created_at, runtime_sec) VALUES (?, ?, ?)",
@@ -63,6 +83,11 @@ class HistoryDB:
         self.con.executemany(
             "INSERT INTO key_usage (job_id, dataset, op, key_cols) VALUES (?, ?, ?, ?)",
             [(job_id, u.dataset, u.op, u.key_text) for u in usages],
+        )
+        self.con.executemany(
+            "INSERT INTO scan_stats (job_id, dataset, n_files, total_bytes)"
+            " VALUES (?, ?, ?, ?)",
+            [(job_id, s.dataset, s.n_files, s.total_bytes) for s in scans],
         )
         self.con.commit()
         return job_id
@@ -97,6 +122,32 @@ class HistoryDB:
             (dataset,),
         ).fetchall()
         return {k: w for k, w in rows}
+
+    def scan_profile(self, dataset: str) -> tuple[int, int, float] | None:
+        """(latest n_files, latest total_bytes, total runtime-sec of jobs
+        that scanned the dataset) — the signal for the page/file-size
+        dimension of placement (the reference's optimizer picks a page size
+        alongside the partition lambda,
+        RuleBasedDataPlacementOptimizerForLoadJob.h:15)."""
+        row = self.con.execute(
+            """
+            SELECT s.n_files, s.total_bytes
+            FROM scan_stats s WHERE s.dataset = ?
+            ORDER BY s.job_id DESC LIMIT 1
+            """,
+            (dataset,),
+        ).fetchone()
+        if row is None:
+            return None
+        weight = self.con.execute(
+            """
+            SELECT coalesce(sum(j.runtime_sec), 0.0)
+            FROM jobs j WHERE j.id IN
+              (SELECT DISTINCT job_id FROM scan_stats WHERE dataset = ?)
+            """,
+            (dataset,),
+        ).fetchone()[0]
+        return (int(row[0]), int(row[1]), float(weight))
 
     def datasets(self) -> list[str]:
         return [

@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, SparkSession
 
-from lachesis_spark.advisor.history import HistoryDB, KeyUsage
+from lachesis_spark.advisor.history import HistoryDB, KeyUsage, ScanStat
 from lachesis_spark.operators import graph as G
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -202,6 +202,84 @@ class LayoutRecommendation:
     kind: str  # 'bucket_by' | 'zorder'
     key_cols: tuple[str, ...]
     weight: float
+
+
+@dataclass(frozen=True)
+class FileSizeRecommendation:
+    """The page-size dimension of placement: a per-dataset target file size.
+
+    The reference's load-time optimizer picks the partition lambda AND the
+    page size (reference
+    src/selfLearning/headers/RuleBasedDataPlacementOptimizerForLoadJob.h:15);
+    Spark's analog of page size is the parquet file target — it bounds scan
+    task granularity exactly as the reference's page size bounds its worker
+    read unit.  Apply with ``Catalog.compact_set(db, name,
+    target_file_bytes=rec.target_file_bytes)``.
+    """
+
+    dataset: str
+    target_file_bytes: int
+    n_files_now: int
+    n_files_target: int
+    reason: str  # 'fragmented' | 'coarse'
+
+
+MIN_FILE_BYTES = 64 * 1024 * 1024
+MAX_FILE_BYTES = 1024 * 1024 * 1024
+
+
+def recommend_file_size(
+    history: HistoryDB,
+    dataset: str,
+    cores: int = 32,
+    min_file_bytes: int = MIN_FILE_BYTES,
+    max_file_bytes: int = MAX_FILE_BYTES,
+) -> FileSizeRecommendation | None:
+    """Pick a target file size from the observed physical shape.
+
+    Rule: a scanned dataset should split into enough files to feed every
+    core (``cores``; at 100 TB, the cluster's total cores) but no file
+    should leave [min, max] bytes — below min, per-file open/footer/listing
+    overhead dominates; above max, a single task owns too much data and the
+    stage's tail is one straggler.  Recommend only when the observed layout
+    is off by >2x in either direction (recommendation stability: don't
+    churn a layout that is roughly right)."""
+    prof = history.scan_profile(dataset)
+    if prof is None:
+        return None
+    n_files, total_bytes, _weight = prof
+    if n_files <= 0 or total_bytes <= 0:
+        return None
+    # ideal file count: one per core, unless that pushes files outside the
+    # [min, max] size band — the band wins (clamp order matters: a tiny
+    # table never splits below min_file_bytes just to reach `cores` files)
+    n_target = max(1, min(cores, total_bytes // min_file_bytes))
+    n_target = max(n_target, -(-total_bytes // max_file_bytes))  # ceil
+    target = max(min_file_bytes, min(max_file_bytes, -(-total_bytes // n_target)))
+    avg = total_bytes / n_files
+    if n_files > 2 * n_target and avg < target / 2:
+        return FileSizeRecommendation(
+            dataset, target, n_files, n_target, "fragmented"
+        )
+    if avg > 2 * max_file_bytes:
+        return FileSizeRecommendation(dataset, target, n_files, n_target, "coarse")
+    return None
+
+
+def scan_stat_for_set(catalog, db: str, name: str) -> ScanStat:
+    """Measure a stored set's physical shape (file count + bytes) for
+    history recording — the load-time observation the reference's
+    self-learning DB keeps per stored set."""
+    import os as _os
+
+    path = catalog.set_path(db, name)
+    n, size = 0, 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += _os.path.getsize(_os.path.join(root, f))
+    return ScanStat(f"{db}.{name}", n, size)
 
 
 def recommend_layout(

@@ -335,3 +335,58 @@ def test_layout_recommendation_applies_end_to_end(spark, tmp_path):
     full_u = ev.agg(F.max("user_id") - F.min("user_id")).first()[0]
     # median per-file span is a fraction of the full range on BOTH columns
     assert spread("user_id")[len(files) // 2] < full_u * 0.8
+
+
+def test_file_size_recommendation_compacts_fragmented_set(spark, tmp_path):
+    """The page-size dimension (reference
+    RuleBasedDataPlacementOptimizerForLoadJob.h:15 picks partition lambda
+    AND page size): a fragmented set draws a 'fragmented' recommendation
+    whose target, applied via compact_set, fixes the layout — after which
+    the advisor goes quiet (no churn on a roughly-right layout)."""
+    import glob
+    import os
+
+    from lachesis_spark.advisor import (
+        HistoryDB,
+        recommend_file_size,
+        scan_stat_for_set,
+    )
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    spark.range(0, 50_000).withColumnRenamed("id", "k").repartition(64) \
+        .write.parquet(cat.set_path("db", "frag"))
+    assert len(glob.glob(cat.set_path("db", "frag") + "/*.parquet")) >= 32
+
+    h = HistoryDB(":memory:")
+    h.record_job("scan_frag", 7.0, [], scans=[scan_stat_for_set(cat, "db", "frag")])
+
+    # band floor dominates for a tiny table: everything into >=64MB files
+    rec = recommend_file_size(h, "db.frag")
+    assert rec is not None and rec.reason == "fragmented"
+    assert rec.n_files_target == 1
+
+    n_after = cat.compact_set("db", "frag", target_file_bytes=rec.target_file_bytes)
+    assert n_after == rec.n_files_target
+    h.record_job("scan_frag2", 7.0, [], scans=[scan_stat_for_set(cat, "db", "frag")])
+    assert recommend_file_size(h, "db.frag") is None
+
+
+def test_file_size_recommendation_sizes_for_parallelism():
+    """With the size band scaled down (as a stand-in for a 100 TB table
+    against a real cluster), the recommendation splits the table into one
+    file per core, capped so no file drops below the band floor."""
+    from lachesis_spark.advisor import HistoryDB, ScanStat, recommend_file_size
+
+    h = HistoryDB(":memory:")
+    # 800 "MB" in 3 giant files, 8 cores, band [10, 100] "MB" (scaled units)
+    h.record_job("q", 60.0, [], scans=[ScanStat("db.big", 3, 800)])
+    rec = recommend_file_size(h, "db.big", cores=8, min_file_bytes=10,
+                              max_file_bytes=100)
+    assert rec is not None
+    assert rec.n_files_target == 8 and rec.target_file_bytes == 100
+
+    # already ~right (10 files of 80): quiet
+    h.record_job("q2", 60.0, [], scans=[ScanStat("db.big", 10, 800)])
+    assert recommend_file_size(h, "db.big", cores=8, min_file_bytes=10,
+                               max_file_bytes=100) is None
