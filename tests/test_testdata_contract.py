@@ -1,0 +1,70 @@
+"""Testdata schema contract — names drift before it breaks queries.
+
+Round 2 lost all 11 event-time queries because the driver regenerated
+``events.parquet`` with ``ts`` as timestamp[us] where the code assumed
+TIMESTAMP(NANOS)-as-int64, and nothing failed until the correctness gate.
+This test pins the schema every reader assumes, with the deliberate
+flexibility the code actually has (``read_events`` normalizes several ts
+encodings).  If the driver regenerates testdata with a new shape, THIS
+fails with the table and column named — instead of 18 scattered failures.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# column -> acceptable pyarrow dtypes (str prefixes); list = any-of
+_CONTRACT = {
+    "region": {"r_regionkey": ["int32", "int64"], "r_name": ["string", "large_string"]},
+    "nation": {"n_nationkey": ["int32", "int64"], "n_name": ["string", "large_string"],
+               "n_regionkey": ["int32", "int64"]},
+    "customer": {"c_custkey": ["int64"], "c_nationkey": ["int32", "int64"],
+                 "c_acctbal": ["double"], "c_mktsegment": ["string", "large_string"]},
+    "supplier": {"s_suppkey": ["int64"], "s_nationkey": ["int32", "int64"],
+                 "s_acctbal": ["double"]},
+    "part": {"p_partkey": ["int64"], "p_size": ["int32", "int64"],
+             "p_retailprice": ["double"]},
+    "orders": {"o_orderkey": ["int64"], "o_custkey": ["int64"],
+               "o_totalprice": ["double"],
+               # date column: any timestamp unit (Spark/DuckDB both coerce)
+               "o_orderdate": ["timestamp", "date"]},
+    "lineitem": {"l_orderkey": ["int64"], "l_partkey": ["int64"],
+                 "l_suppkey": ["int64"], "l_quantity": ["double"],
+                 "l_extendedprice": ["double"], "l_discount": ["double"],
+                 "l_tax": ["double"], "l_shipdate": ["timestamp", "date"]},
+    # ts may be any encoding read_events normalizes: raw int64 nanos or any
+    # timestamp unit.  A new encoding must extend sources.readers.event_ts_expr.
+    "events": {"event_id": ["int64"], "ts": ["int64", "timestamp"],
+               "user_id": ["int64"], "event_type": ["string", "large_string"],
+               "value": ["double"], "props": ["string", "large_string"]},
+    "documents": {"doc_id": ["int64"], "text": ["string", "large_string"],
+                  "lang": ["string", "large_string"],
+                  "source": ["string", "large_string"], "n_chars": ["int64"]},
+    "embeddings": {"vec_id": ["int64"],
+                   "embedding": ["list<element: float", "list<element: double",
+                                 "list<item: float", "list<item: double"],
+                   "label": ["int32", "int64"]},
+}
+
+
+@pytest.mark.parametrize("table", sorted(_CONTRACT))
+def test_testdata_schema_contract(table):
+    path = os.path.join(SF_SMOKE, f"{table}.parquet")
+    assert os.path.exists(path), f"testdata table {table} missing at {path}"
+    schema = pq.read_schema(path)
+    names = set(schema.names)
+    for col, accepted in _CONTRACT[table].items():
+        assert col in names, (
+            f"{table}.{col} disappeared from testdata — update readers AND "
+            f"this contract"
+        )
+        actual = str(schema.field(col).type)
+        assert any(actual.startswith(a) for a in accepted), (
+            f"{table}.{col} drifted to {actual!r} (accepted: {accepted}) — "
+            f"check every reader of this column, then extend the contract"
+        )
