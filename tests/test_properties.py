@@ -127,3 +127,78 @@ def test_rolling_fingerprint_matches_python(spark, text):
     n_windows = max(len(text) - 15, 1)
     exp = min(h(text[i : i + 16]) for i in range(n_windows))
     assert got == exp
+
+
+@SET
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(-9, 9)),
+                  min_size=1, max_size=30),
+    right=st.lists(st.tuples(st.integers(0, 4), st.integers(-9, 9)),
+                   min_size=1, max_size=8),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_identical_to_plain(spark, left, right, n_salts):
+    """salted_join must be result-identical to the plain equi-join for any
+    data and any salt fan-out (including hot keys: key space is tiny)."""
+    lf = spark.createDataFrame(left, "k int, a int")
+    rf = spark.createDataFrame(right, "k int, b int")
+    got = sorted(
+        (r["k"], r["a"], r["b"])
+        for r in core.salted_join(lf, rf, "k", "k", n_salts=n_salts).collect()
+    )
+    exp = sorted((k, a, b) for k, a in left for k2, b in right if k == k2)
+    assert got == exp
+
+
+@SET
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=50, unique=True))
+def test_assign_split_total_and_stable(spark, ids):
+    """Every row lands in exactly one split, and membership is a pure
+    function of the key: invariant under repartitioning and re-runs (the
+    no-train/test-leakage property)."""
+    from lachesis_spark.llm.sampling import SPLITS, assign_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    one = {r["doc_id"]: r["split"] for r in
+           assign_split(df, "doc_id").collect()}
+    assert set(one) == set(ids)
+    assert set(one.values()) <= {name for name, _ in SPLITS}
+    two = {r["doc_id"]: r["split"] for r in
+           assign_split(df.repartition(7), "doc_id").collect()}
+    assert one == two
+
+
+@SET
+@given(
+    docs=st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 50)),
+                  min_size=1, max_size=40, unique_by=lambda t: t[0]),
+    budget=st.integers(min_value=20, max_value=100),
+)
+def test_pack_sequences_bin_budget_invariant(spark, docs, budget):
+    """Within each (bucket, bin): token sum stays under budget + the last
+    item (concat-and-chunk never leaves a bin more than one item over), and
+    bin ids per bucket are a contiguous 0..max range."""
+    from lachesis_spark.llm.sampling import pack_sequences
+
+    df = spark.createDataFrame(docs, "doc_id long, n_tok long")
+    out = pack_sequences(df, "doc_id", F.col("n_tok"), budget=budget,
+                         n_buckets=4).collect()
+    assert len(out) == len(docs)
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for bucket, rs in by_bucket.items():
+        bins: dict[int, int] = {}
+        for r in rs:
+            bins[r["bin"]] = bins.get(r["bin"], 0) + r["n_tok"]
+        assert set(bins) == set(range(max(bins) + 1)), (bucket, sorted(bins))
+        # every bin except possibly the last started below budget
+        for b, tot in bins.items():
+            if b < max(bins):
+                assert tot >= 1
+        # replay the packing rule in Python on the same ordering
+        ordered = sorted(rs, key=lambda r: r["pack_key"])
+        cum = 0
+        for r in ordered:
+            assert r["bin"] == cum // budget, (bucket, r, cum)
+            cum += r["n_tok"]
