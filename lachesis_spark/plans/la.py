@@ -142,6 +142,53 @@ def inverse(a: DataFrame) -> DataFrame:
     )
 
 
+def identity_coo(spark: SparkSession, n: int) -> DataFrame:
+    """n×n identity in COO form — a range projection, no shuffle."""
+    return spark.range(n).select(
+        F.col("id").alias("i"), F.col("id").alias("j"), F.lit(1.0).alias("v")
+    )
+
+
+def inverse_newton(a: DataFrame, n: int | None = None, iters: int = 25) -> DataFrame:
+    """Fully DISTRIBUTED inverse via Newton–Schulz iteration:
+
+        X₀ = Aᵀ / (‖A‖₁·‖A‖∞),   X_{k+1} = X_k (2I − A X_k)
+
+    Composed entirely from the COO algebra (transpose/scale/matmul/add), so
+    every step is a Spark join+agg — nothing is ever gathered to the driver.
+    Quadratically convergent for any nonsingular A under this init
+    (Pan & Schreiber's classic residual bound ‖I − A X₀‖₂ < 1).
+
+    This is the 100 TB-scale counterpart of :func:`inverse` (driver-side
+    dense, the reference's Eigen-gather design): use the dense form for the
+    reduced dim×dim matrices inversion actually targets (Gram/covariance),
+    and this iteration when the matrix itself is distributed-scale.  Each
+    iteration is 2 matmuls (4 shuffles); ``localCheckpoint`` truncates the
+    growing lineage the same way every iterative Spark job must.
+    """
+    spark = a.sparkSession
+    if n is None:
+        mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
+        n = int(max(mx["mi"], mx["mj"])) + 1
+    norms = (
+        a.select(
+            F.col("i"), F.col("j"), F.abs(F.col("v")).alias("av")
+        )
+    )
+    norm_inf = (
+        norms.groupBy("i").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
+    )
+    norm_1 = (
+        norms.groupBy("j").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
+    )
+    x = scale_mult(transpose(a), 1.0 / (float(norm_1) * float(norm_inf)))
+    two_eye = scale_mult(identity_coo(spark, n), 2.0)
+    for _ in range(iters):
+        r = add(two_eye, scale_mult(matmul(a, x), -1.0))
+        x = matmul(x, r).localCheckpoint(eager=True)
+    return x
+
+
 def duplicate_row(row_vec: DataFrame, n: int) -> DataFrame:
     """duplicateRow (LAEvaluateFunctions.cc:256-341): broadcast a 1×m row
     vector to n×m.  Implemented as explode of a range literal — no shuffle."""

@@ -44,3 +44,35 @@ def test_dsl_errors(spark):
         la_dsl.run(spark, SF_SMOKE, "B = C + C\n")
     with pytest.raises(SyntaxError):
         la_dsl.run(spark, SF_SMOKE, "B = @bad\n")
+
+
+def test_inverse_newton_converges_distributed(spark):
+    """Newton–Schulz distributed inverse: X·A ≈ I to tight tolerance on a
+    well-conditioned (diagonally dominant) matrix, with no driver-side
+    gather of A anywhere in the computation."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(7)
+    n = 16
+    m = rng.uniform(-1.0, 1.0, (n, n))
+    m += n * np.eye(n)  # diagonally dominant => well-conditioned
+    a = spark.createDataFrame(
+        [(i, j, float(m[i, j])) for i in range(n) for j in range(n)],
+        "i bigint, j bigint, v double",
+    )
+    x = la.inverse_newton(a, n=n, iters=12)
+    prod = la.matmul(x, a)
+    err = (
+        prod.join(
+            la.identity_coo(spark, n).withColumnRenamed("v", "e"),
+            ["i", "j"], "outer",
+        )
+        .select(
+            F.abs(F.coalesce(F.col("v"), F.lit(0.0))
+                  - F.coalesce(F.col("e"), F.lit(0.0))).alias("d")
+        )
+        .agg(F.max("d"))
+        .first()[0]
+    )
+    assert err < 1e-9, err
