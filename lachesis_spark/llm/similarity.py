@@ -312,11 +312,124 @@ FROM dots ORDER BY cos DESC, vec_id ASC LIMIT {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. Recall evaluation: IVF vs exact ground truth, per probe.
+#    The quality metric an ANN deployment is actually judged by — recall@k
+#    of the pruned index against the brute-force baseline, measured over a
+#    probe set in ONE distributed plan (all probes share the scan).
+ANN_RECALL_PROBES = 8
+
+
+def ann_recall(spark, sf_dir, k: int = TOP_K, n_probes: int = ANN_RECALL_PROBES):
+    """recall@k of ann_ivf against the exact cosine top-k, per probe vector.
+
+    Scale: ground truth is probes×n scored in one crossJoin-broadcast scan
+    (probes is tiny); IVF candidates come from the probe's cell only.  Both
+    top-k's are per-probe window heads; the recall join moves k rows per
+    probe.  At 100 TB the same plan evaluates an index build on a sampled
+    probe set — the recall/probe-count trade is the tunable.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).select("vec_id", V.to_double_array("embedding").alias("e"))
+    probes = emb.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("pid"), F.col("e").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .select("pid", "vec_id", V.cosine(F.col("e"), F.col("qe")).alias("cos"))
+    )
+    w = Window.partitionBy("pid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    brute = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("pid", "vec_id")
+    )
+    assigned = _ivf_assign(emb)
+    probe_cells = assigned.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("pid"), F.col("cell").alias("qcell")
+    )
+    ivf = (
+        assigned.join(F.broadcast(probe_cells), F.col("cell") == F.col("qcell"))
+        .filter(F.col("vec_id") != F.col("pid"))
+        .join(scored, ["pid", "vec_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("pid", "vec_id")
+    )
+    hits = brute.join(ivf, ["pid", "vec_id"]).groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        brute.groupBy("pid").agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "pid", "left")
+        .select(
+            F.col("pid").alias("probe_id"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+             / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH coo AS ({_SQL_COO}),
+probes AS (SELECT DISTINCT vec_id AS pid FROM coo WHERE vec_id < {ANN_RECALL_PROBES}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM coo GROUP BY vec_id),
+dots AS (
+  SELECT p.pid, c.vec_id, sum(c.v * q.v) AS dp
+  FROM coo c JOIN coo q ON c.j = q.j JOIN probes p ON q.vec_id = p.pid
+  WHERE c.vec_id <> p.pid
+  GROUP BY p.pid, c.vec_id
+),
+cosd AS (
+  SELECT d.pid, d.vec_id, d.dp / (nc.n * nq.n) AS cos
+  FROM dots d JOIN norms nc ON d.vec_id = nc.vec_id
+  JOIN norms nq ON d.pid = nq.vec_id
+),
+brute AS (
+  SELECT pid, vec_id FROM (
+    SELECT pid, vec_id,
+           row_number() OVER (PARTITION BY pid ORDER BY cos DESC, vec_id) AS rn
+    FROM cosd) WHERE rn <= {TOP_K}
+),
+cents AS (SELECT vec_id AS cell, j, v AS cv FROM coo WHERE vec_id < {IVF_K}),
+d2 AS (
+  SELECT coo.vec_id, cents.cell, sum((coo.v - cents.cv) * (coo.v - cents.cv)) AS d2
+  FROM coo JOIN cents ON coo.j = cents.j GROUP BY coo.vec_id, cents.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM d2) WHERE rn = 1
+),
+pc AS (SELECT a.vec_id AS pid, a.cell FROM assign a JOIN probes p ON a.vec_id = p.pid),
+ivf AS (
+  SELECT pid, vec_id FROM (
+    SELECT pc.pid, a.vec_id,
+           row_number() OVER (PARTITION BY pc.pid ORDER BY s.cos DESC, a.vec_id) AS rn
+    FROM assign a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.pid
+    JOIN cosd s ON s.pid = pc.pid AND s.vec_id = a.vec_id
+  ) WHERE rn <= {TOP_K}
+),
+exact_n AS (SELECT pid, count(*) AS n_exact FROM brute GROUP BY pid),
+hit_n AS (
+  SELECT b.pid, count(*) AS n_hits
+  FROM brute b JOIN ivf i ON b.pid = i.pid AND b.vec_id = i.vec_id
+  GROUP BY b.pid
+)
+SELECT e.pid AS probe_id,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / e.n_exact AS recall
+FROM exact_n e LEFT JOIN hit_n h ON e.pid = h.pid
+"""
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "knn_bucketed": knn_bucketed,
+    "ann_recall": ann_recall,
 }
 
 ORACLE = {
@@ -324,4 +437,5 @@ ORACLE = {
     "ann_lsh": ANN_LSH_SQL,
     "ann_ivf": ANN_IVF_SQL,
     "knn_bucketed": KNN_BUCKETED_SQL,
+    "ann_recall": ANN_RECALL_SQL,
 }

@@ -33,6 +33,7 @@ BNLJ_OK = {
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector
     "ann_ivf",              # broadcast k-row centroid table
+    "ann_recall",           # broadcast <=8-row probe set (ground-truth scan)
     "ff_inference",         # constant-size weight matrices
     # block-pair generation over the block index; all-pairs is the declared
     # test-scale configuration — production composes the LSH prefilter
