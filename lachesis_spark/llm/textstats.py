@@ -330,3 +330,90 @@ SELECT lang, pred_lang, count(*) AS n_docs FROM pred GROUP BY lang, pred_lang
 
 QUERIES["text_langid_ngram"] = text_langid_ngram
 ORACLE["text_langid_ngram"] = _langid_ngram_sql()
+
+
+# ---------------------------------------------------------------------------
+# 8. Repetition-based quality filtering (the Gopher/C4 rule family): a
+#    document dominated by one repeated phrase is boilerplate/spam even when
+#    its length and stopword profile look fine.  Signals per doc:
+#      dup_word_frac   = 1 - distinct(words)/words     (word-level repetition)
+#      top_bigram_share = count(most frequent bigram)/bigrams
+#    Aggregated per lang with a flagged-fraction at the Gopher-ish 0.2
+#    threshold on top_bigram_share.
+#
+#    Scale: explode(bigrams) -> groupBy(doc, bigram) -> groupBy(doc) ->
+#    groupBy(lang): three shuffles, each strictly reducing — linear in
+#    corpus token count, no per-doc state beyond the aggregation.
+REP_SHARE_FLAG = 0.2
+
+
+def text_repetition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", TX.tokens(F.lower(F.col("text"))).alias("t")
+    )
+    base = toks.select(
+        "doc_id",
+        "lang",
+        F.size("t").alias("n_words"),
+        F.size(F.array_distinct("t")).alias("n_distinct"),
+        F.expr(
+            "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
+        ).alias("bigrams"),
+    ).where(F.col("n_words") >= 2)
+    bg = base.select("doc_id", "lang", "n_words", "n_distinct",
+                     F.explode("bigrams").alias("bg"))
+    per_bg = bg.groupBy("doc_id", "lang", "n_words", "n_distinct", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_bg.groupBy("doc_id", "lang", "n_words", "n_distinct").agg(
+        (F.max("c") / F.sum("c")).alias("top_bigram_share")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(1.0 - F.col("n_distinct") / F.col("n_words")).alias("avg_dup_word_frac"),
+            F.avg("top_bigram_share").alias("avg_top_bigram_share"),
+            F.sum(
+                F.when(F.col("top_bigram_share") > REP_SHARE_FLAG, 1).otherwise(0)
+            ).cast("bigint").alias("n_flagged"),
+        )
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), t -> t <> '') AS t
+  FROM documents
+),
+base AS (
+  SELECT doc_id, lang, len(t) AS n_words,
+         len(list_distinct(t)) AS n_distinct,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1]) AS bigrams
+  FROM toks WHERE len(t) >= 2
+),
+bg AS (
+  SELECT doc_id, lang, n_words, n_distinct, unnest(bigrams) AS bg FROM base
+),
+per_bg AS (
+  SELECT doc_id, lang, n_words, n_distinct, bg, count(*) AS c
+  FROM bg GROUP BY doc_id, lang, n_words, n_distinct, bg
+),
+per_doc AS (
+  SELECT doc_id, lang, n_words, n_distinct,
+         CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_share
+  FROM per_bg GROUP BY doc_id, lang, n_words, n_distinct
+)
+SELECT lang, count(*) AS n_docs,
+       avg(1.0 - CAST(n_distinct AS DOUBLE) / n_words) AS avg_dup_word_frac,
+       avg(top_bigram_share) AS avg_top_bigram_share,
+       CAST(sum(CASE WHEN top_bigram_share > {REP_SHARE_FLAG} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc GROUP BY lang
+"""
+
+QUERIES["text_repetition"] = text_repetition
+ORACLE["text_repetition"] = TEXT_REPETITION_SQL
