@@ -91,6 +91,26 @@ class Catalog:
         # sources.readers.read_events / event_ts_expr).  No-op for the
         # current timestamp[us] encoding.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed sets (write_set(bucket_by=...)) carry their layout in the
+        # table identity, not the files: a bare-path read silently drops the
+        # bucket metadata and every later join/agg re-shuffles — exactly the
+        # cost the advisor's layout paid to remove.  Route through the table,
+        # but only when it points at THIS catalog's path (table names are
+        # session-global; another Catalog rooted elsewhere may own the name).
+        tbl = f"{db}_{name}"
+        if (db, name) not in self._external and self.spark.catalog.tableExists(tbl):
+            loc = next(
+                (
+                    r["data_type"]
+                    for r in self.spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+                    if r["col_name"] == "Location"
+                ),
+                None,
+            )
+            if loc is not None and os.path.realpath(
+                loc.removeprefix("file:")
+            ) == os.path.realpath(self.set_path(db, name)):
+                return self.spark.table(tbl)
         return self.spark.read.parquet(self.set_path(db, name))
 
     def write_set(

@@ -390,3 +390,32 @@ def test_file_size_recommendation_sizes_for_parallelism():
     h.record_job("q2", 60.0, [], scans=[ScanStat("db.big", 10, 800)])
     assert recommend_file_size(h, "db.big", cores=8, min_file_bytes=10,
                                max_file_bytes=100) is None
+
+
+def test_read_set_preserves_bucketed_layout(spark, tmp_path):
+    """read_set on a bucketed set must go through the table identity (bare
+    path reads silently drop bucket metadata and re-shuffle every join) —
+    and must NOT hijack a same-named table owned by a different catalog."""
+    cat = Catalog(spark, str(tmp_path / "a"))
+    cat.create_database("db")
+    base = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    cat.write_set(base, "db", "bkt", bucket_by=(4, ["k"]))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = cat.read_set("db", "bkt").groupBy("k").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == 5_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    # a different catalog with the same db/set name but no table falls back
+    # to its own path read instead of the other catalog's table
+    other = Catalog(spark, str(tmp_path / "b"))
+    other.create_database("db")
+    other.write_set(base.limit(10), "db", "bkt")
+    assert other.read_set("db", "bkt").count() == 10
