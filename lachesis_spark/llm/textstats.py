@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lachesis_spark.functions import text as TX
@@ -417,3 +418,84 @@ FROM per_doc GROUP BY lang
 
 QUERIES["text_repetition"] = text_repetition
 ORACLE["text_repetition"] = TEXT_REPETITION_SQL
+
+
+# ---------------------------------------------------------------------------
+# 9. Unigram-LM quality scoring (the CCNet/kenLM filtering pattern, with the
+#    LM trained in-corpus): per-lang unigram distribution over the corpus,
+#    each document scored by its mean token log-probability, per-lang
+#    summary with an outlier count at mean - 2*stddev (population stddev).
+#    A doc whose tokens are improbable under its own language's distribution
+#    is noise/ocr-garbage/wrong-lang — the standard perplexity-filter signal.
+#
+#    Scale: the LM is a (lang, word) -> p aggregate — vocab-sized, tiny next
+#    to the corpus — built with one groupBy and joined back to the token
+#    stream on (lang, word): fact-to-dim, broadcastable per lang shard.  Two
+#    strictly-reducing groupBys after that.  No Python anywhere.
+def text_unigram_logprob(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    lm = (
+        toks.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("tot", F.sum("c").over(W.partitionBy("lang")))
+        .select("lang", "w", (F.col("c") / F.col("tot")).alias("p"))
+    )
+    scored = (
+        toks.join(lm, ["lang", "w"])
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(F.log("p")).alias("doc_lp"))
+    )
+    stats = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_lp").alias("mean_lp"),
+        F.stddev_pop("doc_lp").alias("sd_lp"),
+    )
+    return (
+        scored.join(F.broadcast(stats), "lang")
+        .groupBy("lang")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("mean_lp").alias("mean_lp"),
+            F.sum(
+                F.when(
+                    F.col("doc_lp") < F.col("mean_lp") - 2 * F.col("sd_lp"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+TEXT_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+lm AS (
+  SELECT lang, w,
+         CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER (PARTITION BY lang) AS p
+  FROM toks GROUP BY lang, w
+),
+scored AS (
+  SELECT t.doc_id, t.lang, avg(ln(lm.p)) AS doc_lp
+  FROM toks t JOIN lm ON t.lang = lm.lang AND t.w = lm.w
+  GROUP BY t.doc_id, t.lang
+),
+stats AS (
+  SELECT lang, count(*) AS n_docs, avg(doc_lp) AS mean_lp,
+         stddev_pop(doc_lp) AS sd_lp
+  FROM scored GROUP BY lang
+)
+SELECT s.lang, st.n_docs, st.mean_lp,
+       CAST(sum(CASE WHEN s.doc_lp < st.mean_lp - 2 * st.sd_lp
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM scored s JOIN stats st ON s.lang = st.lang
+GROUP BY s.lang, st.n_docs, st.mean_lp
+"""
+
+QUERIES["text_unigram_logprob"] = text_unigram_logprob
+ORACLE["text_unigram_logprob"] = TEXT_UNIGRAM_LOGPROB_SQL
