@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import sqlite3
 import time
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 _SCHEMA = """
@@ -72,8 +73,8 @@ class HistoryDB:
         self,
         name: str,
         runtime_sec: float,
-        usages: list[KeyUsage],
-        scans: list[ScanStat] = (),
+        usages: Sequence[KeyUsage],
+        scans: Sequence[ScanStat] = (),
     ) -> int:
         cur = self.con.execute(
             "INSERT INTO jobs (name, created_at, runtime_sec) VALUES (?, ?, ?)",

@@ -261,7 +261,10 @@ def recommend_file_size(
         return FileSizeRecommendation(
             dataset, target, n_files, n_target, "fragmented"
         )
-    if avg > 2 * max_file_bytes:
+    # coarse side mirrors the fragmented side: measured against the computed
+    # target with the same 2x stability factor (avg > 2*max_file_bytes would
+    # miss layouts whose every file exceeds the band ceiling by up to 2x)
+    if avg > 2 * target:
         return FileSizeRecommendation(dataset, target, n_files, n_target, "coarse")
     return None
 

@@ -17,8 +17,27 @@ from __future__ import annotations
 
 import os
 import shutil
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _same_location(loc: str, path: str) -> bool:
+    """True when a table Location and a catalog set path name the same store.
+
+    Local paths (no scheme, or file:) compare by realpath; any other
+    filesystem (hdfs://, s3a://, ...) compares as a normalized URI —
+    a realpath compare would never match there and the caller would
+    silently fall back to a bare-path read, dropping bucket metadata.
+    """
+    lu, pu = urlparse(loc), urlparse(path)
+    if lu.scheme in ("", "file") and pu.scheme in ("", "file"):
+        return os.path.realpath(lu.path or loc) == os.path.realpath(pu.path or path)
+    return (lu.scheme, lu.netloc, lu.path.rstrip("/")) == (
+        pu.scheme,
+        pu.netloc,
+        pu.path.rstrip("/"),
+    )
 
 TESTDATA_TABLES = (
     "region",
@@ -99,19 +118,38 @@ class Catalog:
         # session-global; another Catalog rooted elsewhere may own the name).
         tbl = f"{db}_{name}"
         if (db, name) not in self._external and self.spark.catalog.tableExists(tbl):
-            loc = next(
-                (
-                    r["data_type"]
-                    for r in self.spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
-                    if r["col_name"] == "Location"
-                ),
-                None,
-            )
-            if loc is not None and os.path.realpath(
-                loc.removeprefix("file:")
-            ) == os.path.realpath(self.set_path(db, name)):
+            loc = self._table_location(tbl)
+            if loc is not None and _same_location(loc, self.set_path(db, name)):
                 return self.spark.table(tbl)
         return self.spark.read.parquet(self.set_path(db, name))
+
+    def _table_location(self, tbl: str) -> str | None:
+        return next(
+            (
+                r["data_type"]
+                for r in self.spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+                if r["col_name"] == "Location"
+            ),
+            None,
+        )
+
+    def _drop_owned_table(self, db: str, name: str) -> None:
+        """Drop the session table backing this set, if it is ours.
+
+        Path rewrites (plain write_set, merge_set, compact_set) invalidate a
+        bucketed table two ways: the cached file listing goes stale
+        (FAILED_READ_FILE on next table read) and the new plain part files no
+        longer carry bucket-id names, so the table's bucket metadata would be
+        a lie.  The table is EXTERNAL (saveAsTable with an explicit path), so
+        DROP removes only metadata — the data files stay.  Only drops when
+        the table's Location matches THIS catalog's set path (names are
+        session-global; another Catalog rooted elsewhere may own the name).
+        """
+        tbl = f"{db}_{name}"
+        if self.spark.catalog.tableExists(tbl):
+            loc = self._table_location(tbl)
+            if loc is not None and _same_location(loc, self.set_path(db, name)):
+                self.spark.sql(f"DROP TABLE {tbl}")
 
     def write_set(
         self,
@@ -149,6 +187,8 @@ class Catalog:
                 .saveAsTable(f"{db}_{name}")
             )
             return
+        # a plain path write invalidates any bucketed table we own here
+        self._drop_owned_table(db, name)
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -181,6 +221,9 @@ class Catalog:
 
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        # the merge rewrites plain part files; a bucketed table over this
+        # path would keep a stale listing AND falsely-advertised bucketing
+        self._drop_owned_table(db, name)
         path = self.set_path(db, name)
         if not self.exists_set(db, name):
             w = updates.write.mode("overwrite")
@@ -233,6 +276,7 @@ class Catalog:
 
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        self._drop_owned_table(db, name)
         path = self.set_path(db, name)
         size = 0
         for root, _dirs, files in os.walk(path):
@@ -282,12 +326,14 @@ class Catalog:
         if (db, name) in self._external:
             del self._external[(db, name)]
             return
+        self._drop_owned_table(db, name)
         shutil.rmtree(self.set_path(db, name), ignore_errors=True)
 
     def clear_set(self, db: str, name: str) -> None:
         """clearSet analog — drop contents, keep the name."""
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        self._drop_owned_table(db, name)
         shutil.rmtree(self.set_path(db, name), ignore_errors=True)
         os.makedirs(self.set_path(db, name), exist_ok=True)
 

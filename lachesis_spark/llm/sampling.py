@@ -207,9 +207,14 @@ def pack_sequences(
     """Assign each row a (bucket, bin) packed-sequence id.
 
     bucket = h60(key) % n_buckets; rows ordered by key within the bucket;
-    bin = floor(tokens_before / budget) — the concat-and-chunk packing rule.
-    Deterministic, one shuffle, per-bucket bounded sort; buckets pack
-    independently so parallelism = n_buckets (size it to cluster cores).
+    raw bin = floor(tokens_before / budget) — the concat-and-chunk packing
+    rule — then bin ids are densified (dense_rank over the raw bin) so each
+    bucket's bins are a contiguous 0..max range even when a single document
+    exceeds the budget (which would otherwise skip the ids its overflow
+    spans).  Deterministic; both windows partition by "bucket" so Spark
+    plans ONE Exchange (two in-partition sorts, no second shuffle); buckets
+    pack independently so parallelism = n_buckets (size it to cluster
+    cores).
     """
     keyed = df.select(
         df[key_col].alias("pack_key"),
@@ -222,7 +227,13 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tok").over(w)
-    return keyed.withColumn("bin", F.floor((cum - F.col("n_tok")) / F.lit(budget)))
+    raw = keyed.withColumn(
+        "_raw_bin", F.floor((cum - F.col("n_tok")) / F.lit(budget))
+    )
+    wd = Window.partitionBy("bucket").orderBy("_raw_bin")
+    return raw.withColumn(
+        "bin", (F.dense_rank().over(wd) - F.lit(1)).cast("long")
+    ).drop("_raw_bin")
 
 
 def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,10 +254,16 @@ c AS (
   SELECT bucket, n_tok,
          sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
                           ROWS UNBOUNDED PRECEDING) AS cum
-  FROM t)
-SELECT bucket, CAST(floor((cum - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
+  FROM t),
+d AS (
+  SELECT bucket, n_tok,
+         CAST(dense_rank() OVER (
+           PARTITION BY bucket
+           ORDER BY floor((cum - n_tok) / {PACK_BUDGET})) - 1 AS BIGINT) AS bin
+  FROM c)
+SELECT bucket, bin,
        count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens
-FROM c GROUP BY bucket, bin
+FROM d GROUP BY bucket, bin
 """
 
 

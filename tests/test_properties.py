@@ -196,9 +196,14 @@ def test_pack_sequences_bin_budget_invariant(spark, docs, budget):
         for b, tot in bins.items():
             if b < max(bins):
                 assert tot >= 1
-        # replay the packing rule in Python on the same ordering
+        # replay the packing rule in Python on the same ordering:
+        # raw bin = tokens_before // budget, then densify so over-budget
+        # documents can't leave holes in the id range
         ordered = sorted(rs, key=lambda r: r["pack_key"])
-        cum = 0
+        cum, raw = 0, []
         for r in ordered:
-            assert r["bin"] == cum // budget, (bucket, r, cum)
+            raw.append(cum // budget)
             cum += r["n_tok"]
+        dense = {b: i for i, b in enumerate(sorted(set(raw)))}
+        for r, rb in zip(ordered, raw):
+            assert r["bin"] == dense[rb], (bucket, r, rb, dense)

@@ -300,6 +300,35 @@ def test_compact_set_coalesces_fragmented_files(spark, tmp_path):
     assert got.agg({"k": "sum"}).first()[0] == 10_000 * 9_999 // 2
 
 
+def test_compact_after_bucketed_write_stays_readable(spark, tmp_path):
+    """Regression: compact_set (or any plain path rewrite) over a bucketed
+    set must drop the session table backing it — otherwise the next
+    read_set routes through a table whose cached listing names files that
+    no longer exist (FAILED_READ_FILE) and whose bucket metadata no longer
+    matches the plain part files on disk."""
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    base = spark.range(0, 5_000).withColumnRenamed("id", "k")
+    cat.write_set(base.repartition(16), "db", "bset", bucket_by=(8, ["k"]))
+    assert spark.catalog.tableExists("db_bset")
+
+    n = cat.compact_set("db", "bset")
+    assert n >= 1
+    assert not spark.catalog.tableExists("db_bset")  # stale table dropped
+    got = cat.read_set("db", "bset")
+    assert got.count() == 5_000
+    assert got.agg({"k": "sum"}).first()[0] == 5_000 * 4_999 // 2
+
+    # plain write_set over the same name must also clear an owned table
+    cat.write_set(base, "db", "bset2", bucket_by=(4, ["k"]))
+    assert spark.catalog.tableExists("db_bset2")
+    cat.write_set(base.limit(10), "db", "bset2")
+    assert not spark.catalog.tableExists("db_bset2")
+    assert cat.read_set("db", "bset2").count() == 10
+
+
 def test_read_events_handles_both_ts_encodings(spark, tmp_path):
     """Schema-drift guard: the testdata generator has shipped events.ts as
     both TIMESTAMP(NANOS) (Spark reads int64 under nanosAsLong) and
