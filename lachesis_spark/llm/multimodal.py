@@ -69,12 +69,85 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Decode stub — the ONLY fake piece.  Replace with PIL/ffmpeg when available.
+# Decoders.  PPM (P6) and WAV (RIFF/PCM16) are REAL codecs implemented in
+# pure Python/numpy + stdlib `wave` — no external libraries.  Compressed
+# formats (JPEG/PNG/MP3/H.264) remain stubbed: the container has no codec
+# libraries, and `_decode_stub` is the clearly-marked fallback for them.
+def decode_ppm(payload: bytes):
+    """Real binary-PPM (P6) image decoder.
+
+    Parses the textual header (magic, width, height, maxval, ``#`` comments
+    allowed per the netpbm spec) then views the raw RGB byte plane as a
+    (height, width, 3) uint8 array.  Raises ValueError on malformed input.
+    """
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header tokens are whitespace-separated; '#' starts a comment to EOL
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    need = w * h * 3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return raw.reshape(h, w, 3)
+
+
+def decode_wav(payload: bytes):
+    """Real RIFF/WAVE PCM-16 audio decoder via the stdlib ``wave`` module.
+
+    Returns ``(samples, sample_rate)`` with samples shaped
+    (n_frames, n_channels) int16.
+    """
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        if wv.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        frames = wv.readframes(wv.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2").reshape(
+            -1, wv.getnchannels()
+        )
+        return samples, wv.getframerate()
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Write int16 mono samples to RIFF/WAVE PCM bytes (stdlib ``wave``)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
 def _decode_stub(payload: bytes, width: int, height: int):
-    """STUB decoder: deterministic fake pixel array from the payload bytes
-    (tiled), shaped (height, width, 3) uint8.  NOT a real image decode —
-    the container has no codec libraries; a real implementation would be
-    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))``."""
+    """STUB decoder for formats with no in-container codec (JPEG/PNG/...):
+    deterministic fake pixel array from the payload bytes (tiled), shaped
+    (height, width, 3) uint8.  NOT a real image decode — a real
+    implementation would be ``np.asarray(PIL.Image.open(io.BytesIO(p)))``."""
     import numpy as np
 
     need = width * height * 3
@@ -83,6 +156,14 @@ def _decode_stub(payload: bytes, width: int, height: int):
         buf = np.zeros(1, dtype=np.uint8)
     reps = -(-need // buf.size)  # ceil
     return np.tile(buf, reps)[:need].reshape(height, width, 3)
+
+
+def decode_image(payload: bytes, width: int, height: int):
+    """Dispatch on magic bytes: real PPM decode when the payload IS a PPM
+    file; deterministic stub for anything else (no codec libs here)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return _decode_stub(payload, width, height)
 
 
 FEATURES_SCHEMA = T.StructType(
@@ -96,7 +177,8 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Decode + per-image feature extraction over Arrow batches."""
+    """Decode + per-image feature extraction over Arrow batches.  PPM
+    payloads take the real decoder; others the stub (see decode_image)."""
 
     def run(batches):
         import pandas as pd
@@ -105,7 +187,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 m = r.meta
-                arr = _decode_stub(bytes(r.payload), int(m["width"]), int(m["height"]))
+                arr = decode_image(bytes(r.payload), int(m["width"]), int(m["height"]))
                 out.append(
                     (
                         r.media_id,
@@ -134,7 +216,7 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 m = r.meta
                 w, h = int(m["width"]), int(m["height"])
-                arr = _decode_stub(bytes(r.payload), w, h)
+                arr = decode_image(bytes(r.payload), w, h)
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 resized = arr[yi][:, xi]
@@ -214,22 +296,205 @@ FROM documents WHERE doc_id % 3 = 2
 
 
 def mm_features(spark, sf_dir):
-    """Stub-decoded image features (Python path — rows-only driver check;
-    the decode is a deterministic fake, see _decode_stub)."""
+    """Image features through the decode path.  Document-derived payloads
+    are raw text bytes (no P6 magic) so they take the deterministic stub;
+    its tile-to-(h,w,3) arithmetic is exactly mirrored by MM_FEATURES_SQL —
+    oracle-gated, not rows-only."""
     return extract_features(media_from_documents(spark, sf_dir))
+
+
+def ppm_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL binary-PPM (P6) files, built
+    engine-side: header = ``P6\\n<w> <h>\\n255\\n``, pixel plane = the
+    document's ASCII text tiled (cyclic ``rpad``) to exactly w*h*3 bytes.
+    No Python in the producer — the payload bytes come out of Catalyst
+    string expressions, so generation scales like any projection."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    imgs = docs.where(F.col("doc_id") % 3 == 0)
+    w = F.lit(64) + (F.col("doc_id") % 3) * 32  # == 64 for doc_id%3==0
+    h = F.lit(48) + (F.col("doc_id") % 5) * 16
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    body = F.expr(
+        "rpad(text, (64 + (doc_id % 3) * 32) * (48 + (doc_id % 5) * 16) * 3, text)"
+    )
+    meta = F.struct(
+        w.cast("int").alias("width"),
+        h.cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        F.lit(1).cast("int").alias("n_frames"),
+        F.lit("ppm").alias("format"),
+    )
+    return imgs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.concat(header, body), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def mm_features_ppm(spark, sf_dir):
+    """Image features over REAL PPM payloads: the P6 header is parsed and
+    the pixel plane decoded by :func:`decode_ppm` (pure numpy, a real
+    codec), then mean/std/aspect per image.  The oracle mirrors the pixel
+    arithmetic in SQL — decoded bytes are the tiled document text."""
+    return extract_features(ppm_media_from_documents(spark, sf_dir))
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("std_amp", T.DoubleType()),
+        T.StructField("duration_sec", T.DoubleType()),
+    ]
+)
+
+
+def wav_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL RIFF/WAVE PCM-16 files: one
+    mono sample per document text byte (int16 = the byte value), 16 kHz.
+    The RIFF container is written by the stdlib ``wave`` module inside an
+    Arrow-batched mapInPandas stage — payloads never visit the driver."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                samples = np.frombuffer(
+                    r.text.encode("utf-8"), dtype=np.uint8
+                ).astype("<i2")
+                rows.append(
+                    (
+                        r.doc_id,
+                        "audio",
+                        encode_wav(samples, 16000),
+                        {
+                            "width": 0,
+                            "height": 0,
+                            "sample_rate": 16000,
+                            "n_frames": int(samples.size),
+                            "format": "wav",
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    auds = docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    return auds.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Real WAV decode (stdlib ``wave``) + amplitude stats per clip."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                samples, rate = decode_wav(bytes(r.payload))
+                flat = samples.astype("float64").ravel()
+                out.append(
+                    (
+                        r.media_id,
+                        int(flat.size),
+                        float(flat.mean()),
+                        float(flat.std()),
+                        float(flat.size) / float(rate),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "mean_amp", "std_amp", "duration_sec"],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def mm_audio_features(spark, sf_dir):
+    """WAV round-trip: encode document bytes as real PCM-16 WAV files,
+    decode with the stdlib RIFF parser, compute amplitude stats.  The
+    oracle recomputes the same stats from the text bytes in SQL."""
+    return audio_features(wav_media_from_documents(spark, sf_dir))
+
+
+# Oracle arithmetic for the image-feature queries.  ASCII text (contract-
+# tested in tests/test_testdata_contract.py) means ord(char) == byte value
+# and length == octet_length, so the tiled pixel plane's sum / sum-of-
+# squares decompose into full-repetition multiples of the per-document byte
+# sums plus a prefix: tile(buf, need)[:need] with need = w*h*3.
+_MM_FEATURES_SQL_TMPL = """
+WITH img AS (
+  SELECT doc_id, text, length(text) AS sz,
+         (48 + (doc_id % 5) * 16) AS h,
+         192 * (48 + (doc_id % 5) * 16) AS need
+  FROM documents WHERE doc_id % 3 = 0),
+byt AS (
+  SELECT img.doc_id, t.i,
+         ord(substring(img.text, CAST(t.i AS INTEGER), 1)) AS v,
+         img.need % img.sz AS r
+  FROM img, unnest(range(1, img.sz + 1)) AS t(i)),
+agg AS (
+  SELECT doc_id,
+         sum(v) AS s, sum(v * v) AS ss,
+         sum(CASE WHEN i <= r THEN v ELSE 0 END) AS pre_s,
+         sum(CASE WHEN i <= r THEN v * v ELSE 0 END) AS pre_ss
+  FROM byt GROUP BY doc_id),
+feat AS (
+  SELECT img.doc_id AS media_id,
+         ((img.need // img.sz) * agg.s + agg.pre_s) / CAST(img.need AS DOUBLE) AS m,
+         ((img.need // img.sz) * agg.ss + agg.pre_ss) / CAST(img.need AS DOUBLE) AS e2,
+         CAST(64.0 AS DOUBLE) / img.h AS aspect
+  FROM img JOIN agg USING (doc_id))
+SELECT media_id, m AS mean_px, sqrt(e2 - m * m) AS std_px, aspect
+FROM feat
+"""
+
+MM_FEATURES_SQL = _MM_FEATURES_SQL_TMPL
+MM_FEATURES_PPM_SQL = _MM_FEATURES_SQL_TMPL  # decoded PPM plane == tiled text
+
+MM_AUDIO_FEATURES_SQL = """
+WITH aud AS (
+  SELECT doc_id, text, length(text) AS sz
+  FROM documents WHERE doc_id % 3 = 1),
+byt AS (
+  SELECT aud.doc_id,
+         CAST(ord(substring(aud.text, CAST(t.i AS INTEGER), 1)) AS DOUBLE) AS v
+  FROM aud, unnest(range(1, aud.sz + 1)) AS t(i)),
+agg AS (
+  SELECT doc_id, count(*) AS n, avg(v) AS m,
+         sum(v * v) / count(*) AS e2
+  FROM byt GROUP BY doc_id)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples, m AS mean_amp,
+       sqrt(e2 - m * m) AS std_amp, n / 16000.0 AS duration_sec
+FROM agg
+"""
 
 
 QUERIES = {
     "mm_meta_stats": mm_meta_stats,
     "mm_frame_index": mm_frame_index,
     "mm_features": mm_features,
+    "mm_features_ppm": mm_features_ppm,
+    "mm_audio_features": mm_audio_features,
 }
 
-# mm_features intentionally has no oracle: its values come from the Python
-# decode stub (not SQL-expressible); the driver records a rows-only check.
 ORACLE = {
     "mm_meta_stats": MM_META_STATS_SQL,
     "mm_frame_index": MM_FRAME_INDEX_SQL,
+    "mm_features": MM_FEATURES_SQL,
+    "mm_features_ppm": MM_FEATURES_PPM_SQL,
+    "mm_audio_features": MM_AUDIO_FEATURES_SQL,
 }
 
 

@@ -391,10 +391,13 @@ SELECT max(v) AS max_v, min(v) AS min_v FROM coo
 
 
 def la_inverse_identity(spark, sf_dir):
-    """inverse(G) %*% G for the 64×64 Gram matrix — should be ≈ I.  The
-    inverse itself is driver-side dense (see :func:`inverse`), so this query
-    is rows-only checked by the driver; the pytest suite asserts the
-    identity property numerically."""
+    """inverse(G) %*% G for the 64×64 Gram matrix — should be ≈ I.
+
+    Tolerance-oracle: the result is rounded at 1e-6 and filtered to its
+    nonzero entries, so a numerically-correct inverse yields EXACTLY the 64
+    unit diagonal entries — which DuckDB can predict without being able to
+    invert (LA_INVERSE_IDENTITY_SQL generates literal I).  Any off-diagonal
+    residual above 5e-7, or diagonal drift, breaks the hash match."""
     g = gram(coo_from_embeddings(spark, sf_dir, limit=200))
     prod = matmul(inverse(g), g)
     # round so the result is stable: exact zeros off-diagonal modulo 1e-6
@@ -414,6 +417,15 @@ QUERIES = {
     "la_inverse_identity": la_inverse_identity,
 }
 
+# Tolerance-oracle: DuckDB cannot invert a matrix, but it CAN predict what
+# a numerically-correct inverse must produce after la_inverse_identity's
+# round(1e-6)+filter(!=0): exactly the 64 unit diagonal entries.  Literal I.
+LA_INVERSE_IDENTITY_SQL = """
+SELECT CAST(i AS BIGINT) AS i, CAST(i AS INTEGER) AS j,
+       CAST(1.0 AS DOUBLE) AS v
+FROM range(64) t(i)
+"""
+
 ORACLE = {
     "la_gram": LA_GRAM_SQL,
     "la_matmul": LA_MATMUL_SQL,
@@ -422,6 +434,5 @@ ORACLE = {
     "la_add_scale": LA_ADD_SCALE_SQL,
     "la_dup_colmax": LA_DUP_COLMAX_SQL,
     "la_extrema": LA_EXTREMA_SQL,
-    # la_inverse_identity: rows-only (driver-side dense inverse not
-    # SQL-expressible in DuckDB); invariants asserted in tests/test_la.py
+    "la_inverse_identity": LA_INVERSE_IDENTITY_SQL,
 }
