@@ -52,10 +52,37 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank(spark, sf_dir):
-    """5 damped iterations; dangling mass dropped (nodes with no out-edges
-    contribute nothing — the reference's formulation)."""
-    edges = _edges(spark, sf_dir)
+# checkpoint cadence for long-horizon loops: every k iterations the state
+# DataFrame is localCheckpoint-ed (eager), truncating the growing lineage
+# the same way inverse_newton does (plans/la.py) — without it, plan size and
+# optimizer time grow linearly with iterations and a 20+-iteration run
+# re-derives the whole chain on any recomputation.
+ITER_CHECKPOINT_EVERY = 5
+
+
+def _maybe_checkpoint(df: DataFrame, it: int, iters: int,
+                      every: int = ITER_CHECKPOINT_EVERY) -> DataFrame:
+    """Checkpoint mid-loop state every ``every`` iterations (never the final
+    one — the caller returns that plan to the engine as-is)."""
+    if every and (it + 1) % every == 0 and (it + 1) < iters:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+def pagerank_run(edges: DataFrame, iters: int = PR_ITERS,
+                 damp: float = PR_DAMP) -> DataFrame:
+    """Damped PageRank loop over a prepared (src, dst) edge DataFrame;
+    dangling mass dropped (nodes with no out-edges contribute nothing — the
+    reference's formulation, reference src/tests/source/PageRank.cc).
+
+    Layout-aware at scale: when ``edges`` comes from a bucketed set
+    (``catalog.write_set(bucket_by=(n, ["src"]))``), the out-degree
+    aggregation AND the edges⋈deg join are Exchange-free, and the per-
+    iteration contribution join only shuffles the node-sized rank vector —
+    never the corpus-sized edge list (proven by
+    test_iterative.py::test_pagerank_bucketed_edges_shuffles_only_ranks).
+    Lineage is truncated every ITER_CHECKPOINT_EVERY iterations.
+    """
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -68,7 +95,7 @@ def pagerank(spark, sf_dir):
     contrib_edges = edges.join(deg, "src").cache()
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(PR_ITERS):
+    for it in range(iters):
         contribs = (
             contrib_edges.join(pr, contrib_edges["src"] == pr["node"])
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
@@ -80,12 +107,19 @@ def pagerank(spark, sf_dir):
             .select(
                 "node",
                 (
-                    F.lit((1.0 - PR_DAMP) / n)
-                    + F.lit(PR_DAMP) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                    F.lit((1.0 - damp) / n)
+                    + F.lit(damp) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
         )
+        pr = _maybe_checkpoint(pr, it, iters)
     return pr
+
+
+def pagerank(spark, sf_dir):
+    """5 damped iterations over the events-derived graph (oracle-gated
+    against the unrolled-CTE DuckDB fixpoint)."""
+    return pagerank_run(_edges(spark, sf_dir), PR_ITERS)
 
 
 def _pagerank_sql() -> str:
@@ -470,23 +504,20 @@ s{t} AS (
 GMM_K = 3
 
 
-def gmm_em(spark, sf_dir):
-    """Returns the updated (component, j, mu, w) after one EM step."""
-    emb = _emb_arr(spark, sf_dir).cache()
-    coo = emb.select(F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v"))
-    mu0 = coo.filter(F.col("i") < GMM_K).select(
-        F.col("i").alias("c"), "j", F.col("v").alias("mu")
-    )
+def _gmm_step(coo: DataFrame, mu: DataFrame, n: int) -> DataFrame:
+    """One EM step: E = stable softmax responsibilities from squared
+    distances to ``mu`` (c, j, mu); M = weighted means + component weights.
+    Returns (c, j, mu, w) — slice (c, j, mu) to feed the next step."""
+    from pyspark.sql import Window
+
     # squared distance to each component (join on dimension, agg per (i, c))
     d2 = (
-        coo.join(F.broadcast(mu0), "j")
+        coo.join(F.broadcast(mu), "j")
         .groupBy("i", "c")
         .agg(F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias("d2"))
     )
     # E-step: numerically-stable softmax over components (uniform weights
     # cancel), r(i,c) = exp(-(d2-dmin)/2) / Σ_c exp(-(d2-dmin)/2)
-    from pyspark.sql import Window
-
     w_i = Window.partitionBy("i")
     r = (
         d2.withColumn("dmin", F.min("d2").over(w_i))
@@ -494,7 +525,6 @@ def gmm_em(spark, sf_dir):
         .withColumn("r", F.col("u") / F.sum("u").over(w_i))
         .select("i", "c", "r")
     )
-    n = emb.count()
     # M-step
     w_new = r.groupBy("c").agg((F.sum("r") / F.lit(float(n))).alias("w"))
     mu_new = (
@@ -502,9 +532,29 @@ def gmm_em(spark, sf_dir):
         .groupBy("c", "j")
         .agg((F.sum(F.col("r") * F.col("v")) / F.sum("r")).alias("mu"))
     )
-    return mu_new.join(w_new, "c").select(
-        F.col("c").cast("int").alias("c"), "j", "mu", "w"
+    return mu_new.join(w_new, "c").select("c", "j", "mu", "w")
+
+
+def gmm_em_run(spark, sf_dir, iters: int = 1) -> DataFrame:
+    """EM loop from the deterministic init (mu_c = vector c, uniform w);
+    state lineage truncated every ITER_CHECKPOINT_EVERY iterations so a
+    long-horizon fit doesn't accrete an unbounded plan."""
+    emb = _emb_arr(spark, sf_dir).cache()
+    coo = emb.select(F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v"))
+    n = emb.count()
+    mu = coo.filter(F.col("i") < GMM_K).select(
+        F.col("i").alias("c"), "j", F.col("v").alias("mu")
     )
+    out = None
+    for it in range(iters):
+        out = _gmm_step(coo, mu, n)
+        mu = _maybe_checkpoint(out.select("c", "j", "mu"), it, iters)
+    return out.select(F.col("c").cast("int").alias("c"), "j", "mu", "w")
+
+
+def gmm_em(spark, sf_dir):
+    """Returns the updated (component, j, mu, w) after one EM step."""
+    return gmm_em_run(spark, sf_dir, iters=1)
 
 
 def _gmm_sql() -> str:
@@ -557,11 +607,48 @@ LDA_K = 3
 LDA_VOCAB = 1000  # words hashed into a fixed vocabulary
 
 
-def lda_em(spark, sf_dir):
-    """One LDA variational-EM step; returns the updated topic-word rows
-    (topic, word_id, phi) for words present in the corpus."""
+def _lda_init_u(a_col, b_col):
+    """Deterministic unnormalized init weight for a (row, col) id pair."""
+    s = F.concat(a_col.cast("string"), F.lit("|"), b_col.cast("string"))
+    return 1.0 + (H.h60(s) % 1000) / 1000.0
+
+
+def _lda_step(counts: DataFrame, theta: DataFrame, phi: DataFrame, nv: int):
+    """One variational-EM step.
+
+    E: γ(d,w,t) ∝ θ_d(t)·φ_t(w) normalized over t per (doc, word) — θ's
+    per-doc normalizer is constant across t so it cancels and θ may stay
+    unnormalized.  M: φ'_t(w) ∝ β + Σ_d n·γ (β=1 Laplace over the observed
+    vocab), θ'_d(t) = α + Σ_w n·γ (α=1, unnormalized on purpose).
+    Returns (phi_out, theta_new, phi_new_unnorm-as-next-phi).
+    """
     from pyspark.sql import Window
 
+    w_dw = Window.partitionBy("d", "word_id")
+    gamma = (
+        counts.join(F.broadcast(phi), "word_id")
+        .join(theta, ["d", "t"])
+        .withColumn("u", F.col("th") * F.col("phi"))
+        .withColumn("g", F.col("u") / F.sum("u").over(w_dw))
+    )
+    wsum = gamma.groupBy("t", "word_id").agg(
+        F.sum(F.col("g") * F.col("n")).alias("c")
+    )
+    tsum = wsum.groupBy("t").agg(F.sum("c").alias("tc"))
+    phi_out = wsum.join(F.broadcast(tsum), "t").select(
+        "t", "word_id",
+        ((F.col("c") + 1.0) / (F.col("tc") + float(nv))).alias("phi"),
+    )
+    theta_new = gamma.groupBy("d", "t").agg(
+        (F.lit(1.0) + F.sum(F.col("g") * F.col("n"))).alias("th")
+    )
+    return phi_out, theta_new
+
+
+def lda_em_run(spark, sf_dir, iters: int = 1) -> DataFrame:
+    """Variational-EM loop; θ AND φ both update each round (the full
+    alternating scheme), with state lineage truncated every
+    ITER_CHECKPOINT_EVERY iterations."""
     from lachesis_spark.functions import text as TX
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -574,46 +661,38 @@ def lda_em(spark, sf_dir):
     # part — re-executes once per consumer
     counts = words.groupBy("d", "word_id").agg(F.count(F.lit(1)).alias("n")).cache()
 
-    # deterministic unnormalized init weights
-    def init_u(a_col, b_col):
-        s = F.concat(a_col.cast("string"), F.lit("|"), b_col.cast("string"))
-        return 1.0 + (H.h60(s) % 1000) / 1000.0
-
     topics = spark.range(LDA_K).select(F.col("id").alias("t"))
     # φ normalized over the observed vocabulary (the hashed-vocab normalizer
     # is only constant in expectation)
     vocab = counts.select("word_id").distinct()
     phi_raw = vocab.crossJoin(F.broadcast(topics)).select(
-        "t", "word_id", init_u(F.col("t"), F.col("word_id")).alias("u")
+        "t", "word_id", _lda_init_u(F.col("t"), F.col("word_id")).alias("u")
     )
     z = phi_raw.groupBy("t").agg(F.sum("u").alias("z"))
     phi = phi_raw.join(F.broadcast(z), "t").select(
         "t", "word_id", (F.col("u") / F.col("z")).alias("phi")
     )
-
-    # E-step: per-(doc, word) topic responsibilities.  θ_d(t) enters
-    # unnormalized (its per-doc normalizer cancels below); the ×K fan-out
-    # happens in the broadcast hash join against φ — no extra shuffle.
-    w_dw = Window.partitionBy("d", "word_id")
-    gamma = (
-        counts.join(F.broadcast(phi), "word_id")
-        .withColumn("u", init_u(F.col("d"), F.col("t")) * F.col("phi"))
-        .withColumn("g", F.col("u") / F.sum("u").over(w_dw))
+    # θ starts at the deterministic init, unnormalized (normalizer cancels)
+    theta = counts.select("d").distinct().crossJoin(F.broadcast(topics)).select(
+        "d", "t", _lda_init_u(F.col("d"), F.col("t")).alias("th")
     )
-    # M-step: φ'_t(w) with Laplace smoothing over the observed vocabulary
-    wsum = gamma.groupBy("t", "word_id").agg(
-        F.sum(F.col("g") * F.col("n")).alias("c")
-    )
-    tsum = wsum.groupBy("t").agg(F.sum("c").alias("tc"))
     nv = vocab.count()
-    return (
-        wsum.join(F.broadcast(tsum), "t")
-        .select(
-            F.col("t").cast("int").alias("topic"),
-            "word_id",
-            ((F.col("c") + 1.0) / (F.col("tc") + float(nv))).alias("phi"),
+    phi_out = None
+    for it in range(iters):
+        phi_out, theta = _lda_step(counts, theta, phi, nv)
+        phi = _maybe_checkpoint(
+            phi_out.select("t", "word_id", "phi"), it, iters
         )
+        theta = _maybe_checkpoint(theta, it, iters)
+    return phi_out.select(
+        F.col("t").cast("int").alias("topic"), "word_id", "phi"
     )
+
+
+def lda_em(spark, sf_dir):
+    """One LDA variational-EM step; returns the updated topic-word rows
+    (topic, word_id, phi) for words present in the corpus."""
+    return lda_em_run(spark, sf_dir, iters=1)
 
 
 def _lda_sql() -> str:
