@@ -14,7 +14,12 @@ applies it, and Spark's bucketed-scan machinery turns later shuffles on that
 key into partition-local work (the reference's LocalJoin).
 """
 
-from lachesis_spark.advisor.bandit import BanditPlacementOptimizer  # noqa: F401
+from lachesis_spark.advisor.bandit import (  # noqa: F401
+    BanditPlacementOptimizer,
+    LinUCBPlacementOptimizer,
+    PlacementContext,
+    measure_key_cardinality,
+)
 from lachesis_spark.advisor.history import HistoryDB, KeyUsage, ScanStat  # noqa: F401
 from lachesis_spark.advisor.recommender import (  # noqa: F401
     FileSizeRecommendation,

@@ -178,7 +178,17 @@ class Catalog:
 
             df = zorder(df, zorder_by)
         if bucket_by is not None:
+            from pyspark.sql import functions as F
+
             n, cols = bucket_by
+            # one file per bucket: repartition on the bucket key with
+            # numPartitions == bucket count uses the SAME murmur3 pmod
+            # mapping bucketBy uses, so each write task holds exactly one
+            # bucket.  Without this, a k-task upstream writes k files per
+            # bucket and every later sort-merge join must re-sort the
+            # bucket at read time (Spark only elides the Sort for
+            # single-file buckets) — silently refunding the layout's win.
+            df = df.repartition(n, *[F.col(c) for c in cols])
             (
                 df.write.mode(mode)
                 .bucketBy(n, *cols)

@@ -419,3 +419,84 @@ def test_read_set_preserves_bucketed_layout(spark, tmp_path):
     other.create_database("db")
     other.write_set(base.limit(10), "db", "bkt")
     assert other.read_set("db", "bkt").count() == 10
+
+
+def _ctx(card, weight, bts=10**9, files=8):
+    from lachesis_spark.advisor import PlacementContext
+
+    return PlacementContext(total_bytes=bts, n_files=files,
+                            key_cardinality=card, runtime_weight=weight)
+
+
+def test_linucb_learns_against_frequency():
+    """The workload's most-frequent key (high runtime weight, cardinality 3)
+    loses to the high-cardinality key once rewards are observed: the
+    contextual bandit overrides frequency where the ε-greedy/rule-based
+    policies cannot."""
+    from lachesis_spark.advisor import HistoryDB, LinUCBPlacementOptimizer
+
+    h = HistoryDB(":memory:")
+    opt = LinUCBPlacementOptimizer(h)
+    contexts = {
+        "l_returnflag": _ctx(card=3, weight=0.7),
+        "l_orderkey": _ctx(card=150_000, weight=0.3),
+    }
+    # epoch loop: try what UCB asks for, observe the true outcome
+    true_reward = {"l_returnflag": 0.05, "l_orderkey": 0.55}
+    seen = []
+    for _ in range(6):
+        rec = opt.choose("lineitem", contexts)
+        key = ",".join(sorted(rec.key_cols))
+        seen.append(key)
+        before = 10.0
+        opt.observe("lineitem", rec.key_cols, contexts[key],
+                    before, before * (1 - true_reward[key]))
+    # both arms explored, then the high-cardinality key exploited
+    assert set(seen) == set(contexts)
+    assert seen[-1] == "l_orderkey" and seen[-2] == "l_orderkey"
+    final = opt.choose("lineitem", contexts)
+    assert final.key_cols == ("l_orderkey",)
+
+
+def test_linucb_transfers_to_unseen_dataset():
+    """Feature-based value model generalizes: trained only on dataset A,
+    the optimizer ranks an UNSEEN dataset's high-cardinality key above its
+    low-cardinality one on the point estimate (no optimism)."""
+    from lachesis_spark.advisor import HistoryDB, LinUCBPlacementOptimizer
+
+    h = HistoryDB(":memory:")
+    opt = LinUCBPlacementOptimizer(h)
+    for _ in range(4):
+        opt.observe("a", ("low",), _ctx(card=4, weight=0.8), 10.0, 9.6)
+        opt.observe("a", ("high",), _ctx(card=10**6, weight=0.2), 10.0, 4.5)
+    lo, hi = _ctx(card=5, weight=0.9), _ctx(card=5 * 10**5, weight=0.1)
+    assert opt.predict(hi) > opt.predict(lo)
+
+
+def test_linucb_persists_and_rebuilds(tmp_path):
+    """Observations survive a process restart: a fresh optimizer over the
+    same SQLite file reproduces the same decision deterministically."""
+    from lachesis_spark.advisor import HistoryDB, LinUCBPlacementOptimizer
+
+    db = str(tmp_path / "h.db")
+    h1 = HistoryDB(db)
+    opt1 = LinUCBPlacementOptimizer(h1)
+    ctxs = {"k1": _ctx(card=10, weight=0.9), "k2": _ctx(card=10**5, weight=0.1)}
+    for _ in range(3):
+        opt1.observe("ds", ("k1",), ctxs["k1"], 10.0, 9.8)
+        opt1.observe("ds", ("k2",), ctxs["k2"], 10.0, 5.0)
+    choice1 = opt1.choose("ds", ctxs).key_cols
+
+    h2 = HistoryDB(db)
+    opt2 = LinUCBPlacementOptimizer(h2)
+    assert opt2.choose("ds", ctxs).key_cols == choice1 == ("k2",)
+
+
+def test_measure_key_cardinality(spark):
+    from lachesis_spark.advisor import measure_key_cardinality
+
+    df = spark.range(1000).selectExpr("id % 3 AS a", "id AS b")
+    small = measure_key_cardinality(df, ["a"])
+    big = measure_key_cardinality(df, ["b"])
+    assert small == 3
+    assert abs(big - 1000) / 1000 < 0.1  # approx_count_distinct tolerance
