@@ -8,6 +8,10 @@ explicit schemas (never runtime inference in production paths — at 100 TB
 schema inference is an extra full scan).
 """
 
+from lachesis_spark.sources.lachesis_source import (  # noqa: F401
+    LachesisDataSource,
+    set_layout,
+)
 from lachesis_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_json,

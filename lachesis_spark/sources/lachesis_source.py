@@ -1,0 +1,385 @@
+"""``spark.read.format("lachesis")`` — a Python DataSource over catalog sets.
+
+The reference exposes its Pangea storage manager to computations through the
+ScanUserSet / WriteUserSet pair (reference
+src/builtInPDBObjects/headers/ScanUserSet.h:23,
+src/builtInPDBObjects/headers/WriteUserSet.h:18); BASELINE.md names the Spark
+DataSource API as the integration path for that storage layer.  This module
+is that integration: a Spark 4 Python DataSource
+(:class:`pyspark.sql.datasource.DataSource`) that reads and writes
+``Catalog`` sets by name::
+
+    spark.dataSource.register(LachesisDataSource)
+    df = spark.read.format("lachesis").option("root", root).load("db.set")
+    df.write.format("lachesis").option("root", root).mode("append").save("db.set2")
+
+Design, sized for the 100 TB case:
+
+* **One input partition per parquet row-group span** (~128 MB target), so a
+  large set fans out across executors exactly like Spark's native parquet
+  scan — task count follows bytes, not file count.
+* **Arrow record batches end-to-end.**  ``read()`` yields
+  ``pyarrow.RecordBatch`` (zero-copy into Spark's columnar pipeline) and the
+  writer subclasses :class:`DataSourceArrowWriter`, so no row-at-a-time
+  Python materialization happens on either side.
+* **Filter pushdown** (:meth:`LachesisReader.pushFilters`): comparison /
+  null / IN / prefix filters are translated to pyarrow dataset expressions
+  and evaluated inside the Arrow scan — parquet row-group statistics prune
+  whole row groups before any byte is decoded, and the residual rows are
+  filtered batch-vectorized.  Fully-pushed filters are consumed (exact
+  row-level semantics), so Spark does not re-evaluate them.
+* **Column pruning**: the scan projects exactly the fields of the read
+  schema Spark hands to :meth:`LachesisDataSource.reader`; unused columns
+  are never decoded.
+* **Transactional writes**: tasks stage ``*.tmp`` files, the driver-side
+  ``commit`` renames them into place (and clears prior files on overwrite);
+  ``abort`` deletes the stage.  A failed job never leaves a torn set.
+
+Bucketing metadata caveat (honest limit of the Python DataSource API): a
+Python source cannot report hash-partitioning to Catalyst
+(``SupportsReportPartitioning`` has no Python binding), so a set written
+with ``Catalog.write_set(bucket_by=...)`` reads *correctly* through this
+source but joins on the bucket key will still plan an Exchange — use
+``Catalog.read_set`` (table route) when the layout win matters.  The bucket
+layout is still surfaced to callers via :func:`set_layout`.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable, Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualNullSafe,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+# ~128 MB of compressed parquet per input partition: the same order as
+# spark.sql.files.maxPartitionBytes, so task sizing matches the native scan.
+TARGET_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _resolve_path(options) -> str:
+    """Map the load()/save() argument to a filesystem path.
+
+    ``db.set`` resolves under the ``root`` option (the Catalog root);
+    anything containing a path separator is taken as a literal path, so
+    external sets (e.g. the driver testdata parquet) work too.
+    """
+    ident = options.get("path") or options.get("set")
+    if not ident:
+        raise ValueError(
+            "lachesis source needs a set identifier: load('db.set') or option('set', ...)"
+        )
+    if os.sep in ident or "/" in ident:
+        return ident
+    root = options.get("root") or os.path.join("spark-warehouse", "lachesis")
+    parts = ident.split(".")
+    if len(parts) != 2:
+        raise ValueError(f"set identifier must be 'db.set', got {ident!r}")
+    return os.path.join(root, *parts)
+
+
+def _parquet_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
+def set_layout(spark, db: str, name: str) -> dict:
+    """Bucketing/sort layout of a catalog set, if any — the metadata the
+    reference's DispatcherServer tracks per set (partitioning lambda).
+
+    Returned as ``{"bucket_cols": [...], "num_buckets": n, "sort_cols": [...]}``
+    (empty dict for unbucketed sets).  Callers planning co-located joins can
+    consult this and route through ``Catalog.read_set`` for the
+    Exchange-free plan."""
+    tbl = f"{db}_{name}"
+    if not spark.catalog.tableExists(tbl):
+        return {}
+    rows = {r["col_name"]: r["data_type"] for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()}
+    out: dict = {}
+    if "Num Buckets" in rows:
+        out["num_buckets"] = int(rows["Num Buckets"])
+        out["bucket_cols"] = [c.strip("`") for c in rows.get("Bucket Columns", "[]").strip("[]").split(", ") if c]
+        out["sort_cols"] = [c.strip("`") for c in rows.get("Sort Columns", "[]").strip("[]").split(", ") if c]
+    return out
+
+
+@dataclass
+class RowGroupSpan(InputPartition):
+    """A contiguous run of row groups of one parquet file."""
+
+    file: str
+    first_rg: int
+    n_rg: int
+
+
+def _arrow_filter(filters: List[Filter]):
+    """AND-fold supported Filters into one pyarrow compute expression."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    expr = None
+
+    def field(attr) -> "pads.Expression":
+        return pc.field(*attr)
+
+    for f in filters:
+        if isinstance(f, EqualTo):
+            e = field(f.attribute) == f.value
+        elif isinstance(f, EqualNullSafe):
+            # col <=> NULL is IsNull; col <=> v is (col = v) for non-null v
+            e = field(f.attribute).is_null() if f.value is None else field(f.attribute) == f.value
+        elif isinstance(f, GreaterThan):
+            e = field(f.attribute) > f.value
+        elif isinstance(f, GreaterThanOrEqual):
+            e = field(f.attribute) >= f.value
+        elif isinstance(f, LessThan):
+            e = field(f.attribute) < f.value
+        elif isinstance(f, LessThanOrEqual):
+            e = field(f.attribute) <= f.value
+        elif isinstance(f, In):
+            e = field(f.attribute).isin(list(f.values))
+        elif isinstance(f, IsNull):
+            e = field(f.attribute).is_null()
+        elif isinstance(f, IsNotNull):
+            e = ~field(f.attribute).is_null()
+        elif isinstance(f, StringStartsWith):
+            e = pc.starts_with(field(f.attribute), f.value)
+        elif isinstance(f, Not) and isinstance(f.child, EqualTo):
+            # Spark's NOT(a = v) is 3VL: null rows must NOT pass
+            e = (~field(f.child.attribute).is_null()) & (field(f.child.attribute) != f.child.value)
+        else:  # pragma: no cover - guarded by pushFilters
+            raise ValueError(f"unsupported pushed filter {f!r}")
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
+_PUSHABLE = (
+    EqualTo,
+    EqualNullSafe,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNull,
+    IsNotNull,
+    StringStartsWith,
+)
+
+
+class LachesisReader(DataSourceReader):
+    """ScanUserSet through the DataSource API: splits, projects, and filters
+    at the Arrow layer."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = _resolve_path(options)
+        self.schema = schema
+        self.pushed: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            target = f.child if isinstance(f, Not) else f
+            # only top-level columns (nested ColumnPath pushdown would need
+            # struct-aware projection) and only operator shapes pyarrow
+            # evaluates with identical semantics to Spark
+            if (
+                isinstance(target, _PUSHABLE)
+                and len(target.attribute) == 1
+                and (not isinstance(f, Not) or isinstance(target, EqualTo))
+            ):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def partitions(self) -> List[RowGroupSpan]:
+        import pyarrow.parquet as pq
+
+        spans: list[RowGroupSpan] = []
+        for path in _parquet_files(self.path):
+            md = pq.ParquetFile(path).metadata
+            first, span_bytes = 0, 0
+            for i in range(md.num_row_groups):
+                span_bytes += md.row_group(i).total_byte_size
+                if span_bytes >= TARGET_SPLIT_BYTES:
+                    spans.append(RowGroupSpan(path, first, i - first + 1))
+                    first, span_bytes = i + 1, 0
+            if first < md.num_row_groups:
+                spans.append(RowGroupSpan(path, first, md.num_row_groups - first))
+            if md.num_row_groups == 0:
+                continue
+        return spans or [RowGroupSpan(_parquet_files(self.path)[0], 0, 0)]
+
+    def read(self, partition: RowGroupSpan) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        if partition.n_rg == 0:
+            return
+        cols = [f.name for f in self.schema.fields]
+        from pyarrow import fs as pafs
+
+        frag_format = pads.ParquetFileFormat()
+        fragment = frag_format.make_fragment(
+            partition.file,
+            filesystem=pafs.LocalFileSystem(),
+            row_groups=list(range(partition.first_rg, partition.first_rg + partition.n_rg)),
+        )
+        expr = _arrow_filter(self.pushed) if self.pushed else None
+        scanner = pads.Scanner.from_fragment(
+            fragment, columns=cols, filter=expr, use_threads=False
+        )
+        yield from scanner.to_reader()
+
+
+@dataclass
+class StagedFile(WriterCommitMessage):
+    tmp: str
+    final: str
+    rows: int
+
+
+class LachesisWriter(DataSourceArrowWriter):
+    """WriteUserSet through the DataSource API: tasks stage parquet files,
+    the driver commit renames them in (clearing old files on overwrite), so
+    concurrent readers never observe a half-written set."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = _resolve_path(options)
+        self.overwrite = overwrite
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> StagedFile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        stem = f"part-{uuid.uuid4().hex}"
+        tmp = os.path.join(self.path, f".{stem}.parquet.tmp")
+        final = os.path.join(self.path, f"{stem}.parquet")
+        writer: Optional[pq.ParquetWriter] = None
+        rows = 0
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(tmp, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return StagedFile(tmp="", final="", rows=0)
+        return StagedFile(tmp=tmp, final=final, rows=rows)
+
+    def commit(self, messages: List[Optional[StagedFile]]) -> None:
+        if self.overwrite:
+            for f in _parquet_files(self.path):
+                os.remove(f)
+        for m in messages:
+            if m is not None and m.tmp:
+                os.rename(m.tmp, m.final)
+
+    def abort(self, messages: List[Optional[StagedFile]]) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class LachesisDataSource(DataSource):
+    """The ``lachesis`` format: catalog sets as a first-class Spark source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "lachesis"
+
+    def schema(self) -> StructType:
+        import pyarrow.dataset as pads
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = _resolve_path(self.options)
+        files = _parquet_files(path)
+        if not files:
+            raise ValueError(f"no parquet files under {path}")
+        # footer-only schema read; prefer_timestamp_ntz matches how the
+        # catalog's native reads surface parquet timestamps
+        return from_arrow_schema(
+            pads.dataset(files[0], format="parquet").schema,
+            prefer_timestamp_ntz=True,
+        )
+
+    def reader(self, schema: StructType) -> LachesisReader:
+        return LachesisReader(self.options, schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> LachesisWriter:
+        return LachesisWriter(self.options, schema, overwrite)
+
+
+# -- registry query: the DataSource exercised end-to-end -------------------
+def ds_scan_pushdown(spark, sf_dir: str):
+    """Scan lineitem THROUGH the lachesis format (filters pushed to the
+    Arrow layer, aggregation in Spark) — proves the DataSource produces the
+    same bytes the native reader does, under the driver's oracle hash."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    df = spark.read.format("lachesis").load(path)
+    return (
+        df.filter((F.col("l_quantity") < 25) & (F.col("l_returnflag") == "A"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+DS_SCAN_PUSHDOWN_SQL = """
+SELECT l_linestatus, count(*) AS cnt, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity < 25 AND l_returnflag = 'A'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+QUERIES = {"ds_scan_pushdown": ds_scan_pushdown}
+ORACLE = {"ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL}
+
+
+def register(spark) -> None:
+    """Idempotently register the ``lachesis`` format on a session."""
+    # the reader implements pushFilters(); Spark refuses to plan it unless
+    # Python-source pushdown is switched on (off by default in 4.1)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(LachesisDataSource)

@@ -1,0 +1,157 @@
+"""The `lachesis` Python DataSource: read/write catalog sets as a Spark format.
+
+Covers the BASELINE.md north-star integration ("storage layer read/written
+via Spark DataSource API"): round-trip fidelity, filter pushdown reaching the
+Arrow scan (and NOT being re-evaluated by Spark), transactional
+overwrite/append, and split fan-out."""
+
+import os
+
+import pytest
+
+from lachesis_spark.catalog import Catalog
+from lachesis_spark.sources.lachesis_source import (
+    LachesisReader,
+    RowGroupSpan,
+    register,
+    set_layout,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_read_matches_native(spark):
+    path = os.path.join(SF_DIR, "orders.parquet")
+    via_source = spark.read.format("lachesis").load(path)
+    native = spark.read.parquet(path)
+    assert via_source.schema == native.schema
+    assert sorted(map(tuple, via_source.collect())) == sorted(
+        map(tuple, native.collect())
+    )
+
+
+def test_filter_pushdown_in_plan_and_correct(spark):
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+    df = (
+        spark.read.format("lachesis")
+        .load(path)
+        .filter("l_quantity < 10 AND l_returnflag = 'R'")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "LessThan(l_quantity" in plan
+    # fully-consumed pushdown: no post-scan Filter node re-checking the
+    # predicate — the Arrow scanner applied it row-exactly
+    assert "(3) Filter" not in plan
+    native = (
+        spark.read.parquet(path)
+        .filter("l_quantity < 10 AND l_returnflag = 'R'")
+        .select("l_orderkey", "l_quantity")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, native.collect()))
+
+
+def test_pushdown_three_valued_not_equal(spark, tmp_path):
+    # NOT(a = v) must not pass NULL rows (Spark 3VL); exercised via Not(EqualTo)
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id int, tag string"
+    )
+    root = str(tmp_path)
+    df.coalesce(1).write.format("lachesis").mode("overwrite").option(
+        "root", root
+    ).save("dsnull.t")
+    back = (
+        spark.read.format("lachesis")
+        .option("root", root)
+        .load("dsnull.t")
+        .filter("tag <> 'a'")
+    )
+    assert [r["id"] for r in back.collect()] == [3]
+
+
+def test_write_roundtrip_append_overwrite(spark, tmp_path):
+    root = str(tmp_path)
+    src = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    src.write.format("lachesis").option("root", root).mode("overwrite").save(
+        "db1.customer"
+    )
+    back = spark.read.format("lachesis").option("root", root).load("db1.customer")
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+    src.limit(7).write.format("lachesis").option("root", root).mode("append").save(
+        "db1.customer"
+    )
+    assert (
+        spark.read.format("lachesis").option("root", root).load("db1.customer").count()
+        == src.count() + 7
+    )
+    src.limit(3).write.format("lachesis").option("root", root).mode(
+        "overwrite"
+    ).save("db1.customer")
+    assert (
+        spark.read.format("lachesis").option("root", root).load("db1.customer").count()
+        == 3
+    )
+    # no stage leftovers
+    files = os.listdir(os.path.join(root, "db1", "customer"))
+    assert all(f.endswith(".parquet") for f in files)
+
+
+def test_reads_catalog_written_set(spark, tmp_path):
+    """A set written by Catalog.write_set is readable through the format —
+    the integration the DataSource exists for."""
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db2")
+    df = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    cat.write_set(df, "db2", "nation")
+    back = spark.read.format("lachesis").option("root", root).load("db2.nation")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_reads_bucketed_set_and_layout_metadata(spark, tmp_path):
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db3")
+    df = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    try:
+        cat.write_set(df, "db3", "orders_b", bucket_by=(4, ["o_custkey"]))
+        back = spark.read.format("lachesis").option("root", root).load("db3.orders_b")
+        assert back.count() == df.count()
+        layout = set_layout(spark, "db3", "orders_b")
+        assert layout["num_buckets"] == 4
+        assert layout["bucket_cols"] == ["o_custkey"]
+    finally:
+        cat.remove_set("db3", "orders_b")
+
+
+def test_row_group_spans_cover_all_rows(spark):
+    """partitions() must cover every row group exactly once."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(SF_DIR, "lineitem.parquet")
+
+    class Opts(dict):
+        pass
+
+    reader = LachesisReader({"path": path}, spark.read.parquet(path).schema)
+    spans = reader.partitions()
+    per_file: dict[str, list[int]] = {}
+    for s in spans:
+        assert isinstance(s, RowGroupSpan)
+        per_file.setdefault(s.file, []).extend(
+            range(s.first_rg, s.first_rg + s.n_rg)
+        )
+    for f, rgs in per_file.items():
+        assert sorted(rgs) == list(range(pq.ParquetFile(f).metadata.num_row_groups))
