@@ -55,6 +55,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -315,6 +317,103 @@ class LachesisWriter(DataSourceArrowWriter):
                 os.remove(m.tmp)
 
 
+# -- streaming surface ------------------------------------------------------
+#
+# A catalog set is append-only between compactions (writers stage files and
+# rename them in), so it streams the way Spark's native file source does:
+# the offset is the high-water mark over (mtime, name) of committed parquet
+# files, and each microbatch is "the files that appeared since".  This makes
+# `readStream.format("lachesis")` the CDC tail of any set a batch or
+# streaming job is appending to — the operational loop (ingest appends,
+# downstream stream follows) with one format string.
+
+
+def _file_key(path: str) -> list:
+    # lexicographic (mtime, name) — name tiebreaks equal mtimes; JSON-safe
+    return [os.path.getmtime(path), path]
+
+
+class LachesisStreamReader(DataSourceStreamReader):
+    """Microbatch reader: files-appeared-since-offset, split like the batch
+    reader (row-group spans), Arrow batches out."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = _resolve_path(options)
+        self.schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"key": [0.0, ""]}
+
+    def latestOffset(self) -> dict:
+        keys = [_file_key(f) for f in _parquet_files(self.path)]
+        return {"key": max(keys)} if keys else {"key": [0.0, ""]}
+
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.parquet as pq
+
+        lo, hi = start["key"], end["key"]
+        spans: list[RowGroupSpan] = []
+        for f in _parquet_files(self.path):
+            if lo < _file_key(f) <= hi:
+                n_rg = pq.ParquetFile(f).metadata.num_row_groups
+                first = 0
+                while first < n_rg:
+                    n = max(1, min(n_rg - first, 8))
+                    spans.append(RowGroupSpan(f, first, n))
+                    first += n
+        return spans
+
+    def read(self, partition: RowGroupSpan) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as pads
+        from pyarrow import fs as pafs
+
+        frag = pads.ParquetFileFormat().make_fragment(
+            partition.file,
+            filesystem=pafs.LocalFileSystem(),
+            row_groups=list(range(partition.first_rg, partition.first_rg + partition.n_rg)),
+        )
+        scanner = pads.Scanner.from_fragment(
+            frag, columns=[f.name for f in self.schema.fields], use_threads=False
+        )
+        yield from scanner.to_reader()
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing source-side to gc
+
+
+class LachesisStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once microbatch sink into a set: tasks stage files, the
+    driver commit renames them in and drops a ``_commits/<epoch>`` marker
+    first-writer-wins, so a replayed epoch (driver restart, retried batch)
+    discards its staged files instead of double-appending — the same
+    idempotent-sink contract the catalog's foreachBatch+MERGE path gives,
+    without user code."""
+
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = _resolve_path(options)
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> StagedFile:
+        return LachesisWriter.write(self, iterator)  # same staging protocol
+
+    def commit(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
+        marker_dir = os.path.join(self.path, "_commits")
+        os.makedirs(marker_dir, exist_ok=True)
+        marker = os.path.join(marker_dir, str(batchId))
+        if os.path.exists(marker):  # replayed epoch: someone already won
+            self.abort(messages, batchId)
+            return
+        for m in messages:
+            if m is not None and m.tmp:
+                os.rename(m.tmp, m.final)
+        with open(marker, "w") as fh:
+            fh.write("")
+
+    def abort(self, messages: List[Optional[StagedFile]], batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.tmp and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
 class LachesisDataSource(DataSource):
     """The ``lachesis`` format: catalog sets as a first-class Spark source."""
 
@@ -343,6 +442,12 @@ class LachesisDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> LachesisWriter:
         return LachesisWriter(self.options, schema, overwrite)
+
+    def streamReader(self, schema: StructType) -> LachesisStreamReader:
+        return LachesisStreamReader(self.options, schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> LachesisStreamWriter:
+        return LachesisStreamWriter(self.options, schema, overwrite)
 
 
 # -- registry query: the DataSource exercised end-to-end -------------------
@@ -373,8 +478,41 @@ WHERE l_quantity < 25 AND l_returnflag = 'A'
 GROUP BY l_linestatus ORDER BY l_linestatus
 """
 
-QUERIES = {"ds_scan_pushdown": ds_scan_pushdown}
-ORACLE = {"ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL}
+
+def ds_stream_tail(spark, sf_dir: str):
+    """Tail the events set THROUGH the lachesis stream reader (availableNow
+    replay into a memory sink) — complete-mode replay of a bounded set
+    equals the batch aggregate, so the DuckDB oracle is binding."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    src = (
+        spark.readStream.format("lachesis")
+        .load(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q = (
+        src.writeStream.format("memory")
+        .queryName("q_ds_stream_tail")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_ds_stream_tail")
+
+
+DS_STREAM_TAIL_SQL = """
+SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+QUERIES = {"ds_scan_pushdown": ds_scan_pushdown, "ds_stream_tail": ds_stream_tail}
+ORACLE = {
+    "ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL,
+    "ds_stream_tail": DS_STREAM_TAIL_SQL,
+}
 
 
 def register(spark) -> None:

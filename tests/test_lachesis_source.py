@@ -136,6 +136,62 @@ def test_reads_bucketed_set_and_layout_metadata(spark, tmp_path):
         cat.remove_set("db3", "orders_b")
 
 
+def test_stream_roundtrip_incremental_exactly_once(spark, tmp_path):
+    """readStream/writeStream through the format: a second availableNow run
+    off the same checkpoint picks up ONLY files appended since — the CDC
+    tail of a set — and the sink's epoch markers dedupe replays."""
+    root = str(tmp_path / "root")
+    ck = str(tmp_path / "ck")
+    src_dir = os.path.join(root, "db", "src")
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    ev.limit(100).coalesce(1).write.mode("overwrite").parquet(src_dir)
+
+    def run_once():
+        q = (
+            spark.readStream.format("lachesis")
+            .option("root", root)
+            .load("db.src")
+            .writeStream.format("lachesis")
+            .option("root", root)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start("db.dst")
+        )
+        q.awaitTermination()
+
+    run_once()
+    dst = lambda: spark.read.format("lachesis").option("root", root).load("db.dst")
+    assert dst().count() == 100
+    ev.limit(150).coalesce(1).write.mode("append").parquet(src_dir)
+    run_once()
+    assert dst().count() == 250
+    # schema + values survive the trip (batch 0 ∪ batch 1 == source rows)
+    src_rows = sorted(map(tuple, spark.read.parquet(src_dir).collect()))
+    assert sorted(map(tuple, dst().collect())) == src_rows
+
+
+def test_stream_writer_replayed_epoch_is_discarded(spark, tmp_path):
+    """A retried microbatch (same epoch id) must not double-append."""
+    import pyarrow as pa
+
+    from lachesis_spark.sources.lachesis_source import LachesisStreamWriter
+
+    path = str(tmp_path / "set")
+    w = LachesisStreamWriter({"path": path}, None, overwrite=False)
+    batch = pa.record_batch({"x": pa.array([1, 2, 3])})
+    m1 = w.write(iter([batch]))
+    w.commit([m1], batchId=7)
+    m2 = w.write(iter([batch]))  # replay of epoch 7
+    w.commit([m2], batchId=7)
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    assert pq.read_table(files[0]).num_rows == 3
+
+
 def test_row_group_spans_cover_all_rows(spark):
     """partitions() must cover every row group exactly once."""
     import pyarrow.parquet as pq
