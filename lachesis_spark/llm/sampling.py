@@ -369,3 +369,60 @@ ORACLE = {
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 7. Per-domain cap (RefinedWeb-style, Penedo et al. 2023, arXiv:2306.01116):
+#    web corpora are dominated by a few giant domains; capping documents per
+#    domain is a standard diversity control.  The kept subset must be a
+#    *uniform* sample of each domain (not its first rows) and deterministic
+#    across runs/cluster sizes, so rank within domain orders by the seeded
+#    key hash: one shuffle on the domain key, skew-bounded by the same
+#    grouped-top-k shape sample_stratified uses.
+DOMAIN_CAP = 40
+SEED_DOMCAP = 77
+
+
+def cap_per_domain(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    cap: int = DOMAIN_CAP,
+    seed: int = SEED_DOMCAP,
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        H.h60_seeded(F.col(key_col).cast("string"), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    capped = cap_per_domain(docs, "doc_id", "source")
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+
+
+SAMPLE_DOMAIN_CAP_SQL = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {H.sql_h60_seeded(_KEY_SQL, SEED_DOMCAP)}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM ranked WHERE rn <= {DOMAIN_CAP} GROUP BY source
+"""
+
+QUERIES["sample_domain_cap"] = sample_domain_cap
+ORACLE["sample_domain_cap"] = SAMPLE_DOMAIN_CAP_SQL
