@@ -426,3 +426,113 @@ FROM ranked WHERE rn <= {DOMAIN_CAP} GROUP BY source
 
 QUERIES["sample_domain_cap"] = sample_domain_cap
 ORACLE["sample_domain_cap"] = SAMPLE_DOMAIN_CAP_SQL
+
+
+# ---------------------------------------------------------------------------
+# 8. DSIR importance selection (Xie et al. 2023, arXiv:2302.03169): select
+#    raw documents whose hashed-n-gram feature distribution looks like a
+#    TARGET corpus.  Both LMs live in a fixed B-bucket hashed feature space
+#    (the paper's trick: the model is O(B), never O(vocab)), so the two
+#    models broadcast everywhere and scoring the 100 TB raw corpus is one
+#    token explode + one broadcast join + one groupBy.  log w(x) =
+#    sum_b n_b(x)(log p_T(b) - log p_R(b)), add-one smoothed; here the
+#    target is the lang='en' slice and selection is deterministic top-N by
+#    (rounded) log-weight — the Gumbel top-k of the paper with the noise
+#    term dropped so the DuckDB oracle is exact.
+DSIR_BUCKETS = 256
+DSIR_N = 150
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight of ``docs`` against ``target``."""
+
+    def doc_buckets(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("w")
+        )
+        return toks.select("doc_id", (H.h60("w") % n_buckets).alias("b"))
+
+    def lm(df_buckets: DataFrame) -> DataFrame:
+        # add-one smoothing over the fixed bucket space
+        counts = df_buckets.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        tot = counts.agg(F.sum("c").alias("tot"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "b",
+            F.log((F.col("c") + 1.0) / (F.col("tot") + float(n_buckets))).alias("lp"),
+        )
+
+    raw_b = doc_buckets(docs)
+    lm_t = lm(doc_buckets(target)).withColumnRenamed("lp", "lp_t")
+    lm_r = lm(raw_b).withColumnRenamed("lp", "lp_r")
+    ratio = F.broadcast(lm_t.join(lm_r, "b"))  # <= n_buckets rows
+    return (
+        raw_b.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(ratio, "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("n") * (F.col("lp_t") - F.col("lp_r"))).alias("logw"))
+    )
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
+    lw = dsir_logweights(docs, target)
+    return (
+        lw.join(docs.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.round("logw", 6).alias("logw"))
+        .orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(DSIR_N)
+    )
+
+
+_DSIR_TOKS = """
+  SELECT doc_id,
+         {h} % {B} AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+        FROM {src})
+"""
+
+
+def _dsir_sql() -> str:
+    h = H.sql_h60("w")
+    B = DSIR_BUCKETS
+    raw = _DSIR_TOKS.format(h=h, B=B, src="documents")
+    tgt = _DSIR_TOKS.format(
+        h=h, B=B, src=f"(SELECT * FROM documents WHERE lang = '{DSIR_TARGET_LANG}')"
+    )
+    return f"""
+WITH raw_b AS ({raw}),
+tgt_b AS ({tgt}),
+lm_t AS (
+  SELECT b, ln((count(*) + 1.0) / (sum(count(*)) OVER () + {B}.0)) AS lp_t
+  FROM tgt_b GROUP BY b
+),
+lm_r AS (
+  SELECT b, ln((count(*) + 1.0) / (sum(count(*)) OVER () + {B}.0)) AS lp_r
+  FROM raw_b GROUP BY b
+),
+nb AS (SELECT doc_id, b, count(*) AS n FROM raw_b GROUP BY doc_id, b),
+lw AS (
+  SELECT nb.doc_id, sum(nb.n * (lm_t.lp_t - lm_r.lp_r)) AS logw
+  FROM nb JOIN lm_t ON nb.b = lm_t.b JOIN lm_r ON nb.b = lm_r.b
+  GROUP BY nb.doc_id
+)
+SELECT lw.doc_id, d.lang, round(lw.logw, 6) AS logw
+FROM lw JOIN documents d ON d.doc_id = lw.doc_id
+ORDER BY round(lw.logw, 6) DESC, lw.doc_id
+LIMIT {DSIR_N}
+"""
+
+
+SAMPLE_DSIR_SQL = _dsir_sql()
+
+QUERIES["sample_dsir"] = sample_dsir
+ORACLE["sample_dsir"] = SAMPLE_DSIR_SQL
