@@ -124,3 +124,43 @@ def test_weighted_sample_is_biased_toward_heavy_docs(spark):
     mean_all = docs.agg(F.avg("n_chars")).first()[0]
     mean_sample = a.agg(F.avg("n_chars")).first()[0]
     assert mean_sample > mean_all
+
+
+def test_domain_cap_bounds_every_source_and_is_repartition_stable(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    capped = S.cap_per_domain(docs, "doc_id", "source", cap=7)
+    per_src = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per_src)
+    # sources with >= 7 docs are capped exactly at 7 (uniform keep, not drop-all)
+    big = {
+        r["source"]
+        for r in docs.groupBy("source").count().collect()
+        if r["count"] >= 7
+    }
+    assert all(r["count"] == 7 for r in per_src if r["source"] in big)
+    # membership is a function of (key, domain) alone — stable under layout
+    again = S.cap_per_domain(docs.repartition(13), "doc_id", "source", cap=7)
+    assert sorted(r["doc_id"] for r in capped.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+
+
+def test_dsir_selection_enriches_target_language(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    picked = S.sample_dsir(spark, SF_SMOKE)
+    frac_target_corpus = (
+        docs.where(F.col("lang") == S.DSIR_TARGET_LANG).count() / docs.count()
+    )
+    frac_target_picked = (
+        picked.where(F.col("lang") == S.DSIR_TARGET_LANG).count() / picked.count()
+    )
+    # importance selection against an 'en' target must enrich 'en'
+    assert frac_target_picked > frac_target_corpus
