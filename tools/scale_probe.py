@@ -85,10 +85,24 @@ def build_scaled(spark: SparkSession, src: str, out: str, factor: int) -> None:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * STRIDE)).cast("long"))
             if name == "documents" and i > 0:
                 # decorrelate text across copies: otherwise every doc gains
-                # factor-1 exact twins and dedup group sizes grow with N by
-                # construction (pairs ~ N^2), drowning the engine signal
-                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" v{i}")))
-                c = c.withColumn("n_chars", F.col("n_chars") + F.lit(len(f" v{i}")))
+                # factor-1 near-twins and dedup pair counts grow as N^2 by
+                # construction, drowning the engine signal.  A suffix is not
+                # enough — MinHash shingles would still collide across
+                # copies — so prefix EVERY token with a copy tag, which
+                # rewrites every shingle while preserving token count and
+                # frequency shape.
+                tag = f"c{i}_"
+                c = c.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda t: F.concat(F.lit(tag), t),
+                        ),
+                        " ",
+                    ),
+                )
+                c = c.withColumn("n_chars", F.length("text"))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:
