@@ -342,9 +342,12 @@ ORACLE["text_langid_ngram"] = _langid_ngram_sql()
 #    Aggregated per lang with a flagged-fraction at the Gopher-ish 0.2
 #    threshold on top_bigram_share.
 #
-#    Scale: explode(bigrams) -> groupBy(doc, bigram) -> groupBy(doc) ->
-#    groupBy(lang): three shuffles, each strictly reducing — linear in
-#    corpus token count, no per-doc state beyond the aggregation.
+#    Scale: the max bigram multiplicity is the longest run of equal adjacent
+#    elements in the SORTED bigram array, so the whole per-doc computation is
+#    expression-only (array_sort + one aggregate() fold) — no bigram explode,
+#    no (doc, bigram) shuffle.  The only shuffle left is the final per-lang
+#    aggregation; per-doc work is O(n log n) local sort vs the old plan's
+#    corpus×token-count row blow-up through two exchanges.
 REP_SHARE_FLAG = 0.2
 
 
@@ -362,13 +365,27 @@ def text_repetition(spark, sf_dir):
             "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"
         ).alias("bigrams"),
     ).where(F.col("n_words") >= 2)
-    bg = base.select("doc_id", "lang", "n_words", "n_distinct",
-                     F.explode("bigrams").alias("bg"))
-    per_bg = bg.groupBy("doc_id", "lang", "n_words", "n_distinct", "bg").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    per_doc = per_bg.groupBy("doc_id", "lang", "n_words", "n_distinct").agg(
-        (F.max("c") / F.sum("c")).alias("top_bigram_share")
+    # longest equal-run in the sorted array == max multiplicity == max(c)
+    per_doc = base.withColumn("s", F.array_sort("bigrams")).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_distinct",
+        (
+            F.when(F.size("s") <= 1, F.lit(1.0)).otherwise(
+                F.expr(
+                    "CAST(aggregate("
+                    " sequence(1, size(s) - 1),"
+                    " named_struct('run', 1, 'best', 1),"
+                    " (acc, i) -> named_struct("
+                    "   'run', IF(s[i] = s[i - 1], acc.run + 1, 1),"
+                    "   'best', greatest(acc.best,"
+                    "     IF(s[i] = s[i - 1], acc.run + 1, 1))),"
+                    " acc -> acc.best) AS DOUBLE)"
+                )
+            )
+            / F.size("s")
+        ).alias("top_bigram_share"),
     )
     return (
         per_doc.groupBy("lang")

@@ -1,0 +1,426 @@
+"""Training-corpus construction operators: tokenizer training, quality
+classification, sharding, and token-budget mixture planning.
+
+These close the loop the other ``llm/`` modules start: after a corpus is
+deduped (``dedup``), scrubbed (``scrub``), scored (``textstats``) and
+sampled (``sampling``), a pretraining pipeline still has to (a) train its
+tokenizer on the corpus, (b) train/apply a learned quality filter, (c)
+materialize the corpus as balanced shards for the data loader, and (d)
+decide per-source sampling rates for a fixed token budget.  The reference
+engine has none of this surface (SURVEY §2.8 gap list) — these are
+beyond-reference capabilities in the same oracle-gated style.
+
+Operators
+---------
+- ``tok_bpe_train``     : two distributed rounds of BPE merge training —
+  corpus-wide adjacent-symbol pair counting, argmax merge selection, merge
+  application, recount.  Pair counting is the scale-relevant step: the
+  corpus collapses to its vocabulary (``groupBy(word)``) before any
+  per-character work, so the expensive expressions run once per distinct
+  word, not once per token, and the only big shuffle carries (word, count).
+- ``quality_classifier``: distributed logistic-regression training by
+  batch gradient descent — per-row gradients are column expressions, each
+  iteration is ONE aggregation producing a d+1-vector (map-side combined),
+  the driver holds only the weight vector (the same bounded-collect pattern
+  as k-means centroids).  Label: is-English from surface features, so the
+  run is fully deterministic and oracle-checkable.
+- ``shard_corpus``      : deterministic hash sharding of the corpus into
+  ``N_SHARDS`` balanced shards (the data-loader layout step); the query
+  form returns per-shard balance stats, ``write_shards`` materializes one
+  file per shard.
+- ``sample_token_budget``: given per-source mixture weights and a global
+  token budget, compute per-source keep-rates / epoch counts in one scan +
+  one tiny aggregation — the planner that feeds ``sampling.mix_sources``.
+
+Scale notes
+-----------
+- ``tok_bpe_train`` at 100 TB: token explode → (word, count) is the only
+  corpus-sized shuffle and it is map-side combined; everything after runs
+  on the vocabulary (``|V|`` ~ millions of rows, KBs per row).  This is the
+  standard scalable BPE formulation (count once, merge on the vocab).
+- ``quality_classifier`` moves d+1 doubles per iteration to the driver;
+  corpus size only affects the scan.  3 iterations = 3 scans; cache the
+  (tiny) feature projection to make them 3 in-memory passes.
+- ``shard_corpus`` is scan + one shuffle by shard id, the minimum any
+  full-corpus re-layout can do.
+
+Merge-application correctness: the round-1 merge is applied by string
+``replace`` on the space-joined SINGLE-CHARACTER symbol sequence.  With
+one-char symbols the string alternates char/space, so every occurrence of
+``'a b'`` is symbol-aligned, and left-to-right non-overlapping replacement
+is exactly BPE's greedy-left merge order.  (With multi-char symbols string
+replace could false-match across symbol boundaries, which is why this
+module counts — but never string-replaces — in round 2.)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions import hashing as H
+from lachesis_spark.functions import text as TX
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+SEED_SHARD = 2401
+N_SHARDS = 32
+BPE_TOP = 10
+LR = 1.0
+GD_ITERS = 3
+TOKEN_BUDGET = 2_000_000
+MIX_WEIGHTS = (("src0", 0.3), ("src5", 0.3), ("src10", 0.2), ("src15", 0.2))
+
+_SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Distributed BPE tokenizer training (two unrolled merge rounds)
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """(seq, c) -> (pair, cnt): adjacent-symbol pairs weighted by word count.
+
+    ``seq`` is the space-joined symbol sequence; symbols never contain
+    spaces.  Guarded so 1-symbol sequences yield no pairs (Spark's
+    ``sequence(1, 0)`` counts DOWN, unlike DuckDB's empty list).
+    """
+    pairs = vocab.select(
+        "c",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(seq, ' ')) < 2 THEN array()"
+                " ELSE transform(sequence(0, size(split(seq, ' ')) - 2),"
+                "   i -> concat(split(seq, ' ')[i], ' ', split(seq, ' ')[i + 1]))"
+                " END"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
+
+
+def bpe_train_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(p1, p2, best1): round-1 pair counts, the selected merge, and the
+    post-merge round-2 pair counts, for any ``documents``-shaped input."""
+    # corpus -> vocabulary: the only corpus-sized shuffle, map-side combined
+    wc = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seqs = wc.select(
+        "c",
+        F.expr(
+            "array_join(transform(sequence(1, length(w)),"
+            " i -> substring(w, i, 1)), ' ')"
+        ).alias("seq"),
+    ).cache()
+    p1 = bpe_pair_counts(seqs).cache()
+    best1 = (
+        p1.orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.col("pair").alias("bp"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+        )
+    )
+    seqs2 = seqs.crossJoin(F.broadcast(best1)).select(
+        "c", F.replace(F.col("seq"), F.col("bp"), F.col("merged")).alias("seq")
+    )
+    p2 = bpe_pair_counts(seqs2)
+    return p1, p2, best1
+
+
+def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p1, p2, _ = bpe_train_rounds(_docs(spark, sf_dir))
+    from pyspark.sql import Window
+
+    def topk(p: DataFrame, rnd: int) -> DataFrame:
+        w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+        return (
+            p.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= BPE_TOP)
+            .select(F.lit(rnd).alias("round"), "rnk", "pair", "cnt")
+        )
+
+    return topk(p1, 1).unionAll(topk(p2, 2))
+
+
+_BPE_PAIRS_SQL = (
+    "CASE WHEN len(string_split(seq, ' ')) < 2 THEN []"
+    " ELSE list_transform(generate_series(1, len(string_split(seq, ' ')) - 1),"
+    "   i -> string_split(seq, ' ')[i] || ' ' || string_split(seq, ' ')[i + 1])"
+    " END"
+)
+
+TOK_BPE_TRAIN_SQL = f"""
+WITH wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+seqs AS (
+  SELECT c,
+         array_to_string(list_transform(generate_series(1, length(w)),
+                                        i -> substr(w, i, 1)), ' ') AS seq
+  FROM wc
+),
+p1 AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT c, unnest({_BPE_PAIRS_SQL}) AS pair FROM seqs)
+  GROUP BY pair
+),
+b1 AS (
+  SELECT pair AS bp, replace(pair, ' ', '') AS merged
+  FROM p1 ORDER BY cnt DESC, pair LIMIT 1
+),
+seqs2 AS (
+  SELECT c, replace(seq, (SELECT bp FROM b1), (SELECT merged FROM b1)) AS seq
+  FROM seqs
+),
+p2 AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT c, unnest({_BPE_PAIRS_SQL}) AS pair FROM seqs2)
+  GROUP BY pair
+),
+r1 AS (
+  SELECT 1 AS round,
+         CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk,
+         pair, cnt
+  FROM p1
+),
+r2 AS (
+  SELECT 2 AS round,
+         CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk,
+         pair, cnt
+  FROM p2
+)
+SELECT round, rnk, pair, cnt FROM r1 WHERE rnk <= {BPE_TOP}
+UNION ALL
+SELECT round, rnk, pair, cnt FROM r2 WHERE rnk <= {BPE_TOP}
+"""
+
+QUERIES["tok_bpe_train"] = tok_bpe_train
+ORACLE["tok_bpe_train"] = TOK_BPE_TRAIN_SQL
+
+
+# ---------------------------------------------------------------------------
+# 2. Distributed logistic-regression quality classifier (batch GD, unrolled)
+def _features(docs: DataFrame) -> DataFrame:
+    toks = docs.select(
+        "lang", TX.tokens(F.lower(F.col("text"))).alias("t")
+    ).where(F.size("t") >= 1)
+    return toks.select(
+        F.when(F.col("lang") == "en", F.lit(1.0)).otherwise(F.lit(0.0)).alias("y"),
+        (F.least(F.size("t"), F.lit(200)) / F.lit(200.0)).alias("x1"),
+        (
+            F.aggregate(F.col("t"), F.lit(0.0), lambda a, t: a + F.length(t))
+            / F.size("t").cast("double")
+            / F.lit(10.0)
+        ).alias("x2"),
+        (F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias("x3"),
+    )
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 batch-GD iterations of logistic regression predicting is-English
+    from surface features; returns the learned weights + training accuracy.
+
+    Per iteration the cluster moves exactly d+1 doubles to the driver (the
+    gradient) — the bounded-collect pattern, identical in shape to k-means
+    centroid updates (``iterative.py``).
+    """
+    feat = _features(_docs(spark, sf_dir)).cache()
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(GD_ITERS):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        d = p - F.col("y")
+        g = feat.agg(
+            F.avg(d).alias("g0"),
+            F.avg(d * F.col("x1")).alias("g1"),
+            F.avg(d * F.col("x2")).alias("g2"),
+            F.avg(d * F.col("x3")).alias("g3"),
+        ).collect()[0]
+        w = [w[j] - LR * g[j] for j in range(4)]
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    acc_row = feat.agg(
+        F.avg(
+            F.when((p >= 0.5) == (F.col("y") == 1.0), 1.0).otherwise(0.0)
+        ).alias("train_acc"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return acc_row.select(
+        *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
+        F.round(F.col("train_acc"), 6).alias("train_acc"),
+        "n_rows",
+    )
+
+
+_P_SQL = "1.0 / (1.0 + exp(-(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)))"
+
+
+def _classifier_sql() -> str:
+    """Unrolled batch-GD CTE chain mirroring ``quality_classifier``
+    arithmetic exactly: it{i} holds the weight vector after i updates."""
+    ctes = [
+        f"""feat AS (
+  SELECT CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+         CAST(least(len(t), 200) AS DOUBLE) / 200.0 AS x1,
+         list_sum(list_transform(t, s -> CAST(length(s) AS DOUBLE)))
+           / len(t) / 10.0 AS x2,
+         CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS x3
+  FROM (SELECT lang, {_SQL_TOKENS} AS t FROM documents)
+  WHERE len(t) >= 1
+)""",
+        "it0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,"
+        " CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3)",
+    ]
+    for i in range(GD_ITERS):
+        ctes.append(
+            f"""gd{i} AS (
+  SELECT avg(({_P_SQL} - y)) AS g0,
+         avg(({_P_SQL} - y) * x1) AS g1,
+         avg(({_P_SQL} - y) * x2) AS g2,
+         avg(({_P_SQL} - y) * x3) AS g3
+  FROM feat, it{i} w
+)"""
+        )
+        ctes.append(
+            f"""it{i + 1} AS (
+  SELECT w.w0 - {LR!r} * g.g0 AS w0, w.w1 - {LR!r} * g.g1 AS w1,
+         w.w2 - {LR!r} * g.g2 AS w2, w.w3 - {LR!r} * g.g3 AS w3
+  FROM it{i} w, gd{i} g
+)"""
+        )
+    final = f"""SELECT round(w.w0, 6) AS w0, round(w.w1, 6) AS w1,
+       round(w.w2, 6) AS w2, round(w.w3, 6) AS w3,
+       round(avg(CASE WHEN ({_P_SQL} >= 0.5) = (y = 1.0)
+                 THEN 1.0 ELSE 0.0 END), 6) AS train_acc,
+       count(*) AS n_rows
+FROM feat, it{GD_ITERS} w
+GROUP BY w.w0, w.w1, w.w2, w.w3"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+QUERIES["quality_classifier"] = quality_classifier
+ORACLE["quality_classifier"] = _classifier_sql()
+
+
+# ---------------------------------------------------------------------------
+# 3. Deterministic corpus sharding
+def assign_shard(df: DataFrame, key_col: str = "doc_id", n_shards: int = N_SHARDS):
+    return df.withColumn(
+        "shard", H.h60_seeded(df[key_col].cast("string"), SEED_SHARD) % n_shards
+    )
+
+
+def shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = assign_shard(_docs(spark, sf_dir))
+    return docs.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SHARD_CORPUS_SQL = f"""
+SELECT {H.sql_h60_seeded('CAST(doc_id AS VARCHAR)', SEED_SHARD)} % {N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+QUERIES["shard_corpus"] = shard_corpus
+ORACLE["shard_corpus"] = SHARD_CORPUS_SQL
+
+
+def write_shards(df: DataFrame, path: str, key_col: str = "doc_id",
+                 n_shards: int = N_SHARDS) -> None:
+    """Materialize the corpus as exactly one parquet file per shard.
+
+    ``repartition(n_shards, 'shard')`` puts each shard id wholly inside one
+    task, so ``partitionBy('shard')`` emits exactly one file per shard —
+    the fixed-layout contract data loaders want.  Assignment is a pure
+    function of the key: re-running on a re-partitioned or grown cluster
+    reproduces byte-identical shard membership.
+    """
+    sharded = assign_shard(df, key_col, n_shards)
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Token-budget mixture planner
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    wmap = dict(MIX_WEIGHTS)
+    weight = F.col("source")
+    expr = F.lit(None).cast("double")
+    for s, wt in MIX_WEIGHTS:
+        expr = F.when(weight == s, F.lit(wt)).otherwise(expr)
+    per_src = (
+        docs.where(F.col("source").isin(*wmap))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(TX.tokens(F.col("text")))).alias("tokens"),
+        )
+        .withColumn("weight", expr)
+    )
+    target = F.col("weight") * F.lit(float(TOKEN_BUDGET))
+    return per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "weight",
+        F.round(target, 6).alias("target_tokens"),
+        F.round(F.least(F.lit(1.0), target / F.col("tokens")), 6).alias("keep_rate"),
+        F.round(target / F.col("tokens"), 6).alias("epochs"),
+    )
+
+
+_W_CASE = " ".join(
+    f"WHEN source = '{s}' THEN {w!r}" for s, w in MIX_WEIGHTS
+)
+_SRC_IN = ", ".join(f"'{s}'" for s, _ in MIX_WEIGHTS)
+
+SAMPLE_TOKEN_BUDGET_SQL = f"""
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS tokens,
+         CAST(CASE {_W_CASE} END AS DOUBLE) AS weight
+  FROM documents
+  WHERE source IN ({_SRC_IN})
+  GROUP BY source
+)
+SELECT source, n_docs, tokens, weight,
+       round(weight * {float(TOKEN_BUDGET)!r}, 6) AS target_tokens,
+       round(least(CAST(1.0 AS DOUBLE), weight * {float(TOKEN_BUDGET)!r} / tokens), 6) AS keep_rate,
+       round(weight * {float(TOKEN_BUDGET)!r} / tokens, 6) AS epochs
+FROM per_src
+"""
+
+QUERIES["sample_token_budget"] = sample_token_budget
+ORACLE["sample_token_budget"] = SAMPLE_TOKEN_BUDGET_SQL

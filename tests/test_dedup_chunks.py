@@ -1,0 +1,52 @@
+"""Chunk-level exact substring dedup (llm.dedup.dedup_chunks)."""
+
+from __future__ import annotations
+
+from lachesis_spark.llm import dedup as DD
+from tests.conftest import SF_SMOKE
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_shared_chunk_detected(spark, monkeypatch):
+    shared = " ".join(f"w{i}" for i in range(DD.CHUNK_W))
+    uniq_a = " ".join(f"a{i}" for i in range(DD.CHUNK_W))
+    uniq_b = " ".join(f"b{i}" for i in range(DD.CHUNK_W))
+    docs = _mkdocs(
+        spark,
+        [
+            # chunks [shared, uniq_a]: shared is in doc 1, uniq_a in doc 2
+            # -> both duplicated -> frac 1.0
+            (f"{shared} {uniq_a}", "s1"),
+            # chunks [shared, uniq_b]: only shared is cross-doc -> frac 0.5
+            (f"{shared} {uniq_b}", "s2"),
+            # chunks [uniq_a, uniq_a]: uniq_a also in doc 0 -> frac 1.0
+            (uniq_a + " " + uniq_a, "s3"),
+        ],
+    )
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir: docs)
+    out = {r["source"]: r for r in DD.dedup_chunks(spark, "ignored").collect()}
+    assert out["s1"]["avg_dup_chunk_frac"] == 1.0
+    assert out["s2"]["avg_dup_chunk_frac"] == 0.5
+    assert out["s3"]["avg_dup_chunk_frac"] == 1.0
+    assert out["s2"]["n_heavy_dup"] == 1  # 0.5 >= CHUNK_HEAVY
+    assert out["s1"]["n_heavy_dup"] == 1 and out["s3"]["n_heavy_dup"] == 1
+
+
+def test_short_docs_excluded(spark, monkeypatch):
+    docs = _mkdocs(spark, [("too short", "s1")])
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir: docs)
+    assert DD.dedup_chunks(spark, "ignored").count() == 0
+
+
+def test_fracs_bounded_on_corpus(spark):
+    rows = DD.dedup_chunks(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_dup_chunk_frac"] <= 1.0
+        assert 0 <= r["n_heavy_dup"] <= r["n_docs"]

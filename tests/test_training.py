@@ -1,0 +1,121 @@
+"""Tests for llm.training: BPE merge training, the GD quality classifier,
+deterministic sharding, and the token-budget planner."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lachesis_spark.llm import training as TR
+from tests.conftest import SF_SMOKE
+
+
+# ---------------------------------------------------------------------------
+# BPE
+def test_bpe_pair_counts_weighted(spark):
+    # vocab: 'ab' ×3, 'abc' ×2  →  pair 'a b' count 5, 'b c' count 2
+    vocab = spark.createDataFrame(
+        [("a b", 3), ("a b c", 2)], ["seq", "c"]
+    )
+    rows = {r["pair"]: r["cnt"] for r in TR.bpe_pair_counts(vocab).collect()}
+    assert rows == {"a b": 5, "b c": 2}
+
+
+def test_bpe_single_symbol_words_yield_no_pairs(spark):
+    vocab = spark.createDataFrame([("x", 7)], ["seq", "c"])
+    assert TR.bpe_pair_counts(vocab).count() == 0
+
+
+def test_bpe_train_round2_reflects_merge(spark):
+    out = TR.tok_bpe_train(spark, SF_SMOKE).collect()
+    r1 = [r for r in out if r["round"] == 1]
+    r2 = [r for r in out if r["round"] == 2]
+    assert len(r1) == TR.BPE_TOP and len(r2) == TR.BPE_TOP
+    best1 = min(r1, key=lambda r: r["rnk"])
+    # the merged pair can no longer occur in round 2 (replace is exhaustive
+    # on single-char symbol sequences)
+    assert all(r["pair"] != best1["pair"] for r in r2)
+
+
+def test_bpe_merge_semantics_exact(spark):
+    # corpus: 'aab' ×2, 'ab', 'aaa'  →  round-1 pairs:
+    #   'a a': 2 (from aab) + 2 (from aaa, overlapping counts both adjacencies)
+    #   'a b': 2 (aab) + 1 (ab)
+    # winner 'a a' (4 > 3); greedy-left merge: aab→'aa b', aaa→'aa a'
+    docs = spark.createDataFrame(
+        [(1, "aab aab ab aaa", "en", "s", 14)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    p1, p2, best1 = TR.bpe_train_rounds(docs)
+    p1d = {r["pair"]: r["cnt"] for r in p1.collect()}
+    assert p1d == {"a a": 4, "a b": 3}
+    b = best1.collect()[0]
+    assert b["bp"] == "a a" and b["merged"] == "aa"
+    p2d = {r["pair"]: r["cnt"] for r in p2.collect()}
+    # aab(×1 distinct word, corpus count folded in wc: 'aab' appears 2×):
+    # 'aa b' ×2; 'ab' stays 'a b' ×1; 'aaa' → 'aa a' ×1
+    assert p2d == {"aa b": 2, "a b": 1, "aa a": 1}
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier
+def test_quality_classifier_learns_signal(spark):
+    row = TR.quality_classifier(spark, SF_SMOKE).collect()[0]
+    ws = [row[f"w{j}"] for j in range(4)]
+    assert all(abs(w) < 100 for w in ws)
+    assert any(w != 0.0 for w in ws)
+    assert 0.0 <= row["train_acc"] <= 1.0
+    assert row["n_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Sharding
+def test_assign_shard_deterministic_and_complete(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    a = TR.assign_shard(docs).select("doc_id", "shard")
+    b = TR.assign_shard(docs.repartition(13)).select("doc_id", "shard")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    mm = a.agg(F.min("shard"), F.max("shard")).collect()[0]
+    assert mm[0] >= 0 and mm[1] < TR.N_SHARDS
+
+
+def test_write_shards_one_file_per_shard(spark, tmp_path):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = str(tmp_path / "shards")
+    TR.write_shards(docs, out, n_shards=8)
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 8
+    for d in dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1, d
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # shard column round-trips as the partition column
+    assert back.select(F.count_distinct("shard")).collect()[0][0] == 8
+
+
+def test_shard_balance(spark):
+    stats = TR.shard_corpus(spark, SF_SMOKE).collect()
+    counts = [r["n_docs"] for r in stats]
+    assert len(stats) <= TR.N_SHARDS
+    # md5 sharding at sf0.001 (~600 docs over 32 shards): no empty-adjacent
+    # catastrophic skew — max under 4× the mean
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 4 * mean
+
+
+# ---------------------------------------------------------------------------
+# Token budget planner
+def test_token_budget_rates(spark):
+    rows = TR.sample_token_budget(spark, SF_SMOKE).collect()
+    assert {r["source"] for r in rows} <= {s for s, _ in TR.MIX_WEIGHTS}
+    for r in rows:
+        assert 0.0 < r["keep_rate"] <= 1.0
+        assert r["epochs"] == pytest.approx(
+            r["weight"] * TR.TOKEN_BUDGET / r["tokens"], rel=1e-4
+        )
+        # keep_rate is the capped epochs
+        assert r["keep_rate"] == pytest.approx(min(1.0, r["epochs"]), rel=1e-4)
