@@ -101,10 +101,18 @@ class Catalog:
     def exists_set(self, db: str, name: str) -> bool:
         return os.path.exists(self.set_path(db, name))
 
-    def read_set(self, db: str, name: str) -> DataFrame:
+    def read_set(self, db: str, name: str, version: int | None = None) -> DataFrame:
         """ScanUserSet analog (reference
         src/builtInPDBObjects/headers/ScanUserSet.h:23): a batched scan whose
-        column pruning / predicate pushdown Catalyst applies automatically."""
+        column pruning / predicate pushdown Catalyst applies automatically.
+
+        ``version=N`` time-travels to snapshot N (see :meth:`snapshot_set`)."""
+        if version is not None:
+            p = self._snapshot_path(db, name, version)
+            if not os.path.isdir(p):
+                raise ValueError(f"set {db}.{name} has no snapshot v{version}")
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return self.spark.read.parquet(p)
         # some testdata vintages store events.ts as TIMESTAMP(NANOS); expose
         # those as raw int64 nanos (callers normalize via
         # sources.readers.read_events / event_ts_expr).  No-op for the
@@ -316,6 +324,73 @@ class Catalog:
             os.rename(tmp, path)
         return n_files
 
+    # -- snapshots / time travel -------------------------------------------
+    # A training-corpus set must be reproducible: "the run used corpus v7"
+    # has to stay answerable after later merges/compactions rewrite the
+    # files.  Snapshots are hardlink copies into a hidden sibling directory
+    # (dot-prefixed, so Spark's file listing never sees them): on a POSIX
+    # filesystem a snapshot of a 100 TB set copies zero data blocks — only
+    # directory entries.  On an object store (no hardlinks) the same surface
+    # would be manifest-based (Iceberg-style); the API here is the contract,
+    # the hardlink copy is the local-filesystem implementation.
+    def _snapshots_root(self, db: str, name: str) -> str:
+        return os.path.join(self.root, db, f".{name}.snapshots")
+
+    def _snapshot_path(self, db: str, name: str, version: int) -> str:
+        return os.path.join(self._snapshots_root(db, name), f"v{version}")
+
+    def list_snapshots(self, db: str, name: str) -> list[int]:
+        root = self._snapshots_root(db, name)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            int(d[1:]) for d in os.listdir(root)
+            if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def snapshot_set(self, db: str, name: str) -> int:
+        """Freeze the current contents of a set; returns the version id.
+
+        Later ``read_set(db, name, version=v)`` reads the frozen state
+        regardless of subsequent write_set/merge_set/compact_set rewrites.
+        """
+        if (db, name) in self._external:
+            raise ValueError(f"set {db}.{name} is external/read-only")
+        src = self.set_path(db, name)
+        if not os.path.isdir(src):
+            raise ValueError(f"set {db}.{name} does not exist")
+        versions = self.list_snapshots(db, name)
+        v = (versions[-1] + 1) if versions else 1
+        dst = self._snapshot_path(db, name, v)
+        os.makedirs(dst, exist_ok=True)
+        for root, dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            out = os.path.join(dst, rel) if rel != "." else dst
+            os.makedirs(out, exist_ok=True)
+            for f in files:
+                s, d = os.path.join(root, f), os.path.join(out, f)
+                try:
+                    os.link(s, d)  # metadata-only on POSIX
+                except OSError:
+                    shutil.copy2(s, d)
+        return v
+
+    def restore_set(self, db: str, name: str, version: int) -> None:
+        """Roll the live set back to snapshot ``version`` (the snapshot is
+        kept, so a restore can itself be undone by restoring a later one)."""
+        if (db, name) in self._external:
+            raise ValueError(f"set {db}.{name} is external/read-only")
+        src = self._snapshot_path(db, name, version)
+        if not os.path.isdir(src):
+            raise ValueError(f"set {db}.{name} has no snapshot v{version}")
+        self._drop_owned_table(db, name)
+        path = self.set_path(db, name)
+        tmp = path.rstrip("/") + ".__restore_tmp__"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(src, tmp, copy_function=os.link)
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(tmp, path)
+
     def export_set(
         self, db: str, name: str, out_path: str, fmt: str = "csv"
     ) -> None:
@@ -338,6 +413,7 @@ class Catalog:
             return
         self._drop_owned_table(db, name)
         shutil.rmtree(self.set_path(db, name), ignore_errors=True)
+        shutil.rmtree(self._snapshots_root(db, name), ignore_errors=True)
 
     def clear_set(self, db: str, name: str) -> None:
         """clearSet analog — drop contents, keep the name."""

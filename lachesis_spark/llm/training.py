@@ -424,3 +424,63 @@ FROM per_src
 
 QUERIES["sample_token_budget"] = sample_token_budget
 ORACLE["sample_token_budget"] = SAMPLE_TOKEN_BUDGET_SQL
+
+
+# ---------------------------------------------------------------------------
+# 5. Temperature-scaled language mixture (multilingual pretraining standard:
+#    p_l ∝ tokens_l^alpha rebalances head languages toward the tail; alpha=1
+#    is proportional, alpha=0 uniform).  One corpus scan → per-lang token
+#    counts (a handful of rows); the normalization runs on that tiny frame
+#    with an unpartitioned window, which is exactly right at any corpus
+#    scale because the frame size is the number of languages, not documents.
+TEMP_ALPHA = 0.5
+
+
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).alias("tokens"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scaled = per_lang.withColumn(
+        "p",
+        F.pow(F.col("tokens").cast("double"), F.lit(TEMP_ALPHA))
+        / F.sum(F.pow(F.col("tokens").cast("double"), F.lit(TEMP_ALPHA))).over(w),
+    )
+    target = F.col("p") * F.lit(float(TOKEN_BUDGET))
+    return scaled.select(
+        "lang",
+        "n_docs",
+        "tokens",
+        F.round(F.col("p"), 9).alias("p"),
+        F.round(F.least(F.lit(1.0), target / F.col("tokens")), 9).alias("keep_rate"),
+        F.round(target / F.col("tokens"), 9).alias("epochs"),
+    )
+
+
+SAMPLE_TEMPERATURE_SQL = f"""
+WITH per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+),
+scaled AS (
+  SELECT lang, n_docs, tokens,
+         pow(CAST(tokens AS DOUBLE), {TEMP_ALPHA!r})
+           / sum(pow(CAST(tokens AS DOUBLE), {TEMP_ALPHA!r})) OVER () AS p
+  FROM per_lang
+)
+SELECT lang, n_docs, tokens,
+       round(p, 9) AS p,
+       round(least(CAST(1.0 AS DOUBLE),
+                   p * {float(TOKEN_BUDGET)!r} / tokens), 9) AS keep_rate,
+       round(p * {float(TOKEN_BUDGET)!r} / tokens, 9) AS epochs
+FROM scaled
+"""
+
+QUERIES["sample_temperature"] = sample_temperature
+ORACLE["sample_temperature"] = SAMPLE_TEMPERATURE_SQL

@@ -108,6 +108,21 @@ def test_shard_balance(spark):
 
 
 # ---------------------------------------------------------------------------
+# Temperature mixture
+def test_temperature_flattens_distribution(spark):
+    rows = TR.sample_temperature(spark, SF_SMOKE).collect()
+    assert len(rows) >= 2
+    assert sum(r["p"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    # alpha<1 compresses: the head lang's p share must be strictly below its
+    # raw token share, the tail lang's above
+    total = sum(r["tokens"] for r in rows)
+    head = max(rows, key=lambda r: r["tokens"])
+    tail = min(rows, key=lambda r: r["tokens"])
+    assert head["p"] < head["tokens"] / total
+    assert tail["p"] > tail["tokens"] / total
+
+
+# ---------------------------------------------------------------------------
 # Token budget planner
 def test_token_budget_rates(spark):
     rows = TR.sample_token_budget(spark, SF_SMOKE).collect()
