@@ -66,7 +66,7 @@ def main():
         "op_jaccard_topk", "op_multi_selection", "op_join_multiway",
         "op_topk", "op_aggregate", "dedup_minhash_lsh", "ann_bruteforce",
         "text_quality_filter", "stream_tumbling", "pagerank",
-        "reddit_pipeline", "la_gram",
+        "reddit_pipeline", "la_gram", "tok_bpe_train", "dedup_chunks",
     ]
     print(
         json.dumps(

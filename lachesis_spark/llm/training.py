@@ -31,6 +31,9 @@ Operators
 - ``sample_token_budget``: given per-source mixture weights and a global
   token budget, compute per-source keep-rates / epoch counts in one scan +
   one tiny aggregation — the planner that feeds ``sampling.mix_sources``.
+- ``sample_temperature``: temperature-scaled language mixture
+  (``p_l ∝ tokens_l^α``), the multilingual-pretraining rebalancing standard;
+  same one-scan shape with normalization over the languages-sized frame.
 
 Scale notes
 -----------

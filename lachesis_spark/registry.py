@@ -26,14 +26,15 @@ for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, strea
 # surface, linear algebra, dedup, ANN, text, event-time windows, structured
 # streaming, iterative ML, pipelines, sampling, scrubbing — instead of
 # burning all 50 on tpch_*/op_* alphabetical prefix.  Everything not listed
-# keeps its oracle and is swept by tools/check_oracle_strict.py (all 108).
+# keeps its oracle and is swept by tools/check_oracle_strict.py (the whole
+# registry, committed per round as STRICT_SWEEP_r*.txt).
 _PRIORITY = [
     # reference-implemented TPC-H set (SURVEY §2.7)
     "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q06",
     "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q22",
     # core computation algebra (SURVEY §2.1)
     "op_selection", "op_multi_selection", "op_aggregate", "op_join_multiway",
-    "op_join_salted", "op_partition", "op_topk", "op_topk_grouped",
+    "op_join_salted", "op_partition", "op_topk",
     "op_native_filter", "op_flatmap_python", "op_nested_two_level",
     "op_map_explode", "op_jaccard_topk",
     # beyond-reference SQL surface (§2.8)
@@ -41,9 +42,13 @@ _PRIORITY = [
     "op_percentiles", "op_window_analytics", "op_correlated_subquery",
     "op_range_window",
     # linear-algebra DSL (§2.6)
-    "la_gram", "la_matmul", "la_transpose_rowsum", "la_dsl_gram_rowsum",
-    # LLM-corpus engine additions
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    "la_gram", "la_transpose_rowsum", "la_dsl_gram_rowsum",
+    # LLM-corpus engine additions (round 4 added the training-corpus ops;
+    # tok_bpe_train + dedup_chunks represent them in the gate window,
+    # displacing la_matmul (la_gram covers the matmul plan shape) and
+    # op_topk_grouped (op_topk covers the TopKQueue dataflow))
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components", "dedup_chunks",
+    "tok_bpe_train",
     "ann_bruteforce", "ann_ivf",
     "text_stats", "text_quality_filter", "text_langid_ngram",
     # event-time + structured streaming

@@ -382,6 +382,49 @@ FROM events GROUP BY event_type
 """
 
 
+def stream_enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension (broadcast — no stream-side shuffle, no state), then window
+    per enriched attribute.  The canonical "attach reference data to a
+    click-stream" pattern; at 100 TB/day the static side is re-broadcast
+    per microbatch, so dimension updates take effect without a restart."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), events["user_id"] == dim["c_custkey"])
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form: replay events through the stream-static join to
+    completion; oracle = the equivalent batch join+window SQL (binding by
+    replay equivalence, as with the other stream twins)."""
+    ev = read_events_stream(spark, sf_dir)
+    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    with _state_partitions(spark):
+        run_to_memory(stream_enrich_events(ev, dim), "q_stream_enrich", "complete")
+    return spark.table("q_stream_enrich")
+
+
+STREAM_ENRICH_SQL = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+       c_mktsegment, count(*) AS n_events, sum(value) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
     """Replay the stream to completion into an in-memory table and return
     the finished query handle (tests read ``spark.table(name)``)."""
@@ -410,6 +453,7 @@ QUERIES = {
     "stream_running_totals": stream_running_totals_query,
     "stream_interval_join": stream_interval_join_query,
     "stream_dedup": stream_dedup_query,
+    "stream_enrich": stream_enrich_query,
 }
 
 ORACLE = {
@@ -418,6 +462,7 @@ ORACLE = {
     "stream_running_totals": STREAM_TOTALS_SQL,
     "stream_interval_join": WIN_CORRELATION_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
+    "stream_enrich": STREAM_ENRICH_SQL,
 }
 
 

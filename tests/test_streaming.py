@@ -38,6 +38,50 @@ def test_stream_session_matches_batch(spark):
         q.stop()
 
 
+def test_stream_enrich_matches_batch(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    dim = spark.read.parquet(os.path.join(SF_SMOKE, "customer.parquet")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    q = S.run_to_memory(S.stream_enrich_events(ev, dim), "t_enrich", "complete")
+    try:
+        batch = (
+            spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet"))
+            .withColumn(
+                "ts",
+                F.expr(
+                    __import__(
+                        "lachesis_spark.sources.readers", fromlist=["event_ts_expr"]
+                    ).event_ts_expr(
+                        dict(
+                            spark.read.parquet(
+                                os.path.join(SF_SMOKE, "events.parquet")
+                            ).dtypes
+                        )["ts"],
+                        ltz=True,
+                    )
+                ),
+            )
+            .join(dim, F.col("user_id") == F.col("c_custkey"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(
+                F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "c_mktsegment",
+                "n_events",
+                "sum_value",
+            )
+        )
+        _assert_same(spark.table("t_enrich"), batch)
+    finally:
+        q.stop()
+
+
 def test_stream_stateful_running_totals(spark):
     ev = S.read_events_stream(spark, SF_SMOKE)
     q = S.run_to_memory(S.stream_user_running_totals(ev), "t_state", "update")
