@@ -44,6 +44,18 @@ def test_short_docs_excluded(spark, monkeypatch):
     assert DD.dedup_chunks(spark, "ignored").count() == 0
 
 
+def test_dedup_recall_metric_invariants(spark):
+    row = DD.dedup_recall(spark, SF_SMOKE).collect()[0]
+    assert row["n_hit"] <= row["n_truth"]
+    assert row["n_hit"] <= row["n_cand"]
+    assert 0.0 <= row["recall"] <= 1.0
+    assert 0.0 <= row["precision"] <= 1.0
+    # the corpus plants exact duplicates, so truth pairs must exist and the
+    # 8-band full-minhash LSH must catch jaccard>=0.8 pairs near-perfectly
+    assert row["n_truth"] > 0
+    assert row["recall"] >= 0.9
+
+
 def test_fracs_bounded_on_corpus(spark):
     rows = DD.dedup_chunks(spark, SF_SMOKE).collect()
     assert rows

@@ -35,6 +35,7 @@ BNLJ_OK = {
     "dedup_semantic",       # broadcast k centroid rows (k=8, bounded at any SF)
     "sample_dsir",          # 1-row LM-total scalar crossed into <=256 bucket rows
     "tok_bpe_train",        # 1-row selected-merge scalar crossed into the vocab
+    "dedup_recall",         # cross of two 1-row metric aggregates
     "ann_ivf",              # broadcast k-row centroid table
     "ann_recall",           # broadcast <=8-row probe set (ground-truth scan)
     "ff_inference",         # constant-size weight matrices
