@@ -207,3 +207,63 @@ def test_pack_sequences_bin_budget_invariant(spark, docs, budget):
         dense = {b: i for i, b in enumerate(sorted(set(raw)))}
         for r, rb in zip(ordered, raw):
             assert r["bin"] == dense[rb], (bucket, r, rb, dense)
+
+
+@SET
+@given(
+    words=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bpe_pair_counts_match_python_model(spark, words):
+    """Distributed round-1 pair counting == plain-Python adjacent-pair
+    counting over the same corpus (one 'document' holding all words)."""
+    from collections import Counter
+
+    from lachesis_spark.llm.training import bpe_train_rounds
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(words), "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    p1, _, _ = bpe_train_rounds(docs)
+    got = {r["pair"]: r["cnt"] for r in p1.collect()}
+    model: Counter = Counter()
+    for w, c in Counter(words).items():
+        for i in range(len(w) - 1):
+            model[f"{w[i]} {w[i + 1]}"] += c
+    assert got == dict(model)
+
+
+@SET
+@given(
+    toks=st.lists(
+        st.lists(st.integers(min_value=1, max_value=400), min_size=1, max_size=30),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_temperature_mixture_proportions(spark, toks):
+    """sample_temperature's p column == tokens^alpha / sum(tokens^alpha)
+    computed in Python over the same per-lang token totals."""
+    from lachesis_spark.llm import training as TR
+
+    rows = [
+        (li * 1000 + i, " ".join(["w"] * n), f"l{li}", "s", 0)
+        for li, ns in enumerate(toks)
+        for i, n in enumerate(ns)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(TR, "_docs", lambda spark, sf_dir: docs):
+        out = {r["lang"]: r for r in TR.sample_temperature(spark, "x").collect()}
+    totals = {f"l{li}": sum(ns) for li, ns in enumerate(toks)}
+    z = sum(t ** TR.TEMP_ALPHA for t in totals.values())
+    for lang, tot in totals.items():
+        assert out[lang]["tokens"] == tot
+        assert abs(out[lang]["p"] - tot ** TR.TEMP_ALPHA / z) < 1e-6

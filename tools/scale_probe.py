@@ -65,6 +65,8 @@ DEFAULT_QUERIES = [
     "dedup_exact", "dedup_minhash_lsh", "dedup_components",
     "ann_ivf", "text_repetition", "text_unigram_logprob",
     "win_tumbling", "pagerank", "sample_split", "pack_sequences",
+    # round-4 training-corpus operators
+    "tok_bpe_train", "dedup_chunks", "quality_classifier", "shard_corpus",
 ]
 
 
