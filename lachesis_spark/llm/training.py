@@ -378,10 +378,9 @@ def write_shards(df: DataFrame, path: str, key_col: str = "doc_id",
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     wmap = dict(MIX_WEIGHTS)
-    weight = F.col("source")
     expr = F.lit(None).cast("double")
     for s, wt in MIX_WEIGHTS:
-        expr = F.when(weight == s, F.lit(wt)).otherwise(expr)
+        expr = F.when(F.col("source") == s, F.lit(wt)).otherwise(expr)
     per_src = (
         docs.where(F.col("source").isin(*wmap))
         .groupBy("source")
