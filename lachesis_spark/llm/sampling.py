@@ -267,6 +267,59 @@ FROM d GROUP BY bucket, bin
 """
 
 
+def pack_manifest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-facing form of packing: per (bucket, bin), the ORDERED
+    document list with per-doc token counts ("id:ntok,...").  This is the
+    manifest a training data loader consumes to materialize each packed
+    sequence (concat order and boundaries for attention masking).
+
+    Scale: same single Exchange as pack_sequences; the manifest agg adds a
+    per-(bucket, bin) collect whose size is bounded by budget/min_doc_tok
+    entries — a property of the packing, not the corpus.
+    """
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, "doc_id", TX.token_count("text"))
+    return packed.groupBy("bucket", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pack_key"), F.col("n_tok")))
+                ),
+                lambda s: F.concat_ws(
+                    ":", s["pack_key"].cast("string"), s["n_tok"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("doc_list"),
+    )
+
+
+PACK_MANIFEST_SQL = f"""
+WITH t AS (
+  SELECT doc_id, CAST({_SQL_NTOK} AS BIGINT) AS n_tok,
+         {H.sql_h60_seeded(_KEY_SQL, SEED_PACK)} % {PACK_BUCKETS} AS bucket
+  FROM documents),
+c AS (
+  SELECT bucket, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+d AS (
+  SELECT bucket, doc_id, n_tok,
+         CAST(dense_rank() OVER (
+           PARTITION BY bucket
+           ORDER BY floor((cum - n_tok) / {PACK_BUDGET})) - 1 AS BIGINT) AS bin
+  FROM c)
+SELECT bucket, bin,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
+       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(n_tok AS VARCHAR),
+                  ',' ORDER BY doc_id) AS doc_list
+FROM d GROUP BY bucket, bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # 5. Stratified exact-n-per-group sample, skew-immune two-pass plan
 def sample_stratified(
@@ -359,6 +412,7 @@ QUERIES = {
     "sample_mixture": sample_mixture,
     "sample_stratified": sample_stratified_query,
     "pack_sequences": pack_sequences_query,
+    "pack_manifest": pack_manifest_query,
 }
 
 ORACLE = {
@@ -368,6 +422,7 @@ ORACLE = {
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
+    "pack_manifest": PACK_MANIFEST_SQL,
 }
 
 

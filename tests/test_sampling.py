@@ -164,3 +164,26 @@ def test_dsir_selection_enriches_target_language(spark):
     )
     # importance selection against an 'en' target must enrich 'en'
     assert frac_target_picked > frac_target_corpus
+
+
+def test_pack_manifest_consistent_with_packing(spark):
+    from lachesis_spark.llm.sampling import pack_manifest_query, pack_sequences_query
+    from tests.conftest import SF_SMOKE
+
+    manifest = {
+        (r["bucket"], r["bin"]): r
+        for r in pack_manifest_query(spark, SF_SMOKE).collect()
+    }
+    summary = {
+        (r["bucket"], r["bin"]): r
+        for r in pack_sequences_query(spark, SF_SMOKE).collect()
+    }
+    assert set(manifest) == set(summary)
+    for k, m in manifest.items():
+        s = summary[k]
+        entries = [e.split(":") for e in m["doc_list"].split(",")]
+        assert len(entries) == m["n_docs"] == s["n_docs"]
+        assert sum(int(t) for _, t in entries) == m["bin_tokens"] == s["bin_tokens"]
+        # ordered by pack key (doc_id) — the concat order the loader replays
+        ids = [int(d) for d, _ in entries]
+        assert ids == sorted(ids)
