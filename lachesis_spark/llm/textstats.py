@@ -516,3 +516,84 @@ GROUP BY s.lang, st.n_docs, st.mean_lp
 
 QUERIES["text_unigram_logprob"] = text_unigram_logprob
 ORACLE["text_unigram_logprob"] = TEXT_UNIGRAM_LOGPROB_SQL
+
+
+# ---------------------------------------------------------------------------
+# 10. Word-entropy quality signal: Shannon entropy (bits) of each document's
+#     word distribution.  Low entropy = repetitive/templated text, the same
+#     family as the Gopher repetition rule but distribution-wide.
+#
+#     Scale: like text_repetition, the per-doc histogram never materializes —
+#     tokens are array_sort'ed and a single aggregate() fold walks the runs,
+#     emitting each run's -(c/n)·log2(c/n) term at its boundary.  Zero
+#     per-doc shuffles; the only Exchange is the final per-lang aggregation.
+#     Per-doc entropy is rounded to 1e-6 BEFORE aggregating so the fold
+#     (run order) and the oracle's groupBy (hash order) summation-order
+#     difference cannot reach the comparator.
+ENTROPY_LOW_BITS = 3.0
+
+
+def text_entropy(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.array_sort(TX.tokens(F.lower(F.col("text")))).alias("s"),
+    ).where(F.size("s") >= 1)
+    ent = base.select(
+        "doc_id",
+        "lang",
+        F.when(F.size("s") == 1, F.lit(0.0))
+        .otherwise(
+            F.expr(
+                "round((aggregate("
+                " sequence(1, size(s) - 1),"
+                " named_struct('run', 1, 'acc', CAST(0.0 AS DOUBLE)),"
+                " (st, i) -> IF(s[i] = s[i - 1],"
+                "   named_struct('run', st.run + 1, 'acc', st.acc),"
+                "   named_struct('run', 1, 'acc',"
+                "     st.acc - (CAST(st.run AS DOUBLE) / size(s))"
+                "       * log2(CAST(st.run AS DOUBLE) / size(s)))),"
+                " st -> st.acc - (CAST(st.run AS DOUBLE) / size(s))"
+                "   * log2(CAST(st.run AS DOUBLE) / size(s)))), 6)"
+            )
+        )
+        .alias("entropy"),
+    )
+    return ent.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+        F.sum(
+            F.when(F.col("entropy") < ENTROPY_LOW_BITS, 1).otherwise(0)
+        ).cast("bigint").alias("n_low_entropy"),
+    )
+
+
+TEXT_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_SQL_TOKENS.replace("string_split(text", "string_split(lower(text)")} AS t
+  FROM documents
+),
+base AS (SELECT doc_id, lang, t FROM toks WHERE len(t) >= 1),
+wc AS (
+  SELECT doc_id, lang, w, count(*) AS c
+  FROM (SELECT doc_id, lang, unnest(t) AS w FROM base)
+  GROUP BY doc_id, lang, w
+),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM wc GROUP BY doc_id),
+ent AS (
+  SELECT wc.doc_id, wc.lang,
+         round(sum(-(CAST(c AS DOUBLE) / n.n) * log2(CAST(c AS DOUBLE) / n.n)), 6)
+           AS entropy
+  FROM wc JOIN n ON wc.doc_id = n.doc_id
+  GROUP BY wc.doc_id, wc.lang
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(entropy), 6) AS avg_entropy,
+       CAST(sum(CASE WHEN entropy < {ENTROPY_LOW_BITS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_entropy
+FROM ent GROUP BY lang
+"""
+
+QUERIES["text_entropy"] = text_entropy
+ORACLE["text_entropy"] = TEXT_ENTROPY_SQL
