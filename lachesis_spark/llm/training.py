@@ -144,11 +144,20 @@ def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     def topk(p: DataFrame, rnd: int) -> DataFrame:
-        w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
-        return (
-            p.withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") <= BPE_TOP)
-            .select(F.lit(rnd).alias("round"), "rnk", "pair", "cnt")
+        # TakeOrdered first (per-partition k-heaps + driver merge), THEN rank
+        # the <= BPE_TOP survivors.  Ranking the full pair-count frame with an
+        # unpartitioned Window would sort the whole vocabulary-sized frame in
+        # ONE task — at web-corpus scale the distinct-pair table is 1e7-1e8
+        # rows.  The constant partitionBy keeps the tiny ranking window off
+        # Spark's "No Partition Defined" single-partition path warning while
+        # being exactly that (fine: the frame is <= BPE_TOP rows by then).
+        top = p.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP)
+        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
+        return top.select(
+            F.lit(rnd).alias("round"),
+            F.row_number().over(w).alias("rnk"),
+            "pair",
+            "cnt",
         )
 
     return topk(p1, 1).unionAll(topk(p2, 2))
@@ -446,7 +455,12 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(TX.tokens(F.col("text")))).alias("tokens"),
     )
-    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # constant partitionBy = same single-partition total, without tripping
+    # the "No Partition Defined" warning; the frame is languages-sized (a
+    # handful of rows) at ANY corpus scale, so one partition is the point
+    w = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     scaled = per_lang.withColumn(
         "p",
         F.pow(F.col("tokens").cast("double"), F.lit(TEMP_ALPHA))
