@@ -222,6 +222,198 @@ ORACLE["tok_bpe_train"] = TOK_BPE_TRAIN_SQL
 
 
 # ---------------------------------------------------------------------------
+# 1b. N-round BPE merge training (the production form: real tokenizers run
+#     thousands of merge rounds, not the 2 the unrolled oracle query above
+#     proves).  Symbols live as an array<string> column; each round is
+#     (a) pair count over the vocabulary (explode + map-side-combined sum),
+#     (b) argmax merge selection via orderBy().limit(1) = TakeOrdered, with
+#         exactly ONE row collected to the driver — the accumulated merge
+#         table is driver-held, like k-means centroids,
+#     (c) merge application as a greedy left-to-right fold (F.aggregate)
+#         over the symbol array.  String replace is NOT safe once symbols
+#         are multi-char (pattern 'a c' false-matches inside 'ba c'); the
+#         fold merges only symbol-aligned adjacent (p1, p2) occurrences,
+#         skipping overlaps exactly like greedy BPE (in 'a a a' with merge
+#         (a,a), positions 0-1 merge and position 2 survives).
+#
+#     Scale: the corpus collapses to (word, count) in the first shuffle and
+#     never participates again; every round runs on the vocabulary frame
+#     (millions of rows at web scale, KBs per row).  `localCheckpoint`
+#     every CHECKPOINT_EVERY rounds truncates the fold-expression lineage so
+#     round N's plan doesn't replay rounds 1..N-1 (same pattern as
+#     plans/iterative.py pagerank).  Per-round cost is therefore flat in the
+#     round number — measured in SCALE.md for 32 rounds at sf0.1.
+N_BPE_ROUNDS = 8
+CHECKPOINT_EVERY = 4
+
+_PAIRS_FROM_SYMS = (
+    "CASE WHEN size(syms) < 2 THEN CAST(array() AS array<string>)"
+    " ELSE transform(sequence(0, size(syms) - 2),"
+    "   i -> concat(syms[i], ' ', syms[i + 1])) END"
+)
+
+
+def bpe_merge_symbols(syms, p1: str, p2: str):
+    """Greedy left-to-right non-overlapping merge of adjacent (p1, p2)
+    symbol pairs — the BPE merge-application step, as a pure fold
+    expression (no UDF).  Non-overlap falls out of the fold: a merge
+    replaces the accumulator tail with ``p1 + p2``, which can never equal
+    ``p1`` (p2 is non-empty), so a freshly merged token is never consumed
+    as the left half of the next merge in the same round."""
+    merged = p1 + p2
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (s == F.lit(p2)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def _pair_counts_syms(syms_df: DataFrame) -> DataFrame:
+    return (
+        syms_df.select("c", F.explode(F.expr(_PAIRS_FROM_SYMS)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def bpe_train_n(
+    docs: DataFrame,
+    n_rounds: int,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+    on_round=None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run ``n_rounds`` of BPE merge training; returns (merge table rows
+    [(round, pair, merged, cnt)], final symbol-array vocabulary frame).
+
+    One driver-bound row is collected per round (the selected merge); the
+    vocabulary itself never leaves the cluster.  ``on_round(r, seconds)``
+    is called after each round (timing hook for the scale probe)."""
+    import time as _time
+    wc = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    syms = wc.select(
+        "c",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)  # corpus shuffle happens exactly once
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_rounds + 1):
+        t0 = _time.perf_counter()
+        best = (
+            _pair_counts_syms(syms)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # vocabulary fully collapsed — nothing left to merge
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        p1, p2 = pair.split(" ", 1)
+        merges.append((r, pair, p1 + p2, cnt))
+        syms = syms.select("c", bpe_merge_symbols(F.col("syms"), p1, p2).alias("syms"))
+        if r % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(r, _time.perf_counter() - t0)
+    return merges, syms
+
+
+def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = bpe_train_n(_docs(spark, sf_dir), N_BPE_ROUNDS)
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_merges_sql(n_rounds: int) -> str:
+    """DuckDB oracle for the FULL n-round run — greedy merge application
+    re-expressed positionally: candidate positions (sym=p1, next=p2) within
+    a word form runs of consecutive positions; greedy non-overlap keeps the
+    1st, 3rd, ... of each run (consecutive candidates only occur when
+    p1 = p2).  Kept positions become the merged symbol; the position to
+    their right is consumed; positions renumber for the next round."""
+    parts = [
+        f"""wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT wid, c, generate_subscripts(chars, 1) AS pos, unnest(chars) AS sym
+  FROM (SELECT w AS wid, c,
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS chars
+        FROM wc)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+  SELECT sym || ' ' || nxt AS pair, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT c, sym,
+               lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL
+  GROUP BY 1
+),
+b{r} AS MATERIALIZED (
+  SELECT string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2,
+         pair, replace(pair, ' ', '') AS merged, cnt
+  FROM pc{r} ORDER BY cnt DESC, pair LIMIT 1
+),
+cand{r} AS MATERIALIZED (
+  SELECT t.wid, t.c, t.pos, t.sym,
+         CASE WHEN t.sym = b.p1
+               AND lead(t.sym) OVER (PARTITION BY t.wid ORDER BY t.pos) = b.p2
+              THEN 1 ELSE 0 END AS isc
+  FROM {prev} t, b{r} b
+),
+runs{r} AS MATERIALIZED (
+  SELECT *, CASE WHEN isc = 1 THEN pos - row_number()
+                 OVER (PARTITION BY wid, isc ORDER BY pos) END AS rungrp
+  FROM cand{r}
+),
+keep{r} AS MATERIALIZED (
+  SELECT *, CASE WHEN isc = 1 AND row_number()
+                 OVER (PARTITION BY wid, rungrp ORDER BY pos) % 2 = 1
+            THEN 1 ELSE 0 END AS kp
+  FROM runs{r}
+),
+cons{r} AS MATERIALIZED (
+  SELECT *, coalesce(lag(kp) OVER (PARTITION BY wid ORDER BY pos), 0)
+              AS consumed
+  FROM keep{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT wid, c, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN kp = 1 THEN (SELECT merged FROM b{r}) ELSE sym END AS sym
+  FROM cons{r} WHERE consumed = 0
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, merged, cnt FROM b{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+QUERIES["tok_bpe_merges"] = tok_bpe_merges
+ORACLE["tok_bpe_merges"] = _bpe_merges_sql(N_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
 # 2. Distributed logistic-regression quality classifier (batch GD, unrolled)
 def _features(docs: DataFrame) -> DataFrame:
     toks = docs.select(

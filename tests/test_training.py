@@ -60,6 +60,54 @@ def test_bpe_merge_semantics_exact(spark):
     assert p2d == {"aa b": 2, "a b": 1, "aa a": 1}
 
 
+def _merge(spark, syms, p1, p2):
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    return df.select(
+        TR.bpe_merge_symbols(F.col("syms"), p1, p2).alias("m")
+    ).collect()[0]["m"]
+
+
+def test_bpe_merge_symbols_greedy_nonoverlap(spark):
+    # greedy left-to-right: in 'a a a', positions 0-1 merge, 2 survives
+    assert _merge(spark, ["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge(spark, ["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge(spark, ["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    # symbol-aligned only: 'ba c' contains the SUBSTRING 'a c' but no
+    # adjacent (a, c) symbol pair — string replace would corrupt this
+    assert _merge(spark, ["ba", "c"], "a", "c") == ["ba", "c"]
+    assert _merge(spark, ["b", "a", "c"], "a", "c") == ["b", "ac"]
+
+
+def test_bpe_train_n_prefix_stable_and_conserves_symbols(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    merges, syms = TR.bpe_train_n(docs, 8)
+    assert [m[0] for m in merges] == list(range(1, 9))
+    # prefix-stable vs the 2-round oracle query: same first/second merge
+    two = TR.tok_bpe_train(spark, SF_SMOKE).collect()
+    best = {r["round"]: r["pair"] for r in two if r["rnk"] == 1}
+    assert merges[0][1] == best[1] and merges[1][1] == best[2]
+    # every merge of cnt weighted occurrences removes exactly cnt symbols:
+    # final weighted symbol count = initial char count - sum(merge cnts)
+    total_chars = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.col("w") != "").agg(F.sum(F.length("w"))).collect()[0][0]
+    final = syms.agg(
+        F.sum(F.col("c") * F.size("syms")).alias("n")
+    ).collect()[0]["n"]
+    assert final == total_chars - sum(m[3] for m in merges)
+    assert all(m[3] > 0 for m in merges)
+
+
+def test_bpe_train_n_deep_run_completes(spark):
+    # 32 rounds (the scale-demo depth): checkpointing keeps lineage flat and
+    # each round still selects a positive-count merge
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    merges, _ = TR.bpe_train_n(docs, 32)
+    assert len(merges) == 32
+    assert [m[0] for m in merges] == list(range(1, 33))
+    assert all(m[2] == m[1].replace(" ", "") for m in merges)
+
+
 # ---------------------------------------------------------------------------
 # Quality classifier
 def test_quality_classifier_learns_signal(spark):
