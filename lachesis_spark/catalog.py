@@ -53,6 +53,24 @@ TESTDATA_TABLES = (
 )
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Replicate ``src`` under ``dst`` as hardlinks (metadata-only on
+    POSIX), falling back to a data copy per file on filesystems without
+    hardlink support or across devices.  Shared by snapshot AND restore so
+    both sides degrade identically."""
+    os.makedirs(dst, exist_ok=True)
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
 class Catalog:
     """Path-backed database/set registry.
 
@@ -361,18 +379,7 @@ class Catalog:
             raise ValueError(f"set {db}.{name} does not exist")
         versions = self.list_snapshots(db, name)
         v = (versions[-1] + 1) if versions else 1
-        dst = self._snapshot_path(db, name, v)
-        os.makedirs(dst, exist_ok=True)
-        for root, dirs, files in os.walk(src):
-            rel = os.path.relpath(root, src)
-            out = os.path.join(dst, rel) if rel != "." else dst
-            os.makedirs(out, exist_ok=True)
-            for f in files:
-                s, d = os.path.join(root, f), os.path.join(out, f)
-                try:
-                    os.link(s, d)  # metadata-only on POSIX
-                except OSError:
-                    shutil.copy2(s, d)
+        _link_tree(src, self._snapshot_path(db, name, v))
         return v
 
     def restore_set(self, db: str, name: str, version: int) -> None:
@@ -386,10 +393,18 @@ class Catalog:
         self._drop_owned_table(db, name)
         path = self.set_path(db, name)
         tmp = path.rstrip("/") + ".__restore_tmp__"
+        old = path.rstrip("/") + ".__old__"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.copytree(src, tmp, copy_function=os.link)
-        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        _link_tree(src, tmp)
+        # swap via rename so a crash never leaves the set missing: the live
+        # dir moves aside first, the staged copy renames into place, and only
+        # then is the aside copy deleted (interrupt between the renames
+        # leaves both the snapshot and the aside copy intact)
+        if os.path.isdir(path):
+            os.rename(path, old)
         os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def export_set(
         self, db: str, name: str, out_path: str, fmt: str = "csv"

@@ -107,9 +107,13 @@ def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     return pairs.groupBy("pair").agg(F.sum("c").alias("cnt"))
 
 
-def bpe_train_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(p1, p2, best1): round-1 pair counts, the selected merge, and the
-    post-merge round-2 pair counts, for any ``documents``-shaped input."""
+def bpe_train_rounds(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, tuple[DataFrame, ...]]:
+    """(p1, p2, best1, cached): round-1 pair counts, the selected merge, the
+    post-merge round-2 pair counts, and the internally cached frames — the
+    caller must ``unpersist()`` those after its final action (tok_bpe_train
+    does; a leaked cache survives for the rest of the session otherwise)."""
     # corpus -> vocabulary: the only corpus-sized shuffle, map-side combined
     wc = (
         docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
@@ -136,31 +140,29 @@ def bpe_train_rounds(docs: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         "c", F.replace(F.col("seq"), F.col("bp"), F.col("merged")).alias("seq")
     )
     p2 = bpe_pair_counts(seqs2)
-    return p1, p2, best1
+    return p1, p2, best1, (seqs, p1)
 
 
 def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p1, p2, _ = bpe_train_rounds(_docs(spark, sf_dir))
-    from pyspark.sql import Window
+    p1, p2, _, cached = bpe_train_rounds(_docs(spark, sf_dir))
 
-    def topk(p: DataFrame, rnd: int) -> DataFrame:
-        # TakeOrdered first (per-partition k-heaps + driver merge), THEN rank
-        # the <= BPE_TOP survivors.  Ranking the full pair-count frame with an
-        # unpartitioned Window would sort the whole vocabulary-sized frame in
-        # ONE task — at web-corpus scale the distinct-pair table is 1e7-1e8
-        # rows.  The constant partitionBy keeps the tiny ranking window off
-        # Spark's "No Partition Defined" single-partition path warning while
-        # being exactly that (fine: the frame is <= BPE_TOP rows by then).
-        top = p.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP)
-        w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("pair"))
-        return top.select(
-            F.lit(rnd).alias("round"),
-            F.row_number().over(w).alias("rnk"),
-            "pair",
-            "cnt",
-        )
+    def topk(p: DataFrame, rnd: int) -> list[tuple]:
+        # TakeOrdered (per-partition k-heaps + driver merge) brings exactly
+        # BPE_TOP rows to the driver, already sorted; ranking them is driver
+        # arithmetic.  Ranking the full pair-count frame with an
+        # unpartitioned Window would sort the whole vocabulary-sized frame
+        # in ONE task — at web-corpus scale the distinct-pair table is
+        # 1e7-1e8 rows (and a constant partitionBy doesn't help: Catalyst
+        # folds it away and the single-partition window comes back).
+        rows = p.orderBy(F.desc("cnt"), F.asc("pair")).limit(BPE_TOP).collect()
+        return [(rnd, i + 1, r["pair"], r["cnt"]) for i, r in enumerate(rows)]
 
-    return topk(p1, 1).unionAll(topk(p2, 2))
+    try:
+        rows = topk(p1, 1) + topk(p2, 2)
+    finally:
+        for df in cached:
+            df.unpersist()
+    return spark.createDataFrame(rows, "round int, rnk int, pair string, cnt bigint")
 
 
 _BPE_PAIRS_SQL = (
@@ -440,6 +442,16 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid updates (``iterative.py``).
     """
     feat = _features(_docs(spark, sf_dir)).cache()
+    try:
+        return _gd_train(spark, feat)
+    finally:
+        # all actions (GD iterations + final accuracy) happen inside, so the
+        # cached feature projection can be released here instead of leaking
+        # into the session for the rest of a bench/sweep run
+        feat.unpersist()
+
+
+def _gd_train(spark: SparkSession, feat: DataFrame) -> DataFrame:
     w = [0.0, 0.0, 0.0, 0.0]
     for _ in range(GD_ITERS):
         z = (
@@ -470,10 +482,14 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("train_acc"),
         F.count(F.lit(1)).alias("n_rows"),
     )
-    return acc_row.select(
+    out = acc_row.select(
         *[F.round(F.lit(w[j]), 6).alias(f"w{j}") for j in range(4)],
         F.round(F.col("train_acc"), 6).alias("train_acc"),
         "n_rows",
+    ).collect()[0]
+    return spark.createDataFrame(
+        [tuple(out)],
+        "w0 double, w1 double, w2 double, w3 double, train_acc double, n_rows bigint",
     )
 
 
@@ -640,32 +656,30 @@ TEMP_ALPHA = 0.5
 
 
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir)
     per_lang = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(TX.tokens(F.col("text")))).alias("tokens"),
     )
-    # constant partitionBy = same single-partition total, without tripping
-    # the "No Partition Defined" warning; the frame is languages-sized (a
-    # handful of rows) at ANY corpus scale, so one partition is the point
-    w = Window.partitionBy(F.lit(0)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    scaled = per_lang.withColumn(
-        "p",
-        F.pow(F.col("tokens").cast("double"), F.lit(TEMP_ALPHA))
-        / F.sum(F.pow(F.col("tokens").cast("double"), F.lit(TEMP_ALPHA))).over(w),
-    )
-    target = F.col("p") * F.lit(float(TOKEN_BUDGET))
-    return scaled.select(
-        "lang",
-        "n_docs",
-        "tokens",
-        F.round(F.col("p"), 9).alias("p"),
-        F.round(F.least(F.lit(1.0), target / F.col("tokens")), 9).alias("keep_rate"),
-        F.round(target / F.col("tokens"), 9).alias("epochs"),
+    # the per-language frame is a handful of rows at ANY corpus scale, so
+    # the normalization is driver arithmetic over a bounded collect — one
+    # corpus scan, no single-partition window (an unpartitioned window here
+    # trips Spark's all-data-to-one-partition path, and a constant
+    # partitionBy gets folded away by Catalyst)
+    rows = per_lang.collect()
+    tot = sum(float(r["tokens"]) ** TEMP_ALPHA for r in rows)
+    out = []
+    for r in rows:
+        p = float(r["tokens"]) ** TEMP_ALPHA / tot
+        epochs = p * float(TOKEN_BUDGET) / r["tokens"]
+        out.append((
+            r["lang"], r["n_docs"], r["tokens"],
+            round(p, 9), round(min(1.0, epochs), 9), round(epochs, 9),
+        ))
+    return spark.createDataFrame(
+        out,
+        "lang string, n_docs bigint, tokens bigint,"
+        " p double, keep_rate double, epochs double",
     )
 
 

@@ -49,7 +49,7 @@ def test_bpe_merge_semantics_exact(spark):
         [(1, "aab aab ab aaa", "en", "s", 14)],
         ["doc_id", "text", "lang", "source", "n_chars"],
     )
-    p1, p2, best1 = TR.bpe_train_rounds(docs)
+    p1, p2, best1, cached = TR.bpe_train_rounds(docs)
     p1d = {r["pair"]: r["cnt"] for r in p1.collect()}
     assert p1d == {"a a": 4, "a b": 3}
     b = best1.collect()[0]
@@ -58,6 +58,8 @@ def test_bpe_merge_semantics_exact(spark):
     # aab(×1 distinct word, corpus count folded in wc: 'aab' appears 2×):
     # 'aa b' ×2; 'ab' stays 'a b' ×1; 'aaa' → 'aa a' ×1
     assert p2d == {"aa b": 2, "a b": 1, "aa a": 1}
+    for df in cached:
+        df.unpersist()
 
 
 def _merge(spark, syms, p1, p2):
