@@ -39,9 +39,13 @@ Bucketing metadata caveat (honest limit of the Python DataSource API): a
 Python source cannot report hash-partitioning to Catalyst
 (``SupportsReportPartitioning`` has no Python binding), so a set written
 with ``Catalog.write_set(bucket_by=...)`` reads *correctly* through this
-source but joins on the bucket key will still plan an Exchange — use
-``Catalog.read_set`` (table route) when the layout win matters.  The bucket
-layout is still surfaced to callers via :func:`set_layout`.
+source but joins on the bucket key will still plan an Exchange.  The
+PUBLIC read entry point :func:`read_set` closes the gap by routing: a set
+whose session table carries a bucket layout (and whose table location
+matches the resolved path) is read through ``spark.table`` — Catalyst sees
+the hash layout and joins/aggs on the bucket key plan no Exchange —
+while everything else takes the Arrow-scan ``format("lachesis")`` path.
+The bucket layout is also surfaced to callers via :func:`set_layout`.
 """
 
 from __future__ import annotations
@@ -134,6 +138,62 @@ def set_layout(spark, db: str, name: str) -> dict:
         out["bucket_cols"] = [c.strip("`") for c in rows.get("Bucket Columns", "[]").strip("[]").split(", ") if c]
         out["sort_cols"] = [c.strip("`") for c in rows.get("Sort Columns", "[]").strip("[]").split(", ") if c]
     return out
+
+
+def read_set(spark, ident: str, root: Optional[str] = None,
+             use_table_route: bool = True):
+    """Public read entry point over catalog sets — layout-preserving.
+
+    Routes a BUCKETED set (reference parity: partition-local joins on
+    pre-partitioned sets, src/lambdas/headers/JoinTuple.h:14-22 /
+    JoinComp.h:505-560) through its session table so Catalyst sees the
+    hash layout: joins and aggregations on the bucket key plan NO
+    Exchange, the win the advisor's ``bucket_by`` recommendation paid
+    for.  Unbucketed sets and literal paths take the Arrow-batch
+    ``format("lachesis")`` scan (row-group-span partitions + pyarrow
+    filter pushdown).  Both routes return the same rows; only the
+    physical plan differs.
+
+    ``use_table_route=False`` forces the format path; if that discards a
+    bucket layout, a UserWarning says so (a Python DataSource cannot
+    report partitioning to Catalyst, so the format path re-Exchanges on
+    the bucket key).
+    """
+    import warnings
+
+    is_path = os.sep in ident or "/" in ident
+    if not is_path and ident.count(".") == 1:
+        db, name = ident.split(".")
+        tbl = f"{db}_{name}"
+        resolved = _resolve_path({"path": ident, "root": root})
+        if spark.catalog.tableExists(tbl):
+            loc = next(
+                (
+                    r["data_type"]
+                    for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+                    if r["col_name"] == "Location"
+                ),
+                None,
+            )
+            from lachesis_spark.catalog import _same_location
+
+            if loc is not None and _same_location(loc, resolved):
+                layout = set_layout(spark, db, name)
+                if use_table_route:
+                    return spark.table(tbl)
+                if layout.get("num_buckets"):
+                    warnings.warn(
+                        f"reading bucketed set {ident} via format('lachesis') "
+                        f"discards its {layout['num_buckets']}-bucket layout on "
+                        f"{layout['bucket_cols']}; joins on the bucket key will "
+                        "re-Exchange (use the table route to keep the layout)",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+    reader = spark.read.format("lachesis")
+    if root is not None:
+        reader = reader.option("root", root)
+    return reader.load(ident)
 
 
 @dataclass

@@ -136,6 +136,73 @@ def test_reads_bucketed_set_and_layout_metadata(spark, tmp_path):
         cat.remove_set("db3", "orders_b")
 
 
+def test_read_set_routes_bucketed_join_exchange_free(spark, tmp_path):
+    """The public read API keeps a bucket layout: a join on the bucket key
+    through lachesis_source.read_set plans NO Exchange (the round-4 gap —
+    the bare format path re-Exchanges because a Python DataSource cannot
+    report partitioning)."""
+    from lachesis_spark.sources.lachesis_source import read_set
+
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db6")
+    ords = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(SF_DIR, "customer.parquet"))
+    try:
+        cat.write_set(ords, "db6", "orders_b", bucket_by=(4, ["o_custkey"]))
+        cat.write_set(
+            cust.withColumnRenamed("c_custkey", "o_custkey"),
+            "db6", "customer_b", bucket_by=(4, ["o_custkey"]),
+        )
+        a = read_set(spark, "db6.orders_b", root=root)
+        b = read_set(spark, "db6.customer_b", root=root)
+        joined = a.join(b, "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        # same rows as the layout-less route
+        plain = spark.read.format("lachesis").option("root", root).load(
+            "db6.orders_b"
+        ).join(
+            spark.read.format("lachesis").option("root", root).load(
+                "db6.customer_b"
+            ),
+            "o_custkey",
+        )
+        assert joined.count() == plain.count()
+    finally:
+        cat.remove_set("db6", "orders_b")
+        cat.remove_set("db6", "customer_b")
+
+
+def test_read_set_warns_when_format_path_discards_layout(spark, tmp_path):
+    import warnings as W
+
+    from lachesis_spark.sources.lachesis_source import read_set
+
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db7")
+    df = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    try:
+        cat.write_set(df, "db7", "nation_b", bucket_by=(2, ["n_regionkey"]))
+        with W.catch_warnings(record=True) as got:
+            W.simplefilter("always")
+            back = read_set(spark, "db7.nation_b", root=root,
+                            use_table_route=False)
+            assert back.count() == df.count()
+        assert any("discards" in str(w.message) for w in got)
+        # unbucketed sets go through the format path silently
+        cat.write_set(df, "db7", "nation_p")
+        with W.catch_warnings(record=True) as got:
+            W.simplefilter("always")
+            read_set(spark, "db7.nation_p", root=root,
+                     use_table_route=False).count()
+        assert not got
+    finally:
+        cat.remove_set("db7", "nation_b")
+        cat.remove_set("db7", "nation_p")
+
+
 def test_stream_roundtrip_incremental_exactly_once(spark, tmp_path):
     """readStream/writeStream through the format: a second availableNow run
     off the same checkpoint picks up ONLY files appended since — the CDC
