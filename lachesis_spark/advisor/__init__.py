@@ -20,17 +20,25 @@ from lachesis_spark.advisor.bandit import (  # noqa: F401
     PlacementContext,
     measure_key_cardinality,
 )
-from lachesis_spark.advisor.history import HistoryDB, KeyUsage, ScanStat  # noqa: F401
+from lachesis_spark.advisor.history import (  # noqa: F401
+    HistoryDB,
+    KeyStat,
+    KeyUsage,
+    ScanStat,
+)
 from lachesis_spark.advisor.recommender import (  # noqa: F401
     FileSizeRecommendation,
     LayoutRecommendation,
     Recommendation,
+    SaltingRecommendation,
     capture_usages,
     capture_usages_from_plan,
+    key_stat_for,
     recommend,
     recommend_all,
     recommend_file_size,
     recommend_layout,
+    recommend_salting,
     run_and_record,
     scan_stat_for_set,
 )

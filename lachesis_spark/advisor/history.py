@@ -37,6 +37,15 @@ CREATE TABLE IF NOT EXISTS scan_stats (
   total_bytes INTEGER NOT NULL
 );
 CREATE INDEX IF NOT EXISTS scan_stats_dataset ON scan_stats(dataset);
+CREATE TABLE IF NOT EXISTS key_stats (
+  job_id     INTEGER NOT NULL REFERENCES jobs(id),
+  dataset    TEXT NOT NULL,
+  key_cols   TEXT NOT NULL,     -- comma-joined, order-normalized
+  n_rows     INTEGER NOT NULL,
+  n_distinct INTEGER NOT NULL,
+  top_cnt    INTEGER NOT NULL   -- row count of the hottest key value
+);
+CREATE INDEX IF NOT EXISTS key_stats_dataset ON key_stats(dataset);
 """
 
 
@@ -47,6 +56,29 @@ class ScanStat:
     dataset: str
     n_files: int
     total_bytes: int
+
+
+@dataclass(frozen=True)
+class KeyStat:
+    """Frequency profile of one key of one dataset (hot-key signal).
+
+    ``top_cnt / n_rows`` is the hottest key value's row share — the number
+    that decides whether a shuffle on this key stragglers (one partition
+    owning that share of the stage) and how many salts spread it."""
+
+    dataset: str
+    key_cols: tuple[str, ...]
+    n_rows: int
+    n_distinct: int
+    top_cnt: int
+
+    @property
+    def key_text(self) -> str:
+        return ",".join(sorted(self.key_cols))
+
+    @property
+    def top_share(self) -> float:
+        return self.top_cnt / self.n_rows if self.n_rows else 0.0
 
 
 @dataclass(frozen=True)
@@ -75,6 +107,7 @@ class HistoryDB:
         runtime_sec: float,
         usages: Sequence[KeyUsage],
         scans: Sequence[ScanStat] = (),
+        key_stats: Sequence[KeyStat] = (),
     ) -> int:
         cur = self.con.execute(
             "INSERT INTO jobs (name, created_at, runtime_sec) VALUES (?, ?, ?)",
@@ -90,8 +123,34 @@ class HistoryDB:
             " VALUES (?, ?, ?, ?)",
             [(job_id, s.dataset, s.n_files, s.total_bytes) for s in scans],
         )
+        self.con.executemany(
+            "INSERT INTO key_stats"
+            " (job_id, dataset, key_cols, n_rows, n_distinct, top_cnt)"
+            " VALUES (?, ?, ?, ?, ?, ?)",
+            [
+                (job_id, k.dataset, k.key_text, k.n_rows, k.n_distinct, k.top_cnt)
+                for k in key_stats
+            ],
+        )
         self.con.commit()
         return job_id
+
+    def key_profiles(self, dataset: str) -> list[KeyStat]:
+        """Latest recorded frequency profile per key of ``dataset``."""
+        rows = self.con.execute(
+            """
+            SELECT key_cols, n_rows, n_distinct, top_cnt
+            FROM key_stats s
+            WHERE dataset = ?
+              AND job_id = (SELECT max(job_id) FROM key_stats
+                            WHERE dataset = ? AND key_cols = s.key_cols)
+            """,
+            (dataset, dataset),
+        ).fetchall()
+        return [
+            KeyStat(dataset, tuple(k.split(",")), n, d, t)
+            for k, n, d, t in rows
+        ]
 
     def key_weights(self, dataset: str) -> dict[str, float]:
         """Total runtime (seconds) of jobs that used each key of ``dataset``

@@ -17,13 +17,15 @@ bucketed scan instead of a custom storage manager.
 
 from __future__ import annotations
 
+import math
 import re
 import time
+from collections.abc import Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import Column, SparkSession
 
-from lachesis_spark.advisor.history import HistoryDB, KeyUsage, ScanStat
+from lachesis_spark.advisor.history import HistoryDB, KeyStat, KeyUsage, ScanStat
 from lachesis_spark.operators import graph as G
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -283,6 +285,83 @@ def scan_stat_for_set(catalog, db: str, name: str) -> ScanStat:
                 n += 1
                 size += _os.path.getsize(_os.path.join(root, f))
     return ScanStat(f"{db}.{name}", n, size)
+
+
+def key_stat_for(df, dataset: str, key_cols: Sequence[str]) -> KeyStat:
+    """Measure one key's frequency profile for history recording — one
+    groupBy + one 3-number aggregation (the same load-time observation
+    surface as scan_stat_for_set; the reference's self-learning DB records
+    per-set stats at dispatch the same way)."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    row = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    ).collect()[0]
+    return KeyStat(
+        dataset,
+        tuple(key_cols),
+        int(row["n_rows"] or 0),
+        int(row["n_distinct"] or 0),
+        int(row["top_cnt"] or 0),
+    )
+
+
+@dataclass(frozen=True)
+class SaltingRecommendation:
+    """Salt this dataset's join on ``key_cols`` with ``n_salts`` salts.
+
+    Emitted when the hottest key value alone exceeds ``threshold``× a fair
+    partition share — the shape where the shuffle join stragglers on one
+    task and AQE's skew split can't always help (skewed aggregation feeding
+    the join, bucketed layouts AQE won't re-shuffle; the measured 2.25×
+    salted-vs-straggler demo in SCALE.md is exactly this shape).  Apply
+    with ``operators.core.salted_join(..., n_salts=rec.n_salts)``.
+    """
+
+    dataset: str
+    key_cols: tuple[str, ...]
+    n_salts: int
+    top_share: float
+
+    @property
+    def key_text(self) -> str:
+        return ",".join(sorted(self.key_cols))
+
+
+def recommend_salting(
+    history: HistoryDB,
+    dataset: str,
+    shuffle_partitions: int = 32,
+    threshold: float = 2.0,
+) -> SaltingRecommendation | None:
+    """Pick the most skewed recorded key whose hottest value breaks the
+    fair-share threshold; size n_salts to spread that one value across the
+    stage.
+
+    A uniform shuffle gives each of P partitions 1/P of the rows; a key
+    value owning ``top_share`` of the rows makes one partition
+    ``top_share·P``× fair share.  Salt when that factor exceeds
+    ``threshold`` (2× = the same stability factor the file-size rule
+    uses), with ``n_salts = ceil(2·top_share·P)`` clamped to [2, P]: the
+    salted partitions still carry their ordinary share of the other keys,
+    so spreading the hot value to exactly fair share would leave them at
+    ~2× fair — spread it to HALF fair share so hot-slice + base load ≈
+    fair (measured in the skew demo: the half-fair sizing recovers the
+    full hand-tuned salting win; the exact-fair sizing left a third of it
+    on the table).  Never more salts than the stage has partitions."""
+    best: SaltingRecommendation | None = None
+    for st in history.key_profiles(dataset):
+        factor = st.top_share * shuffle_partitions
+        if factor < threshold:
+            continue
+        n_salts = max(2, min(shuffle_partitions, math.ceil(2 * factor)))
+        rec = SaltingRecommendation(dataset, st.key_cols, n_salts, st.top_share)
+        if best is None or rec.top_share > best.top_share:
+            best = rec
+    return best
 
 
 def recommend_layout(

@@ -500,3 +500,66 @@ def test_measure_key_cardinality(spark):
     big = measure_key_cardinality(df, ["b"])
     assert small == 3
     assert abs(big - 1000) / 1000 < 0.1  # approx_count_distinct tolerance
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware salting recommendation
+def test_recommend_salting_flags_hot_key_and_sizes_salts():
+    from lachesis_spark.advisor import KeyStat, recommend_salting
+
+    h = HistoryDB(":memory:")
+    # hot key owns 40% of 1M rows; P=16 → factor 6.4 → n_salts ceil(2·6.4) = 13
+    h.record_job(
+        "load", 1.0, [],
+        key_stats=[KeyStat("db.fact", ("k",), 1_000_000, 10_000, 400_000)],
+    )
+    rec = recommend_salting(h, "db.fact", shuffle_partitions=16)
+    assert rec is not None
+    assert rec.key_cols == ("k",) and rec.n_salts == 13
+    assert rec.top_share == pytest.approx(0.4)
+    # uniform key → below threshold → no recommendation
+    h.record_job(
+        "load2", 1.0, [],
+        key_stats=[KeyStat("db.uniform", ("k",), 1_000_000, 10_000, 150)],
+    )
+    assert recommend_salting(h, "db.uniform", shuffle_partitions=16) is None
+    # n_salts never exceeds the stage's partition count
+    h.record_job(
+        "load3", 1.0, [],
+        key_stats=[KeyStat("db.degenerate", ("k",), 100, 2, 99)],
+    )
+    rec2 = recommend_salting(h, "db.degenerate", shuffle_partitions=16)
+    assert rec2 is not None and rec2.n_salts == 16
+
+
+def test_recommend_salting_picks_most_skewed_key_and_latest_profile():
+    from lachesis_spark.advisor import KeyStat, recommend_salting
+
+    h = HistoryDB(":memory:")
+    h.record_job(
+        "load", 1.0, [],
+        key_stats=[
+            KeyStat("db.fact", ("a",), 1_000_000, 100, 300_000),
+            KeyStat("db.fact", ("b",), 1_000_000, 100, 500_000),
+        ],
+    )
+    rec = recommend_salting(h, "db.fact", shuffle_partitions=16)
+    assert rec is not None and rec.key_cols == ("b",)
+    # a newer profile supersedes: skew on b has been fixed upstream
+    h.record_job(
+        "load2", 1.0, [],
+        key_stats=[KeyStat("db.fact", ("b",), 1_000_000, 100, 1_000)],
+    )
+    rec = recommend_salting(h, "db.fact", shuffle_partitions=16)
+    assert rec is not None and rec.key_cols == ("a",)
+
+
+def test_key_stat_for_measures_real_frame(spark):
+    from lachesis_spark.advisor import key_stat_for
+
+    df = spark.createDataFrame(
+        [(0,)] * 40 + [(i,) for i in range(1, 61)], "k bigint"
+    )
+    st = key_stat_for(df, "db.t", ["k"])
+    assert st.n_rows == 100 and st.n_distinct == 61 and st.top_cnt == 40
+    assert st.top_share == pytest.approx(0.4)

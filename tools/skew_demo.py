@@ -72,14 +72,29 @@ def main():
     fact, dim = build(spark, n_rows)
     agg = lambda j: j.groupBy("w").agg(F.sum("v").alias("sv"))  # noqa: E731
 
+    # advisor-driven salting: record the fact table's key profile in the
+    # history DB (the load-time observation), then let the recommender pick
+    # whether to salt and with how many salts — the demo runs off the
+    # recommendation, not a hand-chosen constant
+    from lachesis_spark.advisor.history import HistoryDB
+    from lachesis_spark.advisor.recommender import key_stat_for, recommend_salting
+
+    h = HistoryDB(":memory:")
+    h.record_job("skew_demo_load", 1.0, [],
+                 key_stats=[key_stat_for(fact, "demo.fact", ["k"])])
+    rec = recommend_salting(h, "demo.fact", shuffle_partitions=SHUFFLE_PARTS)
+    assert rec is not None, "advisor failed to flag the hot key"
+    print(f"advisor: salt demo.fact on {rec.key_text} with n_salts="
+          f"{rec.n_salts} (hot key owns {rec.top_share:.0%} of rows)")
+
     results = {}
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     results["plain join, AQE off (straggler baseline)"] = timed(
         agg(fact.join(dim, "k"))
     )
-    results["salted join, AQE off (static mitigation)"] = timed(
+    results[f"salted join (advisor n_salts={rec.n_salts}), AQE off"] = timed(
         agg(salted_join(fact, dim.withColumnRenamed("k", "dk"), "k", "dk",
-                        n_salts=SHUFFLE_PARTS))
+                        n_salts=rec.n_salts))
     )
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
