@@ -53,13 +53,27 @@ def main():
     ok = [v for v in timings.values() if v >= 0]
     failed = sorted(k for k, v in timings.items() if v < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Streaming throughput across >= 10 micro-batches per stream query: the
+    # single-shot seconds above are replay-startup-dominated (~1-3 s fixed),
+    # so a streaming regression would hide under them; rows/s over a
+    # rate-limited multi-batch replay is the detectable metric.
+    try:
+        from lachesis_spark.streaming.stream import stream_throughput
+
+        tput = stream_throughput(spark, sf_dir, n_batches=10)
+    except Exception as e:  # noqa: BLE001
+        print(f"# stream_throughput failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        tput = {}
+    spark.catalog.clearCache()
     # full per-query timings go to a repo file; the printed JSON line stays
     # short because the driver only retains a bounded tail of stdout (the
     # round-1 line with 111 entries overflowed it and parsed as null)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump({"sf": sf_val, "total_sec": round(sum(ok), 3),
                    "n_queries": len(timings), "n_failed": len(failed),
-                   "failed": failed, "queries": timings}, f, indent=1, sort_keys=True)
+                   "failed": failed, "queries": timings,
+                   "stream_throughput": tput}, f, indent=1, sort_keys=True)
     headline = [
         "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q06",
         "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q22",
@@ -80,6 +94,9 @@ def main():
                 # from a genuine speedup: surface failures in the headline
                 "n_failed": len(failed),
                 "failed": failed,
+                "stream_rows_per_sec": {
+                    k: v.get("rows_per_sec") for k, v in tput.items()
+                },
                 "full": "BENCH_FULL.json",
                 "sf": sf_val,
             }

@@ -400,13 +400,27 @@ class LachesisStreamReader(DataSourceStreamReader):
     def __init__(self, options, schema: StructType):
         self.path = _resolve_path(options)
         self.schema = schema
+        # admission control: advance the offset by at most this many files
+        # per microbatch (0 = unlimited).  The throughput harness uses it to
+        # force a genuinely multi-microbatch replay; production tails set it
+        # to bound per-batch work after a backlog (the same role as the file
+        # source's maxFilesPerTrigger).
+        self.max_files = int(options.get("maxfilespertrigger", 0) or 0)
+        self._cursor = [0.0, ""]
 
     def initialOffset(self) -> dict:
         return {"key": [0.0, ""]}
 
     def latestOffset(self) -> dict:
-        keys = [_file_key(f) for f in _parquet_files(self.path)]
-        return {"key": max(keys)} if keys else {"key": [0.0, ""]}
+        keys = sorted(_file_key(f) for f in _parquet_files(self.path))
+        if not keys:
+            return {"key": [0.0, ""]}
+        if self.max_files:
+            ahead = [k for k in keys if k > self._cursor][: self.max_files]
+            if ahead:
+                self._cursor = ahead[-1]
+            return {"key": self._cursor}
+        return {"key": keys[-1]}
 
     def partitions(self, start: dict, end: dict):
         import pyarrow.parquet as pq
