@@ -32,15 +32,22 @@ _PRIORITY = [
     # reference-implemented TPC-H set (SURVEY §2.7)
     "tpch_q01", "tpch_q02", "tpch_q03", "tpch_q04", "tpch_q06",
     "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q22",
-    # core computation algebra (SURVEY §2.1)
+    # core computation algebra (SURVEY §2.1).  Round 5 displaced
+    # op_map_explode / op_nested_two_level (both covered by
+    # op_multi_selection's flatMap+FLATTEN shape in the gate) and op_set_ops
+    # (op_outer_join/op_semi_anti keep the join-surface seat) to give the
+    # previously unrepresented subsystems — scrub, multimodal, DataSource —
+    # their gate seats; the invariant is now test-enforced
+    # (tests/test_registry_gate.py).
     "op_selection", "op_multi_selection", "op_aggregate", "op_join_multiway",
     "op_join_salted", "op_partition", "op_topk",
-    "op_native_filter", "op_flatmap_python", "op_nested_two_level",
-    "op_map_explode", "op_jaccard_topk",
+    "op_native_filter", "op_flatmap_python", "op_jaccard_topk",
     # beyond-reference SQL surface (§2.8)
-    "op_cube", "op_outer_join", "op_semi_anti", "op_set_ops",
+    "op_cube", "op_outer_join", "op_semi_anti",
     "op_percentiles", "op_window_analytics", "op_correlated_subquery",
     "op_range_window",
+    # scrub / multimodal / DataSource subsystem representatives
+    "pii_scrub", "mm_features", "ds_scan_pushdown",
     # linear-algebra DSL (§2.6)
     "la_gram", "la_transpose_rowsum", "la_dsl_gram_rowsum",
     # LLM-corpus engine additions (round 4 added the training-corpus ops;

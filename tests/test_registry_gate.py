@@ -1,0 +1,77 @@
+"""Gate-window curation invariants.
+
+The driver's correctness gate checks the FIRST 50 registry entries; the
+curation promise (registry.py) is that those 50 carry at least one
+oracle-gated representative of EVERY subsystem, so a growing registry can
+never silently exile a subsystem from the driver's check.  This test
+enforces it module-by-module — a new module with queries() entries must
+claim a gate seat (or consciously amend this test saying why not).
+"""
+
+from __future__ import annotations
+
+from lachesis_spark import registry as R
+from lachesis_spark.llm import (
+    dedup,
+    multimodal,
+    sampling,
+    scrub,
+    similarity,
+    textstats,
+    training,
+)
+from lachesis_spark.plans import iterative, la, la_dsl, ops_queries, reddit, tpch
+from lachesis_spark.sources import lachesis_source
+from lachesis_spark.streaming import stream, windows
+
+MODULES = {
+    "tpch": tpch,
+    "ops_queries": ops_queries,
+    "la": la,
+    "la_dsl": la_dsl,
+    "dedup": dedup,
+    "similarity": similarity,
+    "textstats": textstats,
+    "windows": windows,
+    "stream": stream,
+    "iterative": iterative,
+    "reddit": reddit,
+    "multimodal": multimodal,
+    "sampling": sampling,
+    "scrub": scrub,
+    "lachesis_source": lachesis_source,
+    "training": training,
+}
+
+
+def test_gate_window_is_first_50_in_insertion_order():
+    assert len(R._PRIORITY) == 50
+    assert list(R.QUERIES)[:50] == R._PRIORITY
+
+
+def test_every_subsystem_keeps_a_gate_representative():
+    gate = set(R._PRIORITY)
+    missing = {
+        name
+        for name, mod in MODULES.items()
+        if mod.QUERIES and not (set(mod.QUERIES) & gate)
+    }
+    assert not missing, (
+        f"subsystems with no gate representative: {sorted(missing)} — "
+        "displace a redundant entry in registry._PRIORITY"
+    )
+
+
+def test_registry_covers_every_module_query():
+    """No module query is silently dropped from the registry (e.g. by a
+    name collision between modules)."""
+    all_names = set()
+    for mod in MODULES.values():
+        dup = all_names & set(mod.QUERIES)
+        assert not dup, f"query name collision across modules: {sorted(dup)}"
+        all_names |= set(mod.QUERIES)
+    assert all_names == set(R.QUERIES)
+
+
+def test_gate_entries_all_oracled():
+    assert all(k in R.ORACLE for k in R._PRIORITY)
