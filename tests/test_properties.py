@@ -228,7 +228,7 @@ def test_bpe_pair_counts_match_python_model(spark, words):
         [(1, " ".join(words), "en", "s", 0)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    p1, _, _ = bpe_train_rounds(docs)
+    p1, _, _, _ = bpe_train_rounds(docs)
     got = {r["pair"]: r["cnt"] for r in p1.collect()}
     model: Counter = Counter()
     for w, c in Counter(words).items():
