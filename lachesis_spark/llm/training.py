@@ -415,6 +415,36 @@ QUERIES["tok_bpe_merges"] = tok_bpe_merges
 ORACLE["tok_bpe_merges"] = _bpe_merges_sql(N_BPE_ROUNDS)
 
 
+def tok_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's symbol table after N_BPE_ROUNDS merges:
+    every symbol with its corpus occurrence count (word-count weighted) —
+    the artifact a tokenizer exports as its vocab file.  One explode +
+    map-side-combined sum over the vocabulary frame the training loop
+    already materialized."""
+    _, syms = bpe_train_n(_docs(spark, sf_dir), N_BPE_ROUNDS)
+    return (
+        syms.select("c", F.explode("syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def _bpe_vocab_sql(n_rounds: int) -> str:
+    """Final select over the same unrolled merge rounds: each positional
+    row of s{n} is one symbol occurrence in one distinct word."""
+    merges = _bpe_merges_sql(n_rounds)
+    body = merges[: merges.rindex("\nSELECT 1 AS round")]
+    return (
+        body
+        + f"\nSELECT sym, CAST(sum(c) AS BIGINT) AS cnt"
+          f" FROM s{n_rounds} GROUP BY sym"
+    )
+
+
+QUERIES["tok_bpe_vocab"] = tok_bpe_vocab
+ORACLE["tok_bpe_vocab"] = _bpe_vocab_sql(N_BPE_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # 2. Distributed logistic-regression quality classifier (batch GD, unrolled)
 def _features(docs: DataFrame) -> DataFrame:
