@@ -29,8 +29,11 @@ from lachesis_spark.advisor.history import (  # noqa: F401
 from lachesis_spark.advisor.recommender import (  # noqa: F401
     FileSizeRecommendation,
     LayoutRecommendation,
+    PlacementReport,
     Recommendation,
     SaltingRecommendation,
+    advise,
+    advise_all,
     capture_usages,
     capture_usages_from_plan,
     key_stat_for,

@@ -364,6 +364,56 @@ def recommend_salting(
     return best
 
 
+@dataclass(frozen=True)
+class PlacementReport:
+    """Every placement decision the advisor can make for one dataset, in
+    one call — the full analog of the reference's load-time optimizer
+    output (partition lambda + page size,
+    RuleBasedDataPlacementOptimizerForLoadJob.h:15), extended with the two
+    dimensions the reference lacked (data-skipping layout, skew salting).
+
+    Apply: ``layout`` via ``Catalog.write_set(bucket_by=...)`` or
+    ``sources.layout.zorder``; ``file_size`` via ``Catalog.compact_set``;
+    ``salting`` at query time via ``core.salted_join``.
+    """
+
+    dataset: str
+    layout: LayoutRecommendation | None
+    file_size: FileSizeRecommendation | None
+    salting: SaltingRecommendation | None
+
+    def is_empty(self) -> bool:
+        return self.layout is None and self.file_size is None and self.salting is None
+
+
+def advise(
+    history: HistoryDB,
+    dataset: str,
+    n_buckets: int = 32,
+    cores: int = 32,
+    shuffle_partitions: int = 32,
+) -> PlacementReport:
+    """One-call placement report for a dataset from its recorded history."""
+    return PlacementReport(
+        dataset,
+        recommend_layout(history, dataset, n_buckets),
+        recommend_file_size(history, dataset, cores),
+        recommend_salting(history, dataset, shuffle_partitions),
+    )
+
+
+def advise_all(history: HistoryDB, **kw) -> list[PlacementReport]:
+    """Reports for every dataset the history has observed (key usages or
+    frequency profiles), non-empty ones only."""
+    seen = set(history.datasets())
+    seen.update(
+        r[0]
+        for r in history.con.execute("SELECT DISTINCT dataset FROM key_stats")
+    )
+    out = [advise(history, ds, **kw) for ds in sorted(seen)]
+    return [r for r in out if not r.is_empty()]
+
+
 def recommend_layout(
     history: HistoryDB, dataset: str, n_buckets: int = 32
 ) -> LayoutRecommendation | None:

@@ -563,3 +563,31 @@ def test_key_stat_for_measures_real_frame(spark):
     st = key_stat_for(df, "db.t", ["k"])
     assert st.n_rows == 100 and st.n_distinct == 61 and st.top_cnt == 40
     assert st.top_share == pytest.approx(0.4)
+
+
+def test_advise_combines_all_dimensions():
+    from lachesis_spark.advisor import KeyStat, advise, advise_all
+    from lachesis_spark.advisor.history import ScanStat
+
+    h = HistoryDB(":memory:")
+    h.record_job(
+        "load", 10.0,
+        [KeyUsage("db.fact", "join", ("k",))],
+        scans=[ScanStat("db.fact", 4000, 2 * 1024**3)],  # badly fragmented
+        key_stats=[KeyStat("db.fact", ("k",), 1_000_000, 10_000, 400_000)],
+    )
+    rep = advise(h, "db.fact", shuffle_partitions=16)
+    assert rep.layout is not None and rep.layout.kind == "bucket_by"
+    assert rep.layout.key_cols == ("k",)
+    assert rep.file_size is not None and rep.file_size.reason == "fragmented"
+    assert rep.salting is not None and rep.salting.n_salts == 13
+    assert not rep.is_empty()
+    # advise_all surfaces datasets known only through key_stats too
+    h.record_job(
+        "load2", 1.0, [],
+        key_stats=[KeyStat("db.other", ("x",), 100, 2, 90)],
+    )
+    reports = advise_all(h, shuffle_partitions=16)
+    assert {r.dataset for r in reports} == {"db.fact", "db.other"}
+    other = next(r for r in reports if r.dataset == "db.other")
+    assert other.layout is None and other.salting is not None
