@@ -53,6 +53,45 @@ TESTDATA_TABLES = (
 )
 
 
+LAYOUT_FILE = "_lachesis_layout.json"
+
+
+def ensure_layout_table(spark: SparkSession, root: str, db: str, name: str) -> bool:
+    """Re-register the session table for a bucketed set from its durable
+    layout sidecar, if present.
+
+    ``write_set(bucket_by=...)`` registers bucket metadata in the session
+    catalog, which dies with the session — a restarted session would read
+    the files correctly but silently lose the layout (joins re-Exchange).
+    The sidecar ``_lachesis_layout.json`` written next to the data
+    (underscore-prefixed: invisible to Spark's file listings) makes the
+    layout durable: this re-creates the external bucketed table over the
+    same files (bucket ids live in the file names, so a plain
+    CREATE TABLE ... CLUSTERED BY over them is exact).  Returns True if a
+    table now exists."""
+    import json
+
+    tbl = f"{db}_{name}"
+    if spark.catalog.tableExists(tbl):
+        return True
+    path = os.path.join(root, db, name)
+    meta_path = os.path.join(path, LAYOUT_FILE)
+    if not os.path.isfile(meta_path):
+        return False
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    cols = ", ".join(f"`{c}` {t}" for c, t in meta["columns"])
+    bcols = ", ".join(f"`{c}`" for c in meta["bucket_cols"])
+    scols = ", ".join(f"`{c}`" for c in meta["sort_cols"])
+    spark.sql(
+        f"CREATE TABLE {tbl} ({cols}) USING parquet"
+        f" CLUSTERED BY ({bcols}) SORTED BY ({scols})"
+        f" INTO {meta['num_buckets']} BUCKETS"
+        f" LOCATION '{os.path.abspath(path)}'"
+    )
+    return True
+
+
 def _link_tree(src: str, dst: str) -> None:
     """Replicate ``src`` under ``dst`` as hardlinks (metadata-only on
     POSIX), falling back to a data copy per file on filesystems without
@@ -143,6 +182,10 @@ class Catalog:
         # but only when it points at THIS catalog's path (table names are
         # session-global; another Catalog rooted elsewhere may own the name).
         tbl = f"{db}_{name}"
+        if (db, name) not in self._external:
+            # a restarted session has no table metadata; the durable layout
+            # sidecar re-registers the bucketed table before routing
+            ensure_layout_table(self.spark, self.root, db, name)
         if (db, name) not in self._external and self.spark.catalog.tableExists(tbl):
             loc = self._table_location(tbl)
             if loc is not None and _same_location(loc, self.set_path(db, name)):
@@ -222,6 +265,23 @@ class Catalog:
                 .option("path", self.set_path(db, name))
                 .saveAsTable(f"{db}_{name}")
             )
+            # durable layout sidecar: lets a NEW session (or the public
+            # read_set router) re-register the bucketed table over the
+            # same files instead of silently losing the layout
+            import json
+
+            meta = {
+                "num_buckets": n,
+                "bucket_cols": list(cols),
+                "sort_cols": list(cols),
+                "columns": [
+                    (f.name, f.dataType.simpleString()) for f in df.schema.fields
+                ],
+            }
+            with open(
+                os.path.join(self.set_path(db, name), LAYOUT_FILE), "w"
+            ) as fh:
+                json.dump(meta, fh)
             return
         # a plain path write invalidates any bucketed table we own here
         self._drop_owned_table(db, name)

@@ -166,6 +166,13 @@ def read_set(spark, ident: str, root: Optional[str] = None,
         db, name = ident.split(".")
         tbl = f"{db}_{name}"
         resolved = _resolve_path({"path": ident, "root": root})
+        from lachesis_spark.catalog import ensure_layout_table
+
+        # a restarted session lost the table metadata; the durable layout
+        # sidecar written by write_set(bucket_by=...) re-registers it
+        ensure_layout_table(
+            spark, root or os.path.join("spark-warehouse", "lachesis"), db, name
+        )
         if spark.catalog.tableExists(tbl):
             loc = next(
                 (

@@ -278,3 +278,44 @@ def test_row_group_spans_cover_all_rows(spark):
         )
     for f, rgs in per_file.items():
         assert sorted(rgs) == list(range(pq.ParquetFile(f).metadata.num_row_groups))
+
+
+def test_bucket_layout_survives_session_restart(spark, tmp_path):
+    """The durable layout sidecar re-registers the bucketed table after the
+    session catalog loses it (simulated by DROP TABLE, which keeps the
+    external files): reads through BOTH public routes still plan the
+    bucket-key join Exchange-free."""
+    from lachesis_spark.sources.lachesis_source import read_set, set_layout
+
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db8")
+    ords = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    try:
+        cat.write_set(ords, "db8", "orders_b", bucket_by=(4, ["o_custkey"]))
+        cat.write_set(
+            ords.selectExpr("o_custkey", "o_totalprice AS p2"),
+            "db8", "orders_b2", bucket_by=(4, ["o_custkey"]),
+        )
+        # simulate restart: session catalog forgets both tables
+        spark.sql("DROP TABLE db8_orders_b")
+        spark.sql("DROP TABLE db8_orders_b2")
+        a = read_set(spark, "db8.orders_b", root=root)
+        b = read_set(spark, "db8.orders_b2", root=root)
+        plan = a.join(b, "o_custkey")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert a.count() == ords.count()
+        # Catalog.read_set route re-registers too, and layout metadata is back
+        spark.sql("DROP TABLE db8_orders_b")
+        got = cat.read_set("db8", "orders_b")
+        assert got.count() == ords.count()
+        assert set_layout(spark, "db8", "orders_b")["num_buckets"] == 4
+        # a plain rewrite invalidates the sidecar along with the files
+        cat.write_set(ords, "db8", "orders_b")
+        assert not os.path.exists(
+            os.path.join(cat.set_path("db8", "orders_b"), "_lachesis_layout.json")
+        )
+        assert set_layout(spark, "db8", "orders_b") == {}
+    finally:
+        cat.remove_set("db8", "orders_b")
+        cat.remove_set("db8", "orders_b2")
