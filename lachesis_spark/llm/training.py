@@ -304,6 +304,7 @@ def bpe_train_n(
         .agg(F.count(F.lit(1)).alias("c"))
     )
     syms = wc.select(
+        "w",  # kept so encode-side consumers can join words back to docs
         "c",
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
@@ -323,7 +324,9 @@ def bpe_train_n(
         pair, cnt = best[0]["pair"], int(best[0]["cnt"])
         p1, p2 = pair.split(" ", 1)
         merges.append((r, pair, p1 + p2, cnt))
-        syms = syms.select("c", bpe_merge_symbols(F.col("syms"), p1, p2).alias("syms"))
+        syms = syms.select(
+            "w", "c", bpe_merge_symbols(F.col("syms"), p1, p2).alias("syms")
+        )
         if r % checkpoint_every == 0:
             syms = syms.localCheckpoint(eager=True)
         if on_round is not None:
@@ -443,6 +446,56 @@ def _bpe_vocab_sql(n_rounds: int) -> str:
 
 QUERIES["tok_bpe_vocab"] = tok_bpe_vocab
 ORACLE["tok_bpe_vocab"] = _bpe_vocab_sql(N_BPE_ROUNDS)
+
+
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode accounting with the trained tokenizer: per-source post-BPE
+    token totals and tokens-per-word — the compression number a
+    token-budget planner needs after training (sample_token_budget uses
+    whitespace tokens; this is the trained-tokenizer correction).
+
+    Encoding a word = the symbol count of its trained merge sequence, so
+    the corpus is never re-segmented per document: the vocabulary frame the
+    training loop materialized already carries every word's token count,
+    and the corpus-side work is one token explode + a join on the word key
+    (vocabulary-sized build side; AQE broadcasts it when it fits)."""
+    docs = _docs(spark, sf_dir)
+    _, syms = bpe_train_n(docs, N_BPE_ROUNDS)
+    word_tokens = syms.select("w", F.size("syms").alias("n_tok"))
+    corpus = docs.select(
+        "source", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    return (
+        corpus.join(word_tokens, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("bpe_tokens"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.col("n_tok").cast("double")), 6).alias(
+                "avg_tok_per_word"
+            ),
+        )
+    )
+
+
+def _bpe_encode_sql(n_rounds: int) -> str:
+    merges = _bpe_merges_sql(n_rounds)
+    body = merges[: merges.rindex("\nSELECT 1 AS round")]
+    return (
+        body
+        + f""",
+wt AS (SELECT wid, count(*) AS n_tok FROM s{n_rounds} GROUP BY wid)
+SELECT source, CAST(sum(n_tok) AS BIGINT) AS bpe_tokens,
+       count(*) AS n_words,
+       round(avg(CAST(n_tok AS DOUBLE)), 6) AS avg_tok_per_word
+FROM (SELECT source, unnest({_SQL_TOKENS}) AS w FROM documents) d
+JOIN wt ON d.w = wt.wid
+GROUP BY source"""
+    )
+
+
+QUERIES["tok_bpe_encode"] = tok_bpe_encode
+ORACLE["tok_bpe_encode"] = _bpe_encode_sql(N_BPE_ROUNDS)
 
 
 # ---------------------------------------------------------------------------
