@@ -219,6 +219,14 @@ class Catalog:
             loc = self._table_location(tbl)
             if loc is not None and _same_location(loc, self.set_path(db, name)):
                 self.spark.sql(f"DROP TABLE {tbl}")
+        # every caller is a rewrite/teardown path, so the durable layout
+        # sidecar is about to be as stale as the table was — remove it or a
+        # later read_set would re-register bucket metadata over plain files
+        # (snapshot restores bring their own sidecar back with the files)
+        try:
+            os.remove(os.path.join(self.set_path(db, name), LAYOUT_FILE))
+        except OSError:
+            pass
 
     def write_set(
         self,
