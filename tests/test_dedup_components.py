@@ -79,3 +79,38 @@ def test_converged_refines_fixed_on_real_pairs(spark):
     assert set(fixed) == set(conv)
     assert all(conv[d] <= fixed[d] for d in fixed)
     assert len(set(conv.values())) <= len(set(fixed.values()))
+
+
+def test_cc_incremental_equals_full_recompute(spark):
+    # history: two components {1..4}, {10..12}; new batch bridges them via
+    # (4,10) and adds a fresh component (20,21)
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)], "a_id bigint, b_id bigint"
+    )
+    new = spark.createDataFrame(
+        [(4, 10), (20, 21)], "a_id bigint, b_id bigint"
+    )
+    labels_old = D.cc_converged(old)
+    incr = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.cc_incremental(labels_old, new).collect()
+    }
+    full = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.cc_converged(old.unionByName(new)).collect()
+    }
+    assert incr == full
+    assert incr[12] == 1 and incr[20] == 20  # bridge merged, new comp kept
+
+
+def test_cc_incremental_bounded_depth_on_deep_history(spark):
+    # history is a deep chain; the star summary makes every member one hop
+    # from the old canonical, so folding in one new edge converges fast and
+    # still produces the exact merged labeling
+    n = 20
+    old = _chain_pairs(spark, n)  # 0-1-...-20
+    new = spark.createDataFrame([(n, n + 1)], "a_id bigint, b_id bigint")
+    labels = D.cc_incremental(D.cc_converged(old), new)
+    got = {r["doc_id"]: r["canonical_id"] for r in labels.collect()}
+    assert set(got.values()) == {0}
+    assert set(got) == set(range(n + 2))
