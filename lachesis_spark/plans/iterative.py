@@ -122,6 +122,60 @@ def pagerank(spark, sf_dir):
     return pagerank_run(_edges(spark, sf_dir), PR_ITERS)
 
 
+def pagerank_converged(edges: DataFrame, tol: float = 1e-7,
+                       damp: float = PR_DAMP, max_iters: int = 200) -> DataFrame:
+    """PageRank iterated to an L1 fixpoint instead of a guessed iteration
+    count — the production form (same policy as llm.dedup.cc_converged: the
+    fixed-depth query stays as the DuckDB-unrollable oracle form, this one
+    stops when the rank vector stops moving).
+
+    Convergence test costs one node-sized join+agg per iteration; the rank
+    frame is checkpointed each iteration so lineage stays one step deep.
+    Damped power iteration contracts by ``damp`` per step, so max_iters is
+    a defensive bound, not a tuning knob."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = edges.join(deg, "src").cache()
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        contribs = (
+            contrib_edges.join(pr, contrib_edges["src"] == pr["node"])
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damp) / n)
+                    + F.lit(damp) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new.join(pr.withColumnRenamed("pr", "old"), "node")
+            .agg(F.sum(F.abs(F.col("pr") - F.col("old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        pr = new
+        if delta is not None and delta < tol:
+            break
+    else:  # pragma: no cover - defensive bound
+        raise RuntimeError(f"pagerank did not converge in {max_iters} iterations")
+    contrib_edges.unpersist()
+    nodes.unpersist()
+    return pr
+
+
 def _pagerank_sql() -> str:
     base = f"""
 edges AS (
@@ -201,6 +255,66 @@ def kmeans_assign(spark, sf_dir):
 
     return assign(emb, cents).select(
         "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def kmeans_converged(spark, sf_dir, tol: float = 1e-9, max_iters: int = 200):
+    """Lloyd's algorithm iterated until the centroids stop moving (max L2
+    shift < tol) instead of a fixed count — the production form.
+    Convergence detection is FREE: the centroids already live on the
+    driver (k×dim doubles per round), so the shift is driver arithmetic —
+    no extra cluster work per iteration, unlike CC/PageRank where the
+    state is distributed.  Returns (assignment frame, iterations run)."""
+    emb = _emb_arr(spark, sf_dir).cache()
+    try:
+        cents = {
+            int(r["vec_id"]): [float(x) for x in r["e"]]
+            for r in emb.filter(F.col("vec_id") < KM_K).collect()
+        }
+
+        def assign(df, cents):
+            structs = []
+            for c, vec in sorted(cents.items()):
+                cl = F.array(*[F.lit(x) for x in vec])
+                d = F.aggregate(
+                    F.zip_with(F.col("e"), cl, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                structs.append(F.struct(d.alias("d"), F.lit(c).alias("c")))
+            return df.withColumn("cluster", F.least(*structs)["c"])
+
+        it = 0
+        for it in range(1, max_iters + 1):
+            assigned = assign(emb, cents)
+            new_rows = (
+                assigned.select("cluster", F.posexplode("e").alias("j", "v"))
+                .groupBy("cluster", "j")
+                .agg(F.avg("v").alias("v"))
+                .collect()
+            )
+            new = {}
+            for r in new_rows:
+                new.setdefault(int(r["cluster"]), {})[int(r["j"])] = float(r["v"])
+            new = {c: [d[j] for j in sorted(d)] for c, d in new.items()}
+            shift = max(
+                sum((a - b) ** 2 for a, b in zip(new[c], cents.get(c, new[c])))
+                for c in new
+            )
+            cents = new
+            if shift < tol:
+                break
+        else:  # pragma: no cover - defensive bound
+            raise RuntimeError(f"kmeans did not converge in {max_iters} iterations")
+        out = assign(emb, cents).select(
+            "vec_id", F.col("cluster").cast("int").alias("cluster")
+        )
+        rows = [tuple(r) for r in out.collect()]
+    finally:
+        emb.unpersist()
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, cluster int"),
+        it,
     )
 
 

@@ -134,3 +134,38 @@ def test_pagerank_bucketed_edges_shuffles_only_ranks(spark, tmp_path):
         assert "Exchange hashpartitioning" in plain_plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+
+# ---------------------------------------------------------------------------
+# Convergence-checked production forms (fixed-depth queries stay the
+# oracle forms; these stop when the state stops moving — same policy as
+# llm.dedup.cc_converged)
+def test_pagerank_converged_reaches_power_iteration_fixpoint(spark):
+    from lachesis_spark.plans.iterative import (
+        _edges,
+        pagerank_converged,
+        pagerank_run,
+    )
+    from tests.conftest import SF_SMOKE
+
+    edges = _edges(spark, SF_SMOKE)
+    conv = {r["node"]: r["pr"] for r in pagerank_converged(edges, tol=1e-10).collect()}
+    deep = {r["node"]: r["pr"] for r in pagerank_run(edges, iters=60).collect()}
+    assert set(conv) == set(deep)
+    assert max(abs(conv[n] - deep[n]) for n in conv) < 1e-8
+
+
+def test_kmeans_converged_is_a_fixpoint(spark):
+    from lachesis_spark.plans.iterative import KM_ITERS, kmeans_converged
+    from tests.conftest import SF_SMOKE
+
+    out, iters = kmeans_converged(spark, SF_SMOKE)
+    assert iters >= 1
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    # running one more Lloyd round from the converged centroids cannot
+    # change any assignment: re-run with a higher tolerance floor and the
+    # same seed — the assignment must be identical (fixpoint stability)
+    out2, _ = kmeans_converged(spark, SF_SMOKE, tol=1e-6)
+    got2 = {r["vec_id"]: r["cluster"] for r in out2.collect()}
+    assert got == got2
+    assert set(got.values()) <= set(range(4))
