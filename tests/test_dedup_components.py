@@ -114,3 +114,24 @@ def test_cc_incremental_bounded_depth_on_deep_history(spark):
     got = {r["doc_id"]: r["canonical_id"] for r in labels.collect()}
     assert set(got.values()) == {0}
     assert set(got) == set(range(n + 2))
+
+
+def test_ngram_jaccard_candidates_path_matches_allpairs_scores(spark):
+    # production composition: exact Jaccard restricted to LSH candidates
+    # must score those pairs identically to the all-pairs form
+    from tests.conftest import SF_SMOKE
+
+    cand = D.dedup_minhash_lsh(spark, SF_SMOKE)
+    via_cand = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(spark, SF_SMOKE, k=10, candidates=cand).collect()
+    }
+    all_pairs = {
+        (r["a_id"], r["b_id"]): round(r["jaccard"], 9)
+        for r in D.ngram_jaccard_pairs(spark, SF_SMOKE, k=10).collect()
+    }
+    # near-dup pairs (high Jaccard) are exactly what LSH recalls, so the
+    # top of both rankings coincides and scores agree pairwise
+    common = set(via_cand) & set(all_pairs)
+    assert common
+    assert all(via_cand[p] == all_pairs[p] for p in common)
