@@ -187,3 +187,47 @@ def test_pack_manifest_consistent_with_packing(spark):
         # ordered by pack key (doc_id) — the concat order the loader replays
         ids = [int(d) for d, _ in entries]
         assert ids == sorted(ids)
+
+
+def test_pack_by_trained_tokenizer_counts(spark):
+    """Pipeline composition: BPE-trained per-word token counts feed
+    pack_sequences' token_count_col — packing by what the model will
+    actually see, not whitespace words."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.functions import text as TX
+    from lachesis_spark.llm.sampling import pack_sequences
+    from lachesis_spark.llm.training import bpe_train_n
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    _, syms = bpe_train_n(docs, 4)
+    wt = syms.select("w", F.size("syms").alias("n_tok"))
+    per_doc = (
+        docs.select("doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .join(wt, "w")
+        .groupBy("doc_id")
+        .agg(F.sum("n_tok").alias("trained_tokens"))
+    )
+    packed = pack_sequences(
+        per_doc, "doc_id", F.col("trained_tokens"), budget=256, n_buckets=4
+    )
+    assert packed.count() == per_doc.count()
+    # bins are contiguous 0..max per bucket (the dense_rank densification)
+    per_bucket = (
+        packed.groupBy("bucket")
+        .agg(F.max("bin").alias("mx"), F.count_distinct("bin").alias("nd"))
+        .collect()
+    )
+    assert all(r["nd"] == r["mx"] + 1 for r in per_bucket)
+    # subword counts sit strictly between whitespace-word and character
+    # counts, so the composition is exercising real re-weighting
+    ws = docs.select(F.sum(F.size(TX.tokens(F.lower(F.col("text")))))).collect()[0][0]
+    chars = docs.select(
+        F.sum(F.aggregate(TX.tokens(F.lower(F.col("text"))), F.lit(0),
+                          lambda a, t: a + F.length(t)))
+    ).collect()[0][0]
+    tr = per_doc.select(F.sum("trained_tokens")).collect()[0][0]
+    assert ws < tr < chars
