@@ -9,6 +9,8 @@ it.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from lachesis_spark.llm import dedup as D
@@ -135,3 +137,21 @@ def test_ngram_jaccard_candidates_path_matches_allpairs_scores(spark):
     common = set(via_cand) & set(all_pairs)
     assert common
     assert all(via_cand[p] == all_pairs[p] for p in common)
+
+
+def test_dedup_incremental_near_equals_full_recompute(spark):
+    """Two-batch incremental near-dup loop (signature index + label fold)
+    reproduces the full convergent grouping over the whole corpus."""
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    b1 = docs.where("doc_id % 2 = 0")
+    b2 = docs.where("doc_id % 2 = 1")
+    sig1, lab1 = D.dedup_incremental_near(None, None, b1)
+    _, lab2 = D.dedup_incremental_near(sig1, lab1, b2)
+    incr = {r["doc_id"]: r["canonical_id"] for r in lab2.collect()}
+    full = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.dedup_components_conv(spark, SF_SMOKE).collect()
+    }
+    assert incr == full
