@@ -98,3 +98,69 @@ def test_streaming_ingest_incremental_dedup_loop(spark, tmp_path):
     }
     assert contents == {"alpha beta", "gamma delta", "epsilon zeta",
                         "eta theta", "iota kappa"}
+
+
+def test_near_dup_state_advances_incrementally_through_catalog(spark, tmp_path):
+    """Second operational loop: the NEAR-dup state (MinHash signature index
+    + component label table) persists in the catalog and advances per
+    batch via dedup_incremental_near — after three days the incrementally
+    maintained labels equal a full convergent recompute over everything
+    ingested."""
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.llm import dedup as D
+
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    cat.create_database("near")
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    days = [
+        [(1, base), (2, base + " today"), (3, "completely different words about spark shuffles and joins here")],
+        [(10, base + " again"), (11, "completely different words about spark shuffles and joins here please")],
+        [(20, base), (21, "unrelated fresh content with enough tokens to form many shingles indeed")],
+    ]
+    all_rows = [r for day in days for r in day]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    for day, rows in enumerate(days, start=1):
+        sig_prev = (
+            cat.read_set("near", "sig_index") if cat.exists_set("near", "sig_index") else None
+        )
+        lab_prev = (
+            cat.read_set("near", "labels") if cat.exists_set("near", "labels") else None
+        )
+        new_sig, labels = D.dedup_incremental_near(sig_prev, lab_prev, frame(rows))
+        # labels are eager (cc_converged materializes); persist state for the
+        # next day BEFORE overwriting the index the signatures derive from
+        rows_lab = labels.collect()
+        cat.write_set(
+            spark.createDataFrame(rows_lab, labels.schema)
+            if rows_lab else labels.limit(0),
+            "near", "labels",
+        )
+        cat.write_set(new_sig, "near", "sig_index", mode="append")
+
+    incr = {
+        r["doc_id"]: r["canonical_id"]
+        for r in cat.read_set("near", "labels").collect()
+    }
+    # ground truth: convergent CC over the band-join pairs of EVERYTHING
+    sig = D.minhash_signatures_from(D.shingled_from(frame(all_rows)))
+    a = sig.select(F.col("doc_id").alias("a_id"), "band", "minhash")
+    b = sig.select(F.col("doc_id").alias("b_id"), F.col("band").alias("band2"),
+                   F.col("minhash").alias("minhash2"))
+    pairs = (
+        a.join(b, (F.col("band") == F.col("band2"))
+               & (F.col("minhash") == F.col("minhash2")))
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    full = {r["doc_id"]: r["canonical_id"] for r in D.cc_converged(pairs).collect()}
+    assert incr == full
+    # and the exact-duplicate pair across days landed in one component
+    assert incr[20] == incr[1]
