@@ -81,7 +81,16 @@ _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # parallelism floor: the expensive per-row expressions downstream
+    # (md5 windows, shingling, tokenize/explode) otherwise run on however
+    # few splits the (test-scale) file offers — 1 at sf0.1.  No-op at
+    # production scale, where the scan already yields >= cores splits
+    # (measured: text_rolling_fp 2.9 -> 0.5 s at sf0.1).
+    from lachesis_spark.operators.core import parallelism_floor
+
+    return parallelism_floor(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), spark
+    )
 
 
 # ---------------------------------------------------------------------------
