@@ -14,6 +14,16 @@ applies it, and Spark's bucketed-scan machinery turns later shuffles on that
 key into partition-local work (the reference's LocalJoin).
 """
 
+from lachesis_spark.advisor.apply import (  # noqa: F401
+    AppliedAction,
+    apply_all,
+    apply_report,
+    apply_salting_hint,
+    hinted_join,
+    read_hints,
+    rewrite_layout,
+    write_hints,
+)
 from lachesis_spark.advisor.bandit import (  # noqa: F401
     BanditPlacementOptimizer,
     LinUCBPlacementOptimizer,

@@ -410,6 +410,13 @@ def advise_all(history: HistoryDB, **kw) -> list[PlacementReport]:
         r[0]
         for r in history.con.execute("SELECT DISTINCT dataset FROM key_stats")
     )
+    # scan-stats-only datasets (recorded shape, no key usage yet) still get
+    # the file-size dimension — a fragmented microbatch sink is exactly the
+    # set that has no join/agg history of its own
+    seen.update(
+        r[0]
+        for r in history.con.execute("SELECT DISTINCT dataset FROM scan_stats")
+    )
     out = [advise(history, ds, **kw) for ds in sorted(seen)]
     return [r for r in out if not r.is_empty()]
 

@@ -31,17 +31,18 @@ _SQL_PUNCT = (
 )
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallelism floor: the expensive per-row expressions downstream
-    # (md5 windows, shingling, tokenize/explode) otherwise run on however
-    # few splits the (test-scale) file offers — 1 at sf0.1.  No-op at
-    # production scale, where the scan already yields >= cores splits
-    # (measured: text_rolling_fp 2.9 -> 0.5 s at sf0.1).
+def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
+    # parallelism floor (opt-out): the expensive per-row expressions most
+    # consumers run (md5 windows, shingling, tokenize/explode) otherwise run
+    # on however few splits the (test-scale) file offers — 1 at sf0.1; the
+    # gate reads actual scan splits, so a big corpus is a no-op (measured:
+    # text_rolling_fp 2.9 -> 0.5 s at sf0.1).  Aggregate-only consumers
+    # pass floor=False and scan raw — the round-robin buys them nothing
+    # (round-6 regression triage: quality_classifier/sample_temperature).
     from lachesis_spark.operators.core import parallelism_floor
 
-    return parallelism_floor(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), spark
-    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return parallelism_floor(df, spark) if floor else df
 
 
 # ---------------------------------------------------------------------------

@@ -80,17 +80,18 @@ MIX_WEIGHTS = (("src0", 0.3), ("src5", 0.3), ("src10", 0.2), ("src15", 0.2))
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # parallelism floor: the expensive per-row expressions downstream
-    # (md5 windows, shingling, tokenize/explode) otherwise run on however
-    # few splits the (test-scale) file offers — 1 at sf0.1.  No-op at
-    # production scale, where the scan already yields >= cores splits
-    # (measured: text_rolling_fp 2.9 -> 0.5 s at sf0.1).
+def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
+    # parallelism floor (opt-out): the expensive per-row expressions most
+    # consumers run (md5 windows, shingling, tokenize/explode) otherwise run
+    # on however few splits the (test-scale) file offers — 1 at sf0.1; the
+    # gate reads actual scan splits, so a big corpus is a no-op (measured:
+    # text_rolling_fp 2.9 -> 0.5 s at sf0.1).  Aggregate-only consumers
+    # pass floor=False and scan raw — the round-robin buys them nothing
+    # (round-6 regression triage: quality_classifier/sample_temperature).
     from lachesis_spark.operators.core import parallelism_floor
 
-    return parallelism_floor(
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")), spark
-    )
+    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return parallelism_floor(df, spark) if floor else df
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +344,123 @@ def bpe_train_n(
     return merges, syms
 
 
+def bpe_merge_symbols_multi(syms, merge_map: dict):
+    """One-pass greedy-left application of a BATCH of merges whose symbol
+    sets are pairwise disjoint (no p1/p2/merged string shared between any
+    two rules — :func:`select_noninteracting` guarantees it).
+
+    Disjointness makes the batch ORDER-INDEPENDENT and cascade-free: an
+    occurrence of rule A's pair can never overlap an occurrence of rule
+    B's (a shared boundary symbol would violate disjointness), and a
+    freshly merged output can never be a constituent of another rule — so
+    one fold with a pair→merged map literal is exactly equal to applying
+    the rules sequentially in any order (property-tested in
+    tests/test_training.py).  The map lives JVM-side as a literal; no UDF.
+    """
+    entries = [F.lit(x) for kv in merge_map.items() for x in kv]
+    m = F.create_map(*entries)
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & m[F.concat(F.element_at(acc, -1), F.lit(" "), s)].isNotNull(),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(m[F.concat(F.element_at(acc, -1), F.lit(" "), s)]),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def select_noninteracting(ranked_pairs, batch_m: int):
+    """Greedy prefix filter over (pair, cnt)-ranked rows: accept a pair iff
+    {p1, p2, p1+p2} is disjoint from every symbol used (as constituent OR
+    output) by an already-accepted pair, stopping at ``batch_m``.  The
+    skipped pairs stay in the count table and compete again next round."""
+    used: set = set()
+    batch = []
+    for pair, cnt in ranked_pairs:
+        p1, p2 = pair.split(" ", 1)
+        trio = {p1, p2, p1 + p2}
+        if trio & used:
+            continue
+        batch.append((pair, p1 + p2, int(cnt)))
+        used |= trio
+        if len(batch) >= batch_m:
+            break
+    return batch
+
+
+def bpe_train_batch(
+    docs: DataFrame,
+    n_merges: int,
+    batch_m: int = 16,
+    checkpoint_every: int = CHECKPOINT_EVERY,
+    on_round=None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """BPE training at REALISTIC depth (10³–10⁴ merges): per round, select
+    the top-``batch_m`` NON-INTERACTING pairs (no shared symbol — see
+    :func:`select_noninteracting`) and apply them in ONE corpus-free pass
+    over the vocabulary frame.  Sequential BPE pays one driver round-trip
+    + one vocabulary pass PER MERGE; this pays both per BATCH, cutting the
+    512-merge driver-latency bill ~``batch_m``× (measured in SCALE.md).
+
+    Within a batch the merges are provably order-independent (disjoint
+    symbol sets ⇒ non-overlapping occurrence positions ⇒ one fold ≡ any
+    sequential order — property-tested); across batches the selection is
+    the standard batched-BPE approximation every fast tokenizer trainer
+    makes (a merge created mid-batch cannot outrank into the batch).
+    ``batch_m=1`` degenerates to exact sequential BPE (test-locked against
+    :func:`bpe_train_n`).  Returns (merge rows, final vocab frame) in the
+    same shape as :func:`bpe_train_n`; ``round`` is the merge's ordinal.
+    """
+    import time as _time
+
+    wc = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    syms = wc.select(
+        "w",
+        "c",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)  # corpus shuffle happens exactly once
+    merges: list[tuple[int, str, str, int]] = []
+    rnd = 0
+    while len(merges) < n_merges:
+        rnd += 1
+        t0 = _time.perf_counter()
+        # 4x headroom so symbol conflicts inside the window still fill the
+        # batch; TakeOrdered brings <= 4*batch_m rows to the driver
+        top = (
+            _pair_counts_syms(syms)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(batch_m * 4)
+            .collect()
+        )
+        batch = select_noninteracting(
+            [(r["pair"], r["cnt"]) for r in top],
+            min(batch_m, n_merges - len(merges)),
+        )
+        if not batch:
+            break  # vocabulary fully collapsed — nothing left to merge
+        for pair, merged, cnt in batch:
+            merges.append((len(merges) + 1, pair, merged, cnt))
+        merge_map = {pair: merged for pair, merged, _ in batch}
+        syms = syms.select(
+            "w", "c", bpe_merge_symbols_multi(F.col("syms"), merge_map).alias("syms")
+        )
+        if rnd % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=True)
+        if on_round is not None:
+            on_round(rnd, _time.perf_counter() - t0, len(batch))
+    return merges, syms
+
+
 def tok_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = bpe_train_n(_docs(spark, sf_dir), N_BPE_ROUNDS)
     return spark.createDataFrame(
@@ -425,6 +543,133 @@ s{r} AS MATERIALIZED (
 
 QUERIES["tok_bpe_merges"] = tok_bpe_merges
 ORACLE["tok_bpe_merges"] = _bpe_merges_sql(N_BPE_ROUNDS)
+
+
+BPE_BATCH_ROUNDS = 2
+BPE_BATCH_M = 4
+
+
+def tok_bpe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched production trainer at oracle-checkable depth: 2 rounds
+    × 4 non-interacting merges = the same 8-merge budget as
+    ``tok_bpe_merges``, but selected and applied batch-wise.  The oracle
+    (`_bpe_batch_sql`) re-implements the WHOLE thing in DuckDB — selection
+    as a RECURSIVE CTE over the ranked candidate window, application
+    positionally with the batch map — so the batch semantics themselves
+    are hash-gated, not just the degenerate batch_m=1 case.  (Both sides
+    fill every batch on this corpus; a corpus too conflict-dense to fill a
+    batch would shift Python's ordinals vs the oracle's fixed per-round
+    grid — the strict comparator would catch that immediately.)"""
+    merges, _ = bpe_train_batch(
+        _docs(spark, sf_dir), BPE_BATCH_ROUNDS * BPE_BATCH_M, batch_m=BPE_BATCH_M
+    )
+    return spark.createDataFrame(
+        merges, "round int, pair string, merged string, cnt bigint"
+    )
+
+
+def _bpe_batch_sql(n_rounds: int, m: int) -> str:
+    """DuckDB oracle for the BATCHED trainer: per round, rank pair counts,
+    select the top-``m`` pairwise symbol-disjoint pairs with a linear
+    RECURSIVE CTE threading the used-symbol list, then apply ALL selected
+    merges in one positional pass.  Disjointness makes consecutive
+    candidate positions same-pair (a cross-pair overlap would share a
+    boundary symbol), so the single-pair run-parity logic generalizes
+    verbatim; the merged symbol comes from the per-position matched rule
+    instead of a scalar subquery."""
+    parts = [
+        f"""wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest({_SQL_TOKENS}) AS w FROM documents)
+  GROUP BY w
+),
+s0 AS MATERIALIZED (
+  SELECT wid, c, generate_subscripts(chars, 1) AS pos, unnest(chars) AS sym
+  FROM (SELECT w AS wid, c,
+               list_transform(generate_series(1, length(w)),
+                              i -> substr(w, i, 1)) AS chars
+        FROM wc)
+)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+  SELECT sym || ' ' || nxt AS pair, CAST(sum(c) AS BIGINT) AS cnt
+  FROM (SELECT c, sym,
+               lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM {prev})
+  WHERE nxt IS NOT NULL
+  GROUP BY 1
+),
+cr{r} AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY cnt DESC, pair) AS rn,
+         string_split(pair, ' ')[1] AS p1, string_split(pair, ' ')[2] AS p2,
+         pair, replace(pair, ' ', '') AS merged, cnt
+  FROM pc{r} ORDER BY cnt DESC, pair LIMIT {4 * m}
+),
+sel{r} AS (
+  SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used, 0 AS n_acc,
+         CAST(NULL AS VARCHAR) AS pair, CAST(NULL AS VARCHAR) AS p1,
+         CAST(NULL AS VARCHAR) AS p2, CAST(NULL AS VARCHAR) AS merged,
+         CAST(NULL AS BIGINT) AS cnt, 0 AS ord
+  UNION ALL
+  SELECT c.rn,
+         CASE WHEN s.n_acc < {m}
+                   AND NOT list_has_any(s.used, [c.p1, c.p2, c.merged])
+              THEN list_concat(s.used, [c.p1, c.p2, c.merged])
+              ELSE s.used END,
+         CASE WHEN s.n_acc < {m}
+                   AND NOT list_has_any(s.used, [c.p1, c.p2, c.merged])
+              THEN s.n_acc + 1 ELSE s.n_acc END,
+         c.pair, c.p1, c.p2, c.merged, c.cnt,
+         CASE WHEN s.n_acc < {m}
+                   AND NOT list_has_any(s.used, [c.p1, c.p2, c.merged])
+              THEN s.n_acc + 1 ELSE 0 END
+  FROM sel{r} s JOIN cr{r} c ON c.rn = s.rn + 1
+),
+bt{r} AS MATERIALIZED (
+  SELECT pair, p1, p2, merged, cnt, ord FROM sel{r} WHERE ord > 0
+),
+cand{r} AS MATERIALIZED (
+  SELECT t.wid, t.c, t.pos, t.sym, b.merged AS hit,
+         CASE WHEN b.merged IS NOT NULL THEN 1 ELSE 0 END AS isc
+  FROM (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        FROM {prev}) t
+  LEFT JOIN bt{r} b ON t.sym = b.p1 AND t.nxt = b.p2
+),
+runs{r} AS MATERIALIZED (
+  SELECT *, CASE WHEN isc = 1 THEN pos - row_number()
+                 OVER (PARTITION BY wid, isc ORDER BY pos) END AS rungrp
+  FROM cand{r}
+),
+keep{r} AS MATERIALIZED (
+  SELECT *, CASE WHEN isc = 1 AND row_number()
+                 OVER (PARTITION BY wid, rungrp ORDER BY pos) % 2 = 1
+            THEN 1 ELSE 0 END AS kp
+  FROM runs{r}
+),
+cons{r} AS MATERIALIZED (
+  SELECT *, coalesce(lag(kp) OVER (PARTITION BY wid ORDER BY pos), 0)
+              AS consumed
+  FROM keep{r}
+),
+s{r} AS MATERIALIZED (
+  SELECT wid, c, row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+         CASE WHEN kp = 1 THEN hit ELSE sym END AS sym
+  FROM cons{r} WHERE consumed = 0
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({(r - 1) * m} + ord AS INTEGER) AS round, pair, merged, cnt"
+        f" FROM bt{r}"
+        for r in range(1, n_rounds + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + union
+
+
+QUERIES["tok_bpe_batch"] = tok_bpe_batch
+ORACLE["tok_bpe_batch"] = _bpe_batch_sql(BPE_BATCH_ROUNDS, BPE_BATCH_M)
 
 
 def tok_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -644,7 +889,9 @@ def assign_shard(df: DataFrame, key_col: str = "doc_id", n_shards: int = N_SHARD
 
 
 def shard_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = assign_shard(_docs(spark, sf_dir))
+    # agg-only consumer (hash of doc_id + group-sum): the floor's
+    # round-robin of full text rows buys nothing — scan raw
+    docs = assign_shard(_docs(spark, sf_dir, floor=False))
     return docs.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -685,7 +932,9 @@ def write_shards(df: DataFrame, path: str, key_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 # 4. Token-budget mixture planner
 def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # tokenize feeds straight into a map-side-combined sum — no wide
+    # per-row stage to spread, so the floor's shuffle is pure cost
+    docs = _docs(spark, sf_dir, floor=False)
     wmap = dict(MIX_WEIGHTS)
     expr = F.lit(None).cast("double")
     for s, wt in MIX_WEIGHTS:
@@ -748,7 +997,12 @@ TEMP_ALPHA = 0.5
 
 
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    # agg-only (see sample_token_budget) — round-6 regression triage:
+    # the floor cost 0.2 -> 0.63 s at sf0.1 for zero benefit
+    return temperature_mixture(spark, _docs(spark, sf_dir, floor=False))
+
+
+def temperature_mixture(spark: SparkSession, docs: DataFrame) -> DataFrame:
     per_lang = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(TX.tokens(F.col("text")))).alias("tokens"),
@@ -759,6 +1013,11 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trips Spark's all-data-to-one-partition path, and a constant
     # partitionBy gets folded away by Catalyst)
     rows = per_lang.collect()
+    # a language whose documents are all empty/null text contributes zero
+    # (or NULL) tokens — it gets no sampling mass and must not crash the
+    # normalization (0**0.5 / tot is fine, but epochs divides BY tokens);
+    # mirrored in the oracle SQL's `WHERE tokens > 0`
+    rows = [r for r in rows if r["tokens"] is not None and r["tokens"] > 0]
     tot = sum(float(r["tokens"]) ** TEMP_ALPHA for r in rows)
     out = []
     for r in rows:
@@ -787,6 +1046,7 @@ scaled AS (
          pow(CAST(tokens AS DOUBLE), {TEMP_ALPHA!r})
            / sum(pow(CAST(tokens AS DOUBLE), {TEMP_ALPHA!r})) OVER () AS p
   FROM per_lang
+  WHERE tokens > 0
 )
 SELECT lang, n_docs, tokens,
        round(p, 9) AS p,

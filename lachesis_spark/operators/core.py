@@ -288,13 +288,23 @@ def flatten_map(
 def parallelism_floor(df: DataFrame, spark=None) -> DataFrame:
     """Re-spread ``df`` when its source offers fewer splits than the cluster
     has cores — the case where an expensive per-row expression downstream
-    (JSON parse, regex extraction, UDF) would otherwise run on a handful of
-    tasks.  A big input already scans as many splits (maxPartitionBytes), so
-    this is a no-op at scale and costs nothing; only a source smaller than
-    cores × one split pays the (tiny, by definition) round-robin shuffle."""
+    (JSON parse, regex extraction, shingling, UDF) would otherwise run on a
+    handful of tasks.  A big input already scans as many splits
+    (maxPartitionBytes), so this is a no-op at scale and costs nothing; only
+    a source smaller than cores × one split pays the (tiny, by definition)
+    round-robin shuffle.
+
+    The gate reads the ACTUAL scan split count (``rdd.getNumPartitions()``
+    — derived from file listing + maxPartitionBytes, no job is launched),
+    not the file count: a large corpus stored as a few big parquet files
+    still scans as many splits, and must not be round-robined.
+
+    Apply this only where a downstream per-row stage justifies the shuffle
+    — aggregate-only consumers should scan the source raw (measured: the
+    floor cost quality_classifier/sample_temperature ~0.4 s each at sf0.1
+    for zero benefit, while buying shingle/rolling-hash pipelines 2-6×)."""
     spark = spark or df.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files and len(files) >= cores:
+    if df.rdd.getNumPartitions() >= cores:
         return df
     return df.repartition(cores)

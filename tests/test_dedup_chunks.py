@@ -29,7 +29,7 @@ def test_shared_chunk_detected(spark, monkeypatch):
             (uniq_a + " " + uniq_a, "s3"),
         ],
     )
-    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir: docs)
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
     out = {r["source"]: r for r in DD.dedup_chunks(spark, "ignored").collect()}
     assert out["s1"]["avg_dup_chunk_frac"] == 1.0
     assert out["s2"]["avg_dup_chunk_frac"] == 0.5
@@ -40,7 +40,7 @@ def test_shared_chunk_detected(spark, monkeypatch):
 
 def test_short_docs_excluded(spark, monkeypatch):
     docs = _mkdocs(spark, [("too short", "s1")])
-    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir: docs)
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
     assert DD.dedup_chunks(spark, "ignored").count() == 0
 
 

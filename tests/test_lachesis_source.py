@@ -319,3 +319,61 @@ def test_bucket_layout_survives_session_restart(spark, tmp_path):
     finally:
         cat.remove_set("db8", "orders_b")
         cat.remove_set("db8", "orders_b2")
+
+
+def test_stream_reader_cursor_survives_restart(tmp_path):
+    """ADVICE round-5: the maxFilesPerTrigger rate-limit cursor lived only
+    in driver memory, so a restarted reader re-walked already-committed
+    files from [0.0, ""] and emitted one empty microbatch per old file.
+    The cursor is now seeded from the checkpointed offsets — via
+    partitions(start, end) on replay and commit(end) — so the first
+    latestOffset() after a restart is already ahead of the committed
+    offset."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from lachesis_spark.sources.lachesis_source import LachesisStreamReader
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    t0 = time.time() - 100
+    for i in range(3):
+        f = str(src / f"{i:02d}.parquet")
+        pq.write_table(pa.table({"id": [i]}), f)
+        os.utime(f, (t0 + i, t0 + i))
+
+    schema = StructType([StructField("id", LongType())])
+    opts = {"path": str(src), "maxfilespertrigger": "1"}
+
+    r1 = LachesisStreamReader(opts, schema)
+    offs = [r1.initialOffset()]
+    for _ in range(3):
+        offs.append(r1.latestOffset())
+    # one file admitted per trigger, strictly advancing
+    assert offs[1]["key"] < offs[2]["key"] < offs[3]["key"]
+
+    # restart with batch (offs[2] -> offs[3]) pending replay: Spark calls
+    # partitions(start, end) with the checkpointed offsets first
+    r2 = LachesisStreamReader(opts, schema)
+    spans = r2.partitions(offs[2], offs[3])
+    assert len(spans) == 1 and spans[0].file.endswith("02.parquet")
+    nxt = r2.latestOffset()
+    assert nxt["key"] >= offs[3]["key"], (
+        "restarted cursor fell behind the committed offset"
+    )
+
+    # restart where the last batch was fully committed: commit(end) seeds it
+    r3 = LachesisStreamReader(opts, schema)
+    r3.commit(offs[3])
+    assert r3.latestOffset()["key"] >= offs[3]["key"]
+    # a genuinely new file is admitted immediately (no stall)
+    f = str(src / "03.parquet")
+    pq.write_table(pa.table({"id": [3]}), f)
+    os.utime(f, (t0 + 10, t0 + 10))
+    nxt = r3.latestOffset()
+    assert nxt["key"] > offs[3]["key"]
+    assert len(r3.partitions(offs[3], nxt)) == 1

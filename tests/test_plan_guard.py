@@ -28,7 +28,6 @@ BNLJ_OK = {
     "tpch_q11",             # 1-row group-total scalar
     "tpch_q22",             # 1-row avg-acctbal scalar
     "lda_em", "lstm_inference",  # k×k / gate-constant matrices
-    "la_inverse_identity",  # driver-side dense inverse re-entering as dim×dim
     "text_quality_filter",  # 1-row quantile threshold
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector

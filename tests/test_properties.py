@@ -260,7 +260,7 @@ def test_temperature_mixture_proportions(spark, toks):
     )
     import unittest.mock as mock
 
-    with mock.patch.object(TR, "_docs", lambda spark, sf_dir: docs):
+    with mock.patch.object(TR, "_docs", lambda spark, sf_dir, **kw: docs):
         out = {r["lang"]: r for r in TR.sample_temperature(spark, "x").collect()}
     totals = {f"l{li}": sum(ns) for li, ns in enumerate(toks)}
     z = sum(t ** TR.TEMP_ALPHA for t in totals.values())

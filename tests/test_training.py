@@ -184,3 +184,116 @@ def test_token_budget_rates(spark):
         )
         # keep_rate is the capped epochs
         assert r["keep_rate"] == pytest.approx(min(1.0, r["epochs"]), rel=1e-4)
+
+
+def test_temperature_mixture_skips_zero_token_languages(spark):
+    """ADVICE round-5: a language whose documents are all empty/null text
+    yields zero (or NULL from size()=-1 sums) tokens — it must get no
+    sampling mass instead of crashing the driver-side normalization with
+    ZeroDivisionError/TypeError."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma"),
+            (2, "en", "alpha beta"),
+            (3, "zz", ""),           # tokenizes to zero tokens
+            (4, "qq", None),         # null text -> NULL token sum
+            (5, "fr", "un deux"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = {r["lang"]: r for r in TR.temperature_mixture(spark, docs).collect()}
+    assert set(rows) == {"en", "fr"}
+    assert abs(sum(r["p"] for r in rows.values()) - 1.0) < 1e-6
+    assert all(r["epochs"] > 0 for r in rows.values())
+
+
+def test_bpe_batch_m1_degenerates_to_sequential(spark):
+    """batch_m=1 must reproduce exact sequential BPE — same merges, same
+    ordinals, same counts."""
+    docs = TR._docs(spark, SF_SMOKE)
+    seq, _ = TR.bpe_train_n(docs, 6)
+    b1, _ = TR.bpe_train_batch(docs, 6, batch_m=1)
+    assert b1 == seq
+
+
+def test_bpe_multi_merge_is_order_independent():
+    """The one-pass batch fold over pairwise symbol-disjoint rules equals
+    sequential application of the same rules in EVERY order — the property
+    the batched trainer's correctness rides on."""
+    import itertools
+
+    rules = {"a b": "ab", "c d": "cd", "x x": "xx"}
+    streams = [
+        ["a", "b", "c", "d", "a", "b"],
+        ["x", "x", "x", "c", "d"],          # odd same-symbol run
+        ["x", "x", "x", "x"],               # even run
+        ["a", "c", "b", "d"],               # no matches
+        ["a", "b", "a", "b", "x", "x", "c", "d", "x"],
+        [],
+    ]
+
+    def seq_apply(stream, order):
+        out = list(stream)
+        for pair in order:
+            p1, p2 = pair.split(" ")
+            merged, acc = rules[pair], []
+            for s in out:
+                if acc and acc[-1] == p1 and s == p2:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            out = acc
+        return out
+
+    def batch_apply(stream):
+        acc = []
+        for s in stream:
+            key = (acc[-1] + " " + s) if acc else None
+            if key in rules:
+                acc[-1] = rules[key]
+            else:
+                acc.append(s)
+        return acc
+
+    for stream in streams:
+        got = batch_apply(stream)
+        for order in itertools.permutations(rules):
+            assert seq_apply(stream, order) == got, (stream, order)
+
+
+def test_bpe_multi_merge_fold_matches_python_model(spark):
+    """The Spark map-literal fold (bpe_merge_symbols_multi) computes the
+    same result as the pure-Python batch model on real symbol arrays."""
+    import pyspark.sql.functions as F
+
+    rules = {"a b": "ab", "c c": "cc"}
+    rows = [(1, ["a", "b", "c", "c", "c"]), (2, ["b", "a", "b", "a"]),
+            (3, ["c", "c", "c", "c"]), (4, [])]
+    df = spark.createDataFrame(rows, "id int, syms array<string>")
+    got = {
+        r["id"]: r["out"]
+        for r in df.select(
+            "id", TR.bpe_merge_symbols_multi(F.col("syms"), rules).alias("out")
+        ).collect()
+    }
+    assert got == {
+        1: ["ab", "cc", "c"],
+        2: ["b", "ab", "a"],
+        3: ["cc", "cc"],
+        4: [],
+    }
+
+
+def test_select_noninteracting_defers_conflicts():
+    ranked = [
+        ("e r", 100),   # takes e, r, er
+        ("r s", 90),    # shares r -> deferred
+        ("t h", 80),    # takes t, h, th
+        ("x e", 70),    # shares e -> deferred
+        ("er a", 60),   # shares er (merged output!) -> deferred
+        ("o n", 50),    # takes
+    ]
+    got = TR.select_noninteracting(ranked, 3)
+    assert got == [("e r", "er", 100), ("t h", "th", 80), ("o n", "on", 50)]
+    # batch size cap respected
+    assert len(TR.select_noninteracting(ranked, 2)) == 2
