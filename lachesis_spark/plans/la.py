@@ -483,7 +483,7 @@ def la_inverse_identity(spark, sf_dir):
     invert (LA_INVERSE_IDENTITY_SQL generates literal I).  Any off-diagonal
     residual above 5e-7, or diagonal drift, breaks the hash match."""
     g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).localCheckpoint(eager=True)
-    prod = matmul(inverse_newton(g, n=64), g)
+    prod = matmul(inverse_newton(g, n=64), g, n_parts=2, hint_broadcast=True)
     # round so the result is stable: exact zeros off-diagonal modulo 1e-6
     return prod.select(
         "i", "j", F.round(F.col("v"), 6).alias("v")

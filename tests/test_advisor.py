@@ -591,3 +591,126 @@ def test_advise_combines_all_dimensions():
     assert {r.dataset for r in reports} == {"db.fact", "db.other"}
     other = next(r for r in reports if r.dataset == "db.other")
     assert other.layout is None and other.salting is not None
+
+
+def test_apply_report_bucket_rewrite_end_to_end(spark, tmp_path):
+    """apply_report's layout rewrite: rows preserved, layout sidecar
+    survives the temp-set directory swap, and the recommended-key join
+    plans ZERO exchanges through the public read_set router."""
+    from lachesis_spark.advisor import (
+        HistoryDB,
+        KeyUsage,
+        advise,
+        apply_report,
+    )
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+    od = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    cat.write_set(li, "db", "li")
+    cat.write_set(od, "db", "od")
+    n0 = cat.read_set("db", "li").count()
+
+    h = HistoryDB(":memory:")
+    for i in range(2):
+        h.record_job(f"j{i}", 2.0, [
+            KeyUsage("li", "join", ("l_orderkey",)),
+            KeyUsage("od", "join", ("o_orderkey",)),
+        ])
+    acts = apply_report(cat, advise(h, "li", n_buckets=8), "db", "li", n_buckets=8)
+    acts += apply_report(cat, advise(h, "od", n_buckets=8), "db", "od", n_buckets=8)
+    assert [a.action for a in acts] == ["bucket_by", "bucket_by"]
+
+    a, b = cat.read_set("db", "li"), cat.read_set("db", "od")
+    assert a.count() == n0
+    with_broadcast_off(spark)
+    try:
+        j = (
+            a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            .groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+    finally:
+        with_broadcast_on(spark)
+
+
+def with_broadcast_off(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+
+def with_broadcast_on(spark):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salting_hint_roundtrip_and_hinted_join(spark, tmp_path):
+    """Applying a SaltingRecommendation persists the sidecar hint;
+    hinted_join salts exactly when the hint covers the join key, and the
+    salted result equals the plain join bit-for-bit."""
+    from lachesis_spark.advisor import (
+        HistoryDB,
+        apply_salting_hint,
+        hinted_join,
+        key_stat_for,
+        read_hints,
+        recommend_salting,
+    )
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    fact = spark.range(20_000).select(
+        F.when(F.col("id") < 8000, F.lit(0))
+        .otherwise((F.col("id") % 100).cast("long")).alias("k"),
+        (F.col("id") % 7).alias("v"),
+    )
+    cat.write_set(fact, "db", "fact")
+    dim = spark.range(100).select(F.col("id").alias("k"), (F.col("id") % 5).alias("w"))
+
+    h = HistoryDB(":memory:")
+    h.record_job("load", 1.0, [],
+                 key_stats=[key_stat_for(cat.read_set("db", "fact"),
+                                         "db.fact", ["k"])])
+    rec = recommend_salting(h, "db.fact", shuffle_partitions=8)
+    assert rec is not None and rec.n_salts >= 2
+    apply_salting_hint(cat, "db", "fact", rec)
+    hint = read_hints(cat, "db", "fact")["salted_join"]
+    assert hint["key_cols"] == ["k"] and hint["n_salts"] == rec.n_salts
+
+    f = cat.read_set("db", "fact")
+    salted = hinted_join(cat, "db", "fact", f, dim, "k", "k")
+    assert "__salt" not in salted.columns
+    plain = f.join(dim, f["k"] == dim["k"], "inner")
+    agg = lambda df: sorted(  # noqa: E731
+        (r["w"], r["n"]) for r in
+        df.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert agg(salted) == agg(plain)
+    # a key the hint does not cover joins plain
+    other = hinted_join(cat, "db", "fact", f, dim.withColumnRenamed("k", "kk"),
+                        "v", "kk")
+    assert "Generate" not in other._jdf.queryExecution().executedPlan().toString()
+
+
+def test_apply_all_compacts_scan_only_dataset(spark, tmp_path):
+    """A dataset with ONLY scan-stats history (no key usage) still gets the
+    file-size dimension through advise_all → apply_all."""
+    from lachesis_spark.advisor import (
+        HistoryDB,
+        advise_all,
+        apply_all,
+        scan_stat_for_set,
+    )
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+    li.repartition(64).write.parquet(cat.set_path("db", "frag"))
+    h = HistoryDB(":memory:")
+    h.record_job("scan0", 1.0, [], scans=[scan_stat_for_set(cat, "db", "frag")])
+    reports = advise_all(h, cores=8)
+    acts = apply_all(cat, reports, resolve={"db.frag": ("db", "frag")}, cores=8)
+    assert [a.action for a in acts] == ["compact"]
+    n_files = scan_stat_for_set(cat, "db", "frag").n_files
+    assert n_files < 64
+    assert cat.read_set("db", "frag").count() == li.count()
