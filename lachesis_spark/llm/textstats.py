@@ -607,3 +607,167 @@ FROM ent GROUP BY lang
 
 QUERIES["text_entropy"] = text_entropy
 ORACLE["text_entropy"] = TEXT_ENTROPY_SQL
+
+
+# ---------------------------------------------------------------------------
+# 11. Perplexity-bucketed curriculum binning: split the corpus into unigram-
+#     LM log-prob quartiles (CCNet's head/middle/tail policy generalized to
+#     4 bins).  Exact quartile thresholds come from ONE 3-number aggregation
+#     broadcast back into the plan — never an unpartitioned NTILE window,
+#     which would sort the whole corpus in one task.  doc_lp is rounded
+#     (1e-9) BEFORE the percentile so both engines interpolate thresholds
+#     from identical doubles and boundary docs bucket identically.
+def text_ppl_buckets(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
+    )
+    lm = (
+        toks.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("tot", F.sum("c").over(W.partitionBy("lang")))
+        .select("lang", "w", (F.col("c") / F.col("tot")).alias("p"))
+    )
+    scored = (
+        toks.join(lm, ["lang", "w"])
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("p")), 9).alias("doc_lp"))
+    )
+    thr = scored.agg(
+        F.expr("percentile(doc_lp, 0.25)").alias("q1"),
+        F.expr("percentile(doc_lp, 0.5)").alias("q2"),
+        F.expr("percentile(doc_lp, 0.75)").alias("q3"),
+    )
+    binned = scored.crossJoin(F.broadcast(thr)).withColumn(
+        "bucket",
+        F.when(F.col("doc_lp") < F.col("q1"), 0)
+        .when(F.col("doc_lp") < F.col("q2"), 1)
+        .when(F.col("doc_lp") < F.col("q3"), 2)
+        .otherwise(3),
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_lp"), 6).alias("avg_lp"),
+        F.round(F.min("doc_lp"), 6).alias("min_lp"),
+        F.round(F.max("doc_lp"), 6).alias("max_lp"),
+    )
+
+
+TEXT_PPL_BUCKETS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+  FROM documents
+),
+lm AS (
+  SELECT lang, w,
+         CAST(count(*) AS DOUBLE)
+           / sum(count(*)) OVER (PARTITION BY lang) AS p
+  FROM toks GROUP BY lang, w
+),
+scored AS (
+  SELECT t.doc_id, round(avg(ln(lm.p)), 9) AS doc_lp
+  FROM toks t JOIN lm ON t.lang = lm.lang AND t.w = lm.w
+  GROUP BY t.doc_id
+),
+thr AS (
+  SELECT quantile_cont(doc_lp, 0.25) AS q1,
+         quantile_cont(doc_lp, 0.5) AS q2,
+         quantile_cont(doc_lp, 0.75) AS q3
+  FROM scored
+),
+binned AS (
+  SELECT doc_lp,
+         CASE WHEN doc_lp < q1 THEN 0
+              WHEN doc_lp < q2 THEN 1
+              WHEN doc_lp < q3 THEN 2
+              ELSE 3 END AS bucket
+  FROM scored, thr
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_docs,
+       round(avg(doc_lp), 6) AS avg_lp,
+       round(min(doc_lp), 6) AS min_lp,
+       round(max(doc_lp), 6) AS max_lp
+FROM binned GROUP BY bucket
+"""
+
+QUERIES["text_ppl_buckets"] = text_ppl_buckets
+ORACLE["text_ppl_buckets"] = TEXT_PPL_BUCKETS_SQL
+
+
+# ---------------------------------------------------------------------------
+# 12. Zipf fit — the rank-frequency diagnostic every corpus health check
+#     runs (a natural corpus fits ln(freq) ≈ a + s·ln(rank) with s ≈ −1;
+#     template/boilerplate corpora flatten, spam steepens).  Top-K word
+#     counts arrive via TakeOrdered (per-partition k-heaps + driver merge —
+#     never a vocabulary-wide rank window); the OLS fit over K ≤ 1000
+#     (ln rank, ln count) points is driver arithmetic on a bounded collect,
+#     with the oracle computing the identical closed-form sums.
+ZIPF_TOP = 1000
+
+
+def text_zipf(spark, sf_dir):
+    import math
+
+    docs = _docs(spark, sf_dir, floor=False)
+    wc = (
+        docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wc = wc.cache()
+    try:
+        tot = wc.agg(
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum("c").alias("total_tokens"),
+        ).first()
+        top = wc.orderBy(F.desc("c"), F.asc("w")).limit(ZIPF_TOP).collect()
+    finally:
+        wc.unpersist()
+    xs = [math.log(i + 1) for i in range(len(top))]
+    ys = [math.log(r["c"]) for r in top]
+    n = float(len(top))
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return docs.sparkSession.createDataFrame(
+        [(
+            int(n), int(tot["vocab_size"]), int(tot["total_tokens"]),
+            round(slope, 6), round(intercept, 6),
+            top[0]["w"], int(top[0]["c"]),
+        )],
+        "top_n int, vocab_size bigint, total_tokens bigint,"
+        " slope double, intercept double, top_word string, top_cnt bigint",
+    )
+
+
+TEXT_ZIPF_SQL = f"""
+WITH wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+tot AS (SELECT count(*) AS vocab_size, CAST(sum(c) AS BIGINT) AS total_tokens FROM wc),
+ranked AS (
+  SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rn FROM wc
+),
+top AS (SELECT * FROM ranked WHERE rn <= {ZIPF_TOP}),
+sums AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         sum(ln(rn)) AS sx, sum(ln(c)) AS sy,
+         sum(ln(rn) * ln(c)) AS sxy, sum(ln(rn) * ln(rn)) AS sxx
+  FROM top
+)
+SELECT CAST(s.n AS INTEGER) AS top_n, t.vocab_size, t.total_tokens,
+       round((s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx), 6) AS slope,
+       round((s.sy - (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n, 6) AS intercept,
+       (SELECT w FROM top WHERE rn = 1) AS top_word,
+       (SELECT CAST(c AS BIGINT) FROM top WHERE rn = 1) AS top_cnt
+FROM sums s, tot t
+"""
+
+QUERIES["text_zipf"] = text_zipf
+ORACLE["text_zipf"] = TEXT_ZIPF_SQL

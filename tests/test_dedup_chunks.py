@@ -62,3 +62,27 @@ def test_fracs_bounded_on_corpus(spark):
     for r in rows:
         assert 0.0 <= r["avg_dup_chunk_frac"] <= 1.0
         assert 0 <= r["n_heavy_dup"] <= r["n_docs"]
+
+
+def test_soft_dedup_weights_sum_to_effective_copies(spark):
+    """SoftDeDup invariant: a content duplicated k times contributes total
+    weight k * k^-alpha (= 1 at alpha=1) — duplicated text collapses to
+    ~one effective copy, unique text keeps weight 1."""
+    rows = [(i, "srcA", "same text", 9) for i in range(5)] + [
+        (10, "srcB", "unique one", 10),
+        (11, "srcB", "unique two", 10),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    monkey = {"spark": None}
+
+    import unittest.mock as mock
+
+    with mock.patch.object(DD, "_docs", lambda spark, sf_dir, **kw: docs):
+        out = {r["source"]: r for r in DD.dedup_soft(spark, "x").collect()}
+    assert out["srcA"]["n_docs"] == 5
+    assert abs(out["srcA"]["effective_docs"] - 1.0) < 1e-6
+    assert abs(out["srcA"]["effective_chars"] - 9.0) < 1e-6
+    assert out["srcB"]["n_docs"] == 2
+    assert abs(out["srcB"]["effective_docs"] - 2.0) < 1e-6

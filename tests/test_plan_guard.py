@@ -29,6 +29,7 @@ BNLJ_OK = {
     "tpch_q22",             # 1-row avg-acctbal scalar
     "lda_em", "lstm_inference",  # k×k / gate-constant matrices
     "text_quality_filter",  # 1-row quantile threshold
+    "text_ppl_buckets",     # 1-row quartile-threshold broadcast
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector
     "dedup_semantic",       # broadcast k centroid rows (k=8, bounded at any SF)
