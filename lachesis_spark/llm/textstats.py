@@ -13,7 +13,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from lachesis_spark.functions import text as TX
@@ -464,10 +463,14 @@ def text_unigram_logprob(spark, sf_dir):
     toks = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
     )
+    # per-lang totals via groupBy + broadcast join, NOT a lang-partitioned
+    # window: a window would sort each language's whole vocabulary in ONE
+    # task (1e7-1e8 rows/lang at corpus scale); the totals frame is
+    # languages-sized and broadcasts for free
+    wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))
     lm = (
-        toks.groupBy("lang", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("tot", F.sum("c").over(W.partitionBy("lang")))
+        wc.join(F.broadcast(tots), "lang")
         .select("lang", "w", (F.col("c") / F.col("tot")).alias("p"))
     )
     scored = (
@@ -622,10 +625,14 @@ def text_ppl_buckets(spark, sf_dir):
     toks = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
     )
+    # per-lang totals via groupBy + broadcast join, NOT a lang-partitioned
+    # window: a window would sort each language's whole vocabulary in ONE
+    # task (1e7-1e8 rows/lang at corpus scale); the totals frame is
+    # languages-sized and broadcasts for free
+    wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))
     lm = (
-        toks.groupBy("lang", "w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("tot", F.sum("c").over(W.partitionBy("lang")))
+        wc.join(F.broadcast(tots), "lang")
         .select("lang", "w", (F.col("c") / F.col("tot")).alias("p"))
     )
     scored = (
