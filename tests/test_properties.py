@@ -267,3 +267,111 @@ def test_temperature_mixture_proportions(spark, toks):
     for lang, tot in totals.items():
         assert out[lang]["tokens"] == tot
         assert abs(out[lang]["p"] - tot ** TR.TEMP_ALPHA / z) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Round-6 kernels: PNG codec round-trip and batched-BPE selection/application
+png_arrays = st.tuples(
+    st.integers(min_value=1, max_value=12),   # h
+    st.integers(min_value=1, max_value=9),    # w
+    st.integers(min_value=0, max_value=2**32 - 1),  # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=6),
+)
+
+
+@SET
+@given(spec=png_arrays)
+def test_png_roundtrip_property(spec):
+    """decode(encode(arr)) == arr for random shapes, pixels, and per-line
+    filter assignments — every unfilter path hit by construction."""
+    import numpy as np
+
+    from lachesis_spark.llm import multimodal as MM
+
+    h, w, seed, filters = spec
+    arr = np.random.RandomState(seed % (2**31)).randint(
+        0, 256, (h, w, 3), dtype=np.uint8
+    )
+    out = MM.decode_png(MM.encode_png(arr, filters=filters))
+    assert out.shape == arr.shape and (out == arr).all()
+
+
+ranked_pairs = st.lists(
+    st.tuples(
+        st.text(alphabet="abcdef", min_size=1, max_size=2),
+        st.text(alphabet="abcdef", min_size=1, max_size=2),
+        st.integers(min_value=1, max_value=1000),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SET
+@given(pairs=ranked_pairs, m=st.integers(min_value=1, max_value=8))
+def test_select_noninteracting_property(pairs, m):
+    """Selected batch is pairwise symbol-disjoint (constituents AND merged
+    outputs), respects the cap, and preserves rank order greedily: every
+    skipped candidate above the last accepted one conflicts with an
+    earlier acceptance."""
+    from lachesis_spark.llm import training as TR
+
+    ranked = [(f"{p1} {p2}", cnt) for p1, p2, cnt in pairs]
+    batch = TR.select_noninteracting(ranked, m)
+    assert len(batch) <= m
+    used: set = set()
+    for pair, merged, _cnt in batch:
+        p1, p2 = pair.split(" ", 1)
+        trio = {p1, p2, merged}
+        assert not (trio & used)
+        used |= trio
+    # exact greedy model: accept in rank order unless the trio conflicts
+    # with anything already accepted, stop at m
+    sim, sim_used = [], set()
+    for pair, cnt in ranked:
+        p1, p2 = pair.split(" ", 1)
+        trio = {p1, p2, p1 + p2}
+        if len(sim) < m and not (trio & sim_used):
+            sim.append((pair, p1 + p2, int(cnt)))
+            sim_used |= trio
+    assert batch == sim
+
+
+@SET
+@given(
+    stream=st.lists(st.sampled_from(["a", "b", "c", "d", "x"]), max_size=25),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+def test_bpe_batch_fold_equals_any_sequential_order(stream, seed):
+    """For a disjoint rule batch, the one-pass fold result is identical to
+    applying the single-merge folds sequentially in a random order."""
+    import random
+
+    rules = {"a b": "ab", "c d": "cd", "x x": "xx"}
+
+    def single(out, pair):
+        p1, p2 = pair.split(" ")
+        merged, acc = rules[pair], []
+        for s in out:
+            if acc and acc[-1] == p1 and s == p2:
+                acc[-1] = merged
+            else:
+                acc.append(s)
+        return acc
+
+    def batch(stream):
+        acc = []
+        for s in stream:
+            key = (acc[-1] + " " + s) if acc else None
+            if key in rules:
+                acc[-1] = rules[key]
+            else:
+                acc.append(s)
+        return acc
+
+    order = list(rules)
+    random.Random(seed).shuffle(order)
+    seq = list(stream)
+    for pair in order:
+        seq = single(seq, pair)
+    assert seq == batch(list(stream))
