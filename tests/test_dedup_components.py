@@ -122,6 +122,21 @@ def test_cc_sweep_exchanges_are_pair_set_width(spark):
     assert widths == {n_parts}, plan
 
 
+def test_cc_converged_shuffle_and_broadcast_paths_agree(spark, monkeypatch):
+    """The size gate picks broadcast sweeps for reduced pair sets and
+    co-partitioned shuffle sweeps for corpus-scale ones; both must produce
+    identical labelings (forced here by zeroing the gate)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (4, 10)],
+        "a_id bigint, b_id bigint",
+    )
+    bc = {r["doc_id"]: r["canonical_id"] for r in D.cc_converged(pairs).collect()}
+    monkeypatch.setattr(D, "CC_BROADCAST_PAIR_LIMIT", 0)
+    sh = {r["doc_id"]: r["canonical_id"] for r in D.cc_converged(pairs).collect()}
+    assert bc == sh
+    assert set(bc.values()) == {1, 20}
+
+
 def test_cc_incremental_equals_full_recompute(spark):
     # history: two components {1..4}, {10..12}; new batch bridges them via
     # (4,10) and adds a fresh component (20,21)
