@@ -86,3 +86,52 @@ def test_soft_dedup_weights_sum_to_effective_copies(spark):
     assert abs(out["srcA"]["effective_chars"] - 9.0) < 1e-6
     assert out["srcB"]["n_docs"] == 2
     assert abs(out["srcB"]["effective_docs"] - 2.0) < 1e-6
+
+
+# -- dedup_paragraphs: the REMOVAL form (CCNet paragraph dedup) -------------
+def test_paragraph_removal_strips_shared_units_from_all_docs(spark, monkeypatch):
+    import hashlib
+
+    shared = " ".join(f"w{i}" for i in range(DD.CHUNK_W))
+    uniq_a = " ".join(f"a{i}" for i in range(DD.CHUNK_W))
+    uniq_b = " ".join(f"b{i}" for i in range(DD.CHUNK_W))
+    docs = _mkdocs(
+        spark,
+        [
+            (f"{uniq_a} {shared}", "s1"),   # keeps uniq_a, loses shared
+            (f"{shared} {uniq_b}", "s2"),   # keeps uniq_b, loses shared
+            (shared, "s3"),                 # loses its only unit -> empty
+        ],
+    )
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
+    out = {r["doc_id"]: r for r in DD.dedup_paragraphs(spark, "ignored").collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # the shared unit is removed from EVERY document holding it
+    assert (out[0]["n_kept"], out[0]["n_removed"]) == (1, 1)
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (1, 1)
+    assert (out[2]["n_kept"], out[2]["n_removed"]) == (0, 1)
+    # reassembly is byte-exact and ordered
+    assert out[0]["cleaned_md5"] == md5(uniq_a)
+    assert out[1]["cleaned_md5"] == md5(uniq_b)
+    assert out[2]["cleaned_md5"] == md5("")
+
+
+def test_paragraph_removal_preserves_order(spark, monkeypatch):
+    import hashlib
+
+    shared = " ".join(f"w{i}" for i in range(DD.CHUNK_W))
+    u = [" ".join(f"u{k}_{i}" for i in range(DD.CHUNK_W)) for k in range(3)]
+    docs = _mkdocs(
+        spark,
+        [
+            # kept units must come back in document order u0 u1 u2,
+            # with the shared unit excised from the middle
+            (f"{u[0]} {shared} {u[1]} {u[2]}", "s1"),
+            (shared, "s2"),
+        ],
+    )
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
+    out = {r["doc_id"]: r for r in DD.dedup_paragraphs(spark, "ignored").collect()}
+    expect = " ".join([u[0], u[1], u[2]])
+    assert out[0]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest()
+    assert out[0]["n_kept"] == 3 and out[0]["n_removed"] == 1
