@@ -135,3 +135,52 @@ def test_paragraph_removal_preserves_order(spark, monkeypatch):
     expect = " ".join([u[0], u[1], u[2]])
     assert out[0]["cleaned_md5"] == hashlib.md5(expect.encode()).hexdigest()
     assert out[0]["n_kept"] == 3 and out[0]["n_removed"] == 1
+
+
+# -- dedup_bloom_probe: Bloom membership pre-filter -------------------------
+def test_bloom_probe_never_misses_a_true_duplicate(spark):
+    """The Bloom guarantee: every probe unit whose hash IS in the base
+    index must be flagged maybe-seen, so n_true_seen (counted only inside
+    the maybe subset) equals the exact cross-half overlap computed
+    independently."""
+    import pyspark.sql.functions as F
+
+    out = DD.dedup_bloom_probe(spark, SF_SMOKE)
+    got = out.agg(F.sum("n_true_seen")).first()[0]
+
+    docs = DD._docs(spark, SF_SMOKE)
+    from lachesis_spark.functions import hashing as H, text as TX
+    toks = docs.select("doc_id", TX.tokens(F.col("text")).alias("t")).where(
+        F.size("t") >= DD.CHUNK_W
+    )
+    units = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(size(t) / {DD.CHUNK_W} AS INT) - 1),"
+                f" i -> array_join(slice(t, i * {DD.CHUNK_W} + 1, {DD.CHUNK_W}), ' '))"
+            )
+        ).alias("idx", "unit"),
+    ).select("doc_id", "idx", H.h60(F.col("unit")).alias("ch"))
+    base = units.where(F.col("doc_id") % 2 == 0).select("ch").distinct()
+    probe = units.where(F.col("doc_id") % 2 == 1)
+    exact = probe.join(base, "ch", "left_semi").count()
+    assert got == exact
+
+
+def test_bloom_probe_flags_shared_chunk(spark, monkeypatch):
+    shared = " ".join(f"w{i}" for i in range(DD.CHUNK_W))
+    uniq = " ".join(f"u{i}" for i in range(DD.CHUNK_W))
+    docs = _mkdocs(
+        spark,
+        [
+            (shared, "s1"),            # doc 0 (even) -> index
+            (f"{shared} {uniq}", "s2"),  # doc 1 (odd) -> probe
+        ],
+    )
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
+    row = {r["source"]: r for r in DD.dedup_bloom_probe(spark, "ignored").collect()}
+    assert row["s2"]["n_units"] == 2
+    assert row["s2"]["n_true_seen"] == 1          # the shared unit
+    assert row["s2"]["n_maybe_seen"] >= 1         # bloom can only over-flag
+    assert row["s2"]["n_false_pos"] == row["s2"]["n_maybe_seen"] - 1
