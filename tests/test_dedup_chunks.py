@@ -184,3 +184,15 @@ def test_bloom_probe_flags_shared_chunk(spark, monkeypatch):
     assert row["s2"]["n_true_seen"] == 1          # the shared unit
     assert row["s2"]["n_maybe_seen"] >= 1         # bloom can only over-flag
     assert row["s2"]["n_false_pos"] == row["s2"]["n_maybe_seen"] - 1
+
+
+def test_anti_join_bloom_equivalence(spark):
+    """anti_join_bloom must be row-identical to the plain left-anti join —
+    on the real corpus split, both for the screened helper and the
+    use_bloom route through dedup_incremental."""
+    plain = {tuple(r) for r in DD.dedup_incremental(spark, SF_SMOKE).collect()}
+    bloomed = {
+        tuple(r)
+        for r in DD.dedup_incremental(spark, SF_SMOKE, use_bloom=True).collect()
+    }
+    assert plain == bloomed and plain
