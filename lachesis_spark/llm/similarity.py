@@ -439,3 +439,164 @@ ORACLE = {
     "knn_bucketed": KNN_BUCKETED_SQL,
     "ann_recall": ANN_RECALL_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 5. Johnson-Lindenstrauss random projection + measured distortion — the
+#    dimension-reduction step BEFORE ANN at corpus scale.  At 100 TB you
+#    don't run 64-dim (or 1024-dim) cosine on every candidate: you project
+#    once to d_out dims with a data-independent random matrix (JL lemma:
+#    pairwise distances survive within 1±eps), run the cheap ANN tiers on
+#    the projection, and re-rank the short-list at full width.  This query
+#    is the tune-before-you-run measurement for that trade (ann's twin of
+#    dedup_recall): squared-L2 distortion statistics of the projection on
+#    a hash-defined probe subset.
+#
+#    The projection matrix is Rademacher ±1/sqrt(d_out) with signs drawn
+#    from md5(j|k) — generated once in plain Python below and embedded as
+#    EXACT ±0.25 literals in both engines, so DuckDB replays the entire
+#    computation; 0.25 is a dyadic rational, so the literals are exact in
+#    binary and the two engines' arithmetic agrees bit-for-bit at the
+#    1e-6 rounding the comparator applies.
+#
+#    100 TB shape: the projection itself is a pure map-side expression
+#    (16 fused multiply-add folds per row, whole-stage codegen, no
+#    shuffle); the distortion measurement is probe-only (probe_frac^2 of
+#    pairs, the dedup_recall pattern) and generates pairs via COO
+#    equi-joins on the dimension index -- never a cartesian product.
+JL_D_IN = 64
+JL_D_OUT = 16
+JL_PROBE_MOD = 8
+
+
+def _jl_matrix():
+    import hashlib
+
+    def sign(j, k):
+        h = hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()
+        return 0.25 if int(h[0], 16) % 2 == 0 else -0.25
+
+    return [[sign(j, k) for k in range(JL_D_OUT)] for j in range(JL_D_IN)]
+
+
+_JL_R = _jl_matrix()
+
+
+def project_embeddings(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, proj: array<double> of JL_D_OUT) — one codegen expression per
+    output dim: fold of zip_with(x, R[:, k]).  No shuffle, no Python."""
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    x,
+                    F.lit([_JL_R[j][k] for j in range(JL_D_IN)]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for k in range(JL_D_OUT)
+        ]
+    )
+    return emb.select(F.col(id_col), proj.alias("proj"))
+
+
+def ann_jl_distortion(spark, sf_dir, probe_mod: int = JL_PROBE_MOD):
+    emb = _emb(spark, sf_dir).where(F.col("vec_id") % probe_mod == 0)
+    # full-width COO (doubles) and projected COO
+    full = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).alias("j", "v"),
+    )
+    proj = project_embeddings(emb).select(
+        "vec_id", F.posexplode("proj").alias("j", "v")
+    )
+
+    def pair_d2(coo):
+        a = coo.select(
+            F.col("vec_id").alias("a"), "j", F.col("v").alias("va")
+        )
+        b = coo.select(
+            F.col("vec_id").alias("b"),
+            F.col("j").alias("j2"),
+            F.col("v").alias("vb"),
+        )
+        return (
+            a.join(b, (F.col("j") == F.col("j2")) & (F.col("a") < F.col("b")))
+            .groupBy("a", "b")
+            .agg(F.sum((F.col("va") - F.col("vb")) ** 2).alias("d2"))
+        )
+
+    d_full = pair_d2(full).withColumnRenamed("d2", "d2_full")
+    d_proj = pair_d2(proj).withColumnRenamed("d2", "d2_proj")
+    ratios = (
+        d_full.join(d_proj, ["a", "b"])
+        .where(F.col("d2_full") > 0)
+        .select((F.col("d2_proj") / F.col("d2_full")).alias("r"))
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("r"), 6).alias("mean_ratio"),
+        F.round(F.min("r"), 6).alias("min_ratio"),
+        F.round(F.max("r"), 6).alias("max_ratio"),
+        F.round(
+            F.avg(F.when((F.col("r") >= 0.5) & (F.col("r") <= 1.5), 1.0).otherwise(0.0)),
+            6,
+        ).alias("frac_within_50pct"),
+    )
+
+
+def _jl_r_values_sql() -> str:
+    rows = ", ".join(
+        f"({j}, {k}, {_JL_R[j][k]})"
+        for j in range(JL_D_IN)
+        for k in range(JL_D_OUT)
+    )
+    return f"(VALUES {rows}) r(j, k, v)"
+
+
+ANN_JL_DISTORTION_SQL = f"""
+WITH probe AS (
+  SELECT * FROM embeddings WHERE vec_id % {JL_PROBE_MOD} = 0
+),
+coo AS (
+  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM probe
+),
+r AS (SELECT * FROM {_jl_r_values_sql()}),
+proj AS (
+  SELECT c.vec_id, r.k AS j, sum(c.v * r.v) AS v
+  FROM coo c JOIN r ON c.j = r.j
+  GROUP BY c.vec_id, r.k
+),
+d_full AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, sum((x.v - y.v) ^ 2) AS d2_full
+  FROM coo x JOIN coo y ON x.j = y.j AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+),
+d_proj AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, sum((x.v - y.v) ^ 2) AS d2_proj
+  FROM proj x JOIN proj y ON x.j = y.j AND x.vec_id < y.vec_id
+  GROUP BY x.vec_id, y.vec_id
+),
+ratios AS (
+  SELECT d_proj.d2_proj / d_full.d2_full AS r
+  FROM d_full JOIN d_proj ON d_full.a = d_proj.a AND d_full.b = d_proj.b
+  WHERE d_full.d2_full > 0
+)
+SELECT count(*) AS n_pairs,
+       round(avg(r), 6) AS mean_ratio,
+       round(min(r), 6) AS min_ratio,
+       round(max(r), 6) AS max_ratio,
+       round(avg(CASE WHEN r >= 0.5 AND r <= 1.5 THEN 1.0 ELSE 0.0 END), 6)
+         AS frac_within_50pct
+FROM ratios
+"""
+
+QUERIES["ann_jl_distortion"] = ann_jl_distortion
+ORACLE["ann_jl_distortion"] = ANN_JL_DISTORTION_SQL
