@@ -469,35 +469,47 @@ JL_D_OUT = 16
 JL_PROBE_MOD = 8
 
 
-def _jl_matrix():
+def _jl_matrix(d_out: int = JL_D_OUT):
+    """Rademacher ±1/√d_out; the sign of entry (j, k) comes from one md5
+    bit, so the matrix is identical everywhere it is regenerated.  The
+    scale is dyadic only for d_out ∈ {4, 16, 64}; for other widths the
+    1/√d_out factor is applied OUTSIDE the stored signs (exactly once, in
+    both engines, as a final multiply) so the embedded literals stay ±1 —
+    exact in binary — and the single scaling multiply agrees bit-for-bit."""
     import hashlib
 
     def sign(j, k):
         h = hashlib.md5(f"jl|{j}|{k}".encode()).hexdigest()
-        return 0.25 if int(h[0], 16) % 2 == 0 else -0.25
+        return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
 
-    return [[sign(j, k) for k in range(JL_D_OUT)] for j in range(JL_D_IN)]
+    return [[sign(j, k) for k in range(d_out)] for j in range(JL_D_IN)]
 
 
 _JL_R = _jl_matrix()
 
 
-def project_embeddings(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, proj: array<double> of JL_D_OUT) — one codegen expression per
-    output dim: fold of zip_with(x, R[:, k]).  No shuffle, no Python."""
+def project_embeddings(
+    emb: DataFrame, id_col: str = "vec_id", d_out: int = JL_D_OUT
+) -> DataFrame:
+    """(id, proj: array<double> of d_out) — one codegen expression per
+    output dim: fold of zip_with(x, sign column) scaled once by 1/√d_out.
+    No shuffle, no Python."""
+    r = _jl_matrix(d_out)
+    inv_sqrt = 1.0 / (d_out ** 0.5)
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     proj = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     x,
-                    F.lit([_JL_R[j][k] for j in range(JL_D_IN)]),
+                    F.lit([r[j][k] for j in range(JL_D_IN)]),
                     lambda a, b: a * b,
                 ),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
-            for k in range(JL_D_OUT)
+            * F.lit(inv_sqrt)
+            for k in range(d_out)
         ]
     )
     return emb.select(F.col(id_col), proj.alias("proj"))
@@ -550,13 +562,20 @@ def ann_jl_distortion(spark, sf_dir, probe_mod: int = JL_PROBE_MOD):
     )
 
 
-def _jl_r_values_sql() -> str:
+def _jl_r_values_sql(d_out: int = JL_D_OUT) -> str:
+    r = _jl_matrix(d_out)
     rows = ", ".join(
-        f"({j}, {k}, {_JL_R[j][k]})"
+        f"({j}, {k}, {int(r[j][k])})"
         for j in range(JL_D_IN)
-        for k in range(JL_D_OUT)
+        for k in range(d_out)
     )
     return f"(VALUES {rows}) r(j, k, v)"
+
+
+def _jl_scale_sql(d_out: int = JL_D_OUT) -> str:
+    # repr() round-trips the exact double, so both engines parse the same
+    # binary value
+    return repr(1.0 / (d_out ** 0.5))
 
 
 ANN_JL_DISTORTION_SQL = f"""
@@ -570,7 +589,7 @@ coo AS (
 ),
 r AS (SELECT * FROM {_jl_r_values_sql()}),
 proj AS (
-  SELECT c.vec_id, r.k AS j, sum(c.v * r.v) AS v
+  SELECT c.vec_id, r.k AS j, sum(c.v * r.v) * {_jl_scale_sql()} AS v
   FROM coo c JOIN r ON c.j = r.j
   GROUP BY c.vec_id, r.k
 ),
@@ -600,3 +619,91 @@ FROM ratios
 
 QUERIES["ann_jl_distortion"] = ann_jl_distortion
 ORACLE["ann_jl_distortion"] = ANN_JL_DISTORTION_SQL
+
+
+# -- JL as an ANN tier: over-fetch in projected space, re-rank full-width --
+JL_RERANK_D = 32   # projection width for the search tier (2x cost cut)
+JL_OVERFETCH = 8   # candidate pool = k * this, in projected space
+
+
+def ann_jl_rerank(spark, sf_dir, query_id: int = QUERY_VEC_ID, k: int = TOP_K):
+    """Two-tier ANN using the JL projection: score COSINE in the
+    JL_RERANK_D-dim projected space (JL preserves inner products and
+    norms, so projected cosine tracks full cosine; projected L2 alone
+    would NOT, because the exact ranking is angular and the embedding
+    norms vary), TakeOrdered the top k*JL_OVERFETCH candidates, then
+    re-rank ONLY that short-list with exact full-width cosine.  At 100 TB
+    the projected scan is the only corpus-wide pass; the re-rank touches
+    k*overfetch rows.
+
+    Width/over-fetch are data-dependent knobs tuned BY MEASUREMENT
+    (ann_jl_distortion + the recall test): these synthetic embeddings are
+    near-isotropic with small neighbor gaps — the hard case for any
+    projection — so the tier runs at 32 dims and 8x over-fetch for ~70-80%
+    recall@10; production embedding spreads (768-4096 dims, clustered)
+    tolerate far more aggressive reduction."""
+    pe = project_embeddings(_emb(spark, sf_dir), d_out=JL_RERANK_D)
+    qp = pe.where(F.col("vec_id") == query_id).select(F.col("proj").alias("qp"))
+    cand = (
+        pe.where(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(qp))
+        .select("vec_id", V.cosine(F.col("proj"), F.col("qp")).alias("cosp"))
+        .orderBy(F.col("cosp").desc(), F.col("vec_id").asc())
+        .limit(k * JL_OVERFETCH)
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", V.to_double_array("embedding").alias("e")
+    )
+    q = emb.where(F.col("vec_id") == query_id).select(F.col("e").alias("qe"))
+    return (
+        cand.join(emb, "vec_id")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", V.cosine(F.col("e"), F.col("qe")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+ANN_JL_RERANK_SQL = f"""
+WITH coo AS ({{_SQL_COO_BRACED}}),
+r AS (SELECT * FROM {{_JL_R_VALUES}}),
+proj AS (
+  SELECT c.vec_id, r.k AS j, sum(c.v * r.v) * {{_JL_SCALE}} AS v
+  FROM (SELECT vec_id, j - 1 AS j, v FROM coo) c JOIN r ON c.j = r.j
+  GROUP BY c.vec_id, r.k
+),
+qp AS (SELECT j, v FROM proj WHERE vec_id = {{QID}}),
+qpn AS (SELECT sqrt(sum(v * v)) AS n FROM qp),
+cand AS (
+  SELECT p.vec_id,
+         sum(p.v * qp.v) / (sqrt(sum(p.v * p.v)) * (SELECT n FROM qpn))
+           AS cosp
+  FROM proj p JOIN qp ON p.j = qp.j
+  WHERE p.vec_id <> {{QID}}
+  GROUP BY p.vec_id
+  ORDER BY cosp DESC, p.vec_id ASC LIMIT {{NCAND}}
+),
+q AS (SELECT j, v FROM coo WHERE vec_id = {{QID}}),
+dots AS (
+  SELECT c.vec_id, sum(c.v * q.v) AS dp, sqrt(sum(c.v * c.v)) AS cn
+  FROM coo c JOIN q ON c.j = q.j
+  WHERE c.vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY c.vec_id
+),
+qn AS (SELECT sqrt(sum(v * v)) AS n FROM q)
+SELECT vec_id, dp / (cn * (SELECT n FROM qn)) AS cos
+FROM dots ORDER BY cos DESC, vec_id ASC LIMIT {{K}}
+"""
+
+ANN_JL_RERANK_SQL = (
+    ANN_JL_RERANK_SQL
+    .replace("{_SQL_COO_BRACED}", _SQL_COO)
+    .replace("{_JL_R_VALUES}", _jl_r_values_sql(JL_RERANK_D))
+    .replace("{_JL_SCALE}", _jl_scale_sql(JL_RERANK_D))
+    .replace("{QID}", str(QUERY_VEC_ID))
+    .replace("{NCAND}", str(TOP_K * JL_OVERFETCH))
+    .replace("{K}", str(TOP_K))
+)
+
+QUERIES["ann_jl_rerank"] = ann_jl_rerank
+ORACLE["ann_jl_rerank"] = ANN_JL_RERANK_SQL

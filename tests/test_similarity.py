@@ -34,3 +34,15 @@ def test_jl_distortion_matches_theory(spark):
     assert 0.85 <= row["mean_ratio"] <= 1.15
     assert row["frac_within_50pct"] >= 0.75
     assert row["min_ratio"] > 0
+
+
+def test_jl_rerank_recall_vs_exact(spark):
+    """The two-tier JL search must recover most of the exact top-k (JL
+    with 4x over-fetch on these embeddings): recall@10 >= 0.7, and every
+    returned cosine must be exact (full-width re-rank)."""
+    exact = {r["vec_id"]: r["cos"] for r in S.ann_bruteforce(spark, SF_SMOKE).collect()}
+    jl = {r["vec_id"]: r["cos"] for r in S.ann_jl_rerank(spark, SF_SMOKE).collect()}
+    hit = set(exact) & set(jl)
+    assert len(hit) >= 6, (sorted(exact), sorted(jl))
+    for v in hit:
+        assert abs(exact[v] - jl[v]) < 1e-12
