@@ -7,7 +7,7 @@ without an ORACLE entry and get the driver's rows-only check.
 
 from __future__ import annotations
 
-from lachesis_spark.llm import dedup, multimodal, sampling, scrub, similarity, textstats, training
+from lachesis_spark.llm import dedup, multimodal, sampling, scrub, search, similarity, textstats, training
 from lachesis_spark.plans import iterative, la, la_dsl, ops_queries, reddit, tpch
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
@@ -15,7 +15,7 @@ from lachesis_spark.streaming import stream, windows
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training):
+for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
@@ -65,8 +65,10 @@ _PRIORITY = [
     "tok_bpe_merges",
     "ann_bruteforce", "ann_ivf",
     "text_stats", "text_quality_filter", "text_langid_ngram",
-    # event-time + structured streaming
-    "win_tumbling", "win_asof",
+    # event-time + structured streaming.  Round 7 rotated win_asof out
+    # (windows keeps win_tumbling; win_asof stays oracle-checked in the
+    # strict sweep) to seat the new search subsystem's BM25 representative.
+    "win_tumbling", "search_bm25_topk",
     "stream_tumbling", "stream_running_totals",
     # iterative / workload-level
     "pagerank", "reddit_pipeline",

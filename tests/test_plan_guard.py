@@ -29,9 +29,11 @@ BNLJ_OK = {
     "tpch_q22",             # 1-row avg-acctbal scalar
     "lda_em", "lstm_inference",  # k×k / gate-constant matrices
     "text_quality_filter",  # 1-row quantile threshold
+    "search_bm25_topk",     # 1-row corpus stats (N, avgdl) scalar
     "text_ppl_buckets",     # 1-row quartile-threshold broadcast
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector
+    "ann_jl_rerank",        # broadcast 1-row query vector (both tiers)
     "dedup_semantic",       # broadcast k centroid rows (k=8, bounded at any SF)
     "sample_dsir",          # 1-row LM-total scalar crossed into <=256 bucket rows
     "tok_bpe_train",        # 1-row selected-merge scalar crossed into the vocab

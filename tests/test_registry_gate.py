@@ -16,6 +16,7 @@ from lachesis_spark.llm import (
     multimodal,
     sampling,
     scrub,
+    search,
     similarity,
     textstats,
     training,
@@ -39,6 +40,7 @@ MODULES = {
     "multimodal": multimodal,
     "sampling": sampling,
     "scrub": scrub,
+    "search": search,
     "lachesis_source": lachesis_source,
     "training": training,
 }
