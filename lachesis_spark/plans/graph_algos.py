@@ -1,0 +1,201 @@
+"""Graph analytics over the events-derived interaction graph: triangle
+counting and common-neighbor link prediction.
+
+Companions to PageRank (plans/iterative.py — reference
+src/tests/source/PageRank.cc): the reference's graph surface is the
+client-driven JoinComp+AggregateComp loop; these are the non-iterative
+graph workloads the same join algebra supports, part of the
+beyond-reference analytics surface.
+
+Design for 100 TB:
+
+- **Triangle counting uses degree orientation** (the classic
+  Schank–Wagner/Cohen MapReduce trick): every undirected edge is directed
+  from the endpoint with lower (degree, id) to the higher one.  Each
+  triangle is then enumerated exactly once, and — the scale property — the
+  out-degree of ANY node under this orientation is O(√m), so the wedge
+  join's per-key fan-out is bounded even for power-law hubs: a node with
+  10⁶ undirected neighbors contributes wedges only through its ≤O(√m)
+  higher-ranked neighbors, not deg² pairs.  The wedge→closing-edge check is
+  an equi-join on (x, z), co-partitioned with the oriented edge list.
+- **Common-neighbor pairs center the join on the shared neighbor** — one
+  self-join of the adjacency list keyed by the center node.  Unlike the
+  triangle join, this is inherently deg(center)² per center (that IS the
+  output size); the production knob is ``center_degree_cap``, which drops
+  centers above a degree ceiling (standard link-prediction practice:
+  common-neighbor evidence through a celebrity hub is near-meaningless,
+  and the cap bounds the quadratic term at cap²·n_centers).  The cap is
+  OFF in the oracle-gated query (test graphs have no hubs) and exercised
+  in tests.
+- Adjacency/edge frames are lazily checkpointed once and reused across the
+  deg join and both wedge sides, so the events scan runs once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.plans.iterative import PR_MOD, _edges
+
+TOP_PAIRS = 20
+
+
+def undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical undirected edge list (a < b, deduped both directions)."""
+    e = _edges(spark, sf_dir)
+    return (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def degrees(und: DataFrame) -> DataFrame:
+    return (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def oriented_edges(und: DataFrame) -> DataFrame:
+    """Direct each edge from lower (deg, id) to higher (deg, id) — bounds
+    every out-degree at O(√m) regardless of hub size."""
+    deg = degrees(und)
+    j = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("dega")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("degb")), "b")
+    )
+    # und guarantees a < b, so the (dega == degb) tie keeps a→b
+    a_first = (F.col("dega") < F.col("degb")) | (F.col("dega") == F.col("degb"))
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-node triangle participation: wedge join over the oriented edges
+    + closing-edge equi-join; each triangle enumerated once, then exploded
+    to its three corners."""
+    o = oriented_edges(und).localCheckpoint(eager=False)
+    wedges = (
+        o.select(F.col("u").alias("x"), F.col("w").alias("y"))
+        .join(o.select(F.col("u").alias("y"), F.col("w").alias("z")), "y")
+    )
+    tris = wedges.join(
+        o.select(F.col("u").alias("x"), F.col("w").alias("z")), ["x", "z"]
+    )
+    return (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+def common_neighbor_pairs(
+    und: DataFrame,
+    k: int = TOP_PAIRS,
+    center_degree_cap: int | None = None,
+) -> DataFrame:
+    """Top-k NON-adjacent node pairs by common-neighbor count (the classic
+    link-prediction score).  Self-join of the adjacency list on the shared
+    center; existing edges anti-joined away."""
+    adj = (
+        und.select(F.col("a").alias("n"), F.col("b").alias("nbr"))
+        .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    centers = adj
+    if center_degree_cap is not None:
+        deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        centers = adj.join(
+            deg.filter(F.col("deg") <= center_degree_cap).select("n"), "n"
+        )
+    pairs = (
+        centers.select("n", F.col("nbr").alias("x"))
+        .join(centers.select("n", F.col("nbr").alias("y")), "n")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    non_adjacent = pairs.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_anti",
+    )
+    return non_adjacent.orderBy(
+        F.col("n_common").desc(), F.col("x"), F.col("y")
+    ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# registry queries + oracles
+def graph_triangles(spark, sf_dir):
+    return triangle_counts(undirected_edges(spark, sf_dir))
+
+
+_SQL_EDGES = f"""
+edges AS (
+  SELECT DISTINCT user_id AS src, event_id % {PR_MOD} AS dst
+  FROM events WHERE user_id <> event_id % {PR_MOD}
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges
+  WHERE src <> dst
+)
+"""
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_SQL_EDGES},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node ORDER BY node
+"""
+
+
+def graph_common_neighbors(spark, sf_dir):
+    return common_neighbor_pairs(undirected_edges(spark, sf_dir), k=TOP_PAIRS)
+
+
+GRAPH_COMMON_NEIGHBORS_SQL = f"""
+WITH {_SQL_EDGES},
+adj AS (
+  SELECT a AS n, b AS nbr FROM und
+  UNION ALL SELECT b, a FROM und
+),
+pairs AS (
+  SELECT a1.nbr AS x, a2.nbr AS y, CAST(count(*) AS BIGINT) AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.n = a2.n
+  WHERE a1.nbr < a2.nbr
+  GROUP BY a1.nbr, a2.nbr
+)
+SELECT p.x, p.y, p.n_common
+FROM pairs p
+ANTI JOIN und ON und.a = p.x AND und.b = p.y
+ORDER BY p.n_common DESC, p.x, p.y LIMIT {TOP_PAIRS}
+"""
+
+
+QUERIES = {
+    "graph_triangles": graph_triangles,
+    "graph_common_neighbors": graph_common_neighbors,
+}
+
+ORACLE = {
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "graph_common_neighbors": GRAPH_COMMON_NEIGHBORS_SQL,
+}

@@ -8,14 +8,14 @@ without an ORACLE entry and get the driver's rows-only check.
 from __future__ import annotations
 
 from lachesis_spark.llm import dedup, multimodal, sampling, scrub, search, similarity, textstats, training
-from lachesis_spark.plans import iterative, la, la_dsl, ops_queries, reddit, tpch
+from lachesis_spark.plans import graph_algos, iterative, la, la_dsl, ops_queries, reddit, tpch
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search):
+for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search, graph_algos):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
@@ -69,7 +69,11 @@ _PRIORITY = [
     # (windows keeps win_tumbling; win_asof stays oracle-checked in the
     # strict sweep) to seat the new search subsystem's BM25 representative.
     "win_tumbling", "search_bm25_topk",
-    "stream_tumbling", "stream_running_totals",
+    # Round 7 rotated stream_running_totals out (stream keeps
+    # stream_tumbling; the totals query stays oracle-checked in the strict
+    # sweep) to seat the graph-analytics subsystem's oriented-triangle
+    # representative.
+    "stream_tumbling", "graph_triangles",
     # iterative / workload-level
     "pagerank", "reddit_pipeline",
     # sampling / scrubbing

@@ -1,0 +1,92 @@
+"""Graph analytics (plans/graph_algos.py): oriented triangle counting and
+common-neighbor link prediction vs brute-force Python references."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from lachesis_spark.plans import graph_algos as G
+from tests.conftest import SF_SMOKE
+
+
+def _und(spark):
+    return {
+        (r["a"], r["b"]) for r in G.undirected_edges(spark, SF_SMOKE).collect()
+    }
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    edges = _und(spark)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # per-node count: for each node, edges among its neighbor set
+    expect: dict = {}
+    for v, nbrs in adj.items():
+        n = sum(1 for x, y in combinations(sorted(nbrs), 2) if (x, y) in edges)
+        if n:
+            expect[v] = n
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.graph_triangles(spark, SF_SMOKE).collect()
+    }
+    assert got == expect
+
+
+def test_oriented_outdegree_bounded(spark):
+    """The orientation's reason to exist: no node's out-degree exceeds the
+    O(√m) bound (loose constant: every out-neighbor has rank ≥ the node's,
+    so out-deg ≤ max(deg) but also out-deg² ≤ 2m + out-deg)."""
+    und = G.undirected_edges(spark, SF_SMOKE)
+    m = und.count()
+    out = (
+        G.oriented_edges(und)
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .agg(F.max("outdeg"))
+        .first()[0]
+    )
+    assert out * (out - 1) <= 2 * m
+
+
+def test_common_neighbors_match_bruteforce(spark):
+    edges = _und(spark)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    scores = {}
+    for x, y in combinations(sorted(adj), 2):
+        if (x, y) in edges:
+            continue
+        n = len(adj[x] & adj[y])
+        if n:
+            scores[(x, y)] = n
+    expect = sorted(
+        ((n, x, y) for (x, y), n in scores.items()),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[: G.TOP_PAIRS]
+    got = [
+        (r["n_common"], r["x"], r["y"])
+        for r in G.graph_common_neighbors(spark, SF_SMOKE).collect()
+    ]
+    assert got == expect
+
+
+def test_center_degree_cap_drops_hub_evidence(spark):
+    """With a cap of 0 every center is dropped → no pairs survive; with a
+    huge cap the result equals the uncapped query."""
+    und = G.undirected_edges(spark, SF_SMOKE)
+    assert G.common_neighbor_pairs(und, center_degree_cap=0).count() == 0
+    capped = {
+        (r["x"], r["y"], r["n_common"])
+        for r in G.common_neighbor_pairs(und, center_degree_cap=10**9).collect()
+    }
+    uncapped = {
+        (r["x"], r["y"], r["n_common"])
+        for r in G.common_neighbor_pairs(und).collect()
+    }
+    assert capped == uncapped

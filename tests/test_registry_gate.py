@@ -21,7 +21,7 @@ from lachesis_spark.llm import (
     textstats,
     training,
 )
-from lachesis_spark.plans import iterative, la, la_dsl, ops_queries, reddit, tpch
+from lachesis_spark.plans import graph_algos, iterative, la, la_dsl, ops_queries, reddit, tpch
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
 
@@ -36,6 +36,7 @@ MODULES = {
     "windows": windows,
     "stream": stream,
     "iterative": iterative,
+    "graph_algos": graph_algos,
     "reddit": reddit,
     "multimodal": multimodal,
     "sampling": sampling,
