@@ -54,6 +54,23 @@ TESTDATA_TABLES = (
 
 
 LAYOUT_FILE = "_lachesis_layout.json"
+ZONEMAP_FILE = "_lachesis_zonemap.json"
+
+
+def _zonemap_safe(v):
+    """Normalize a stat (or user bound) to a JSON-storable, order-preserving
+    form: numbers stay numbers; date/datetime become ISO strings (whose
+    lexicographic order IS chronological order); everything else is str."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
 
 
 def ensure_layout_table(spark: SparkSession, root: str, db: str, name: str) -> bool:
@@ -223,10 +240,11 @@ class Catalog:
         # sidecar is about to be as stale as the table was — remove it or a
         # later read_set would re-register bucket metadata over plain files
         # (snapshot restores bring their own sidecar back with the files)
-        try:
-            os.remove(os.path.join(self.set_path(db, name), LAYOUT_FILE))
-        except OSError:
-            pass
+        for sidecar in (LAYOUT_FILE, ZONEMAP_FILE):
+            try:
+                os.remove(os.path.join(self.set_path(db, name), sidecar))
+            except OSError:
+                pass
 
     def write_set(
         self,
@@ -237,6 +255,7 @@ class Catalog:
         partition_by: list[str] | None = None,
         bucket_by: tuple[int, list[str]] | None = None,
         zorder_by: list[str] | None = None,
+        zonemap_by: list[str] | None = None,
     ) -> None:
         """WriteUserSet analog (reference
         src/builtInPDBObjects/headers/WriteUserSet.h:18).
@@ -245,6 +264,18 @@ class Catalog:
         reference's PartitionComp + partitioned sets do
         (src/lambdas/headers/PartitionComp.h:13-35) so later joins/aggs on the
         same key avoid the shuffle.  Bucketed writes require saveAsTable.
+
+        ``zonemap_by=cols`` records per-FILE min/max stats for those columns
+        in a ``_lachesis_zonemap.json`` sidecar (the Delta/Iceberg
+        file-stats pattern): :meth:`read_set_pruned` then skips whole files
+        at PLANNING time — before Spark even opens their footers — for
+        range predicates on those columns.  Pair with ``zorder_by`` (or a
+        range-partitioned/sorted writer): clustering is what makes per-file
+        ranges tight enough to prune.  Stats are computed distributed (one
+        column-pruned scan grouped by input_file_name; only n_files rows
+        reach the driver) and the sidecar is deleted by every rewrite path
+        (:meth:`_drop_owned_table`), with a fail-safe reader: files absent
+        from the sidecar are always kept.
         """
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
@@ -290,6 +321,8 @@ class Catalog:
                 os.path.join(self.set_path(db, name), LAYOUT_FILE), "w"
             ) as fh:
                 json.dump(meta, fh)
+            if zonemap_by:
+                self._write_zonemap(db, name, zonemap_by)
             return
         # a plain path write invalidates any bucketed table we own here
         self._drop_owned_table(db, name)
@@ -297,6 +330,97 @@ class Catalog:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.set_path(db, name))
+        if zonemap_by:
+            self._write_zonemap(db, name, zonemap_by)
+
+    def _write_zonemap(self, db: str, name: str, cols: list[str]) -> None:
+        """One distributed, column-pruned pass over the fresh set: per-file
+        min/max of ``cols`` keyed by input_file_name (n_files rows to the
+        driver), persisted as the zonemap sidecar."""
+        import json
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as F
+
+        path = self.set_path(db, name)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        rows = (
+            self.spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(*aggs)
+            .collect()
+        )
+        files = {
+            os.path.basename(unquote(urlparse(r["file"]).path)): {
+                c: [_zonemap_safe(r[f"min__{c}"]), _zonemap_safe(r[f"max__{c}"])]
+                for c in cols
+            }
+            for r in rows
+        }
+        with open(os.path.join(path, ZONEMAP_FILE), "w") as fh:
+            json.dump({"cols": list(cols), "files": files}, fh)
+
+    def read_set_pruned(
+        self, db: str, name: str, col: str, lo=None, hi=None
+    ) -> DataFrame:
+        """Zone-map file skipping: return the set filtered to
+        ``lo <= col <= hi`` (either bound may be None = open), reading ONLY
+        the files whose recorded [min, max] for ``col`` overlaps the range.
+
+        Correctness never depends on the sidecar: the residual range filter
+        is always applied, files without stats (no sidecar, column not
+        mapped, new files a rewrite added, all-null stats) are always read,
+        and a missing sidecar degrades to a plain filtered read_set.  The
+        pruning itself happens before Spark lists or opens the skipped
+        files — at 100 TB with date-range queries over a date-clustered
+        set, that is the difference between touching 3 files and 30 000.
+        """
+        import json
+
+        from pyspark.sql import functions as F
+
+        def residual(df: DataFrame) -> DataFrame:
+            if lo is not None:
+                df = df.filter(F.col(col) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(col) <= F.lit(hi))
+            return df
+
+        path = self.set_path(db, name)
+        zmp = os.path.join(path, ZONEMAP_FILE)
+        if not os.path.isfile(zmp):
+            return residual(self.read_set(db, name))
+        with open(zmp) as fh:
+            zm = json.load(fh)
+        stats = zm.get("files", {}) if col in zm.get("cols", []) else {}
+        nlo = _zonemap_safe(lo)
+        nhi = _zonemap_safe(hi)
+
+        def keep(fname: str) -> bool:
+            st = stats.get(fname, {}).get(col)
+            if not st or st[0] is None or st[1] is None:
+                return True  # fail-safe: no usable stats -> read it
+            fmin, fmax = st
+            if nlo is not None and fmax < nlo:
+                return False
+            if nhi is not None and fmin > nhi:
+                return False
+            return True
+
+        data_files = [
+            f
+            for f in os.listdir(path)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        kept = [os.path.join(path, f) for f in data_files if keep(f)]
+        if not kept:
+            # nothing can match: an empty frame with the set's schema
+            return residual(self.spark.read.parquet(path).limit(0))
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return residual(self.spark.read.parquet(*kept))
 
     def merge_set(
         self,

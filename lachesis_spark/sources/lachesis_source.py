@@ -600,10 +600,53 @@ SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
 FROM events GROUP BY event_type
 """
 
-QUERIES = {"ds_scan_pushdown": ds_scan_pushdown, "ds_stream_tail": ds_stream_tail}
+def ds_zonemap_prune(spark, sf_dir: str):
+    """File-skipping scan through the catalog's zone maps: orders is
+    written range-clustered on o_orderkey with per-file min/max stats
+    (``zonemap_by``), then a key-range query plans over ONLY the
+    overlapping files (~2 of 8; asserted in tests, visible via
+    inputFiles()).  The oracle runs the same range filter over the raw
+    table — identical rows prove pruning never drops data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_zm_"))
+    cat.create_database("zm")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    # range-cluster so per-file key ranges are tight (what makes zone maps
+    # prune); 8 files at any SF — file count is a layout knob, not data size
+    clustered = orders.repartitionByRange(8, "o_orderkey")
+    cat.write_set(clustered, "zm", "orders", zonemap_by=["o_orderkey"])
+    lo, hi = 1000, 4000
+    pruned = cat.read_set_pruned("zm", "orders", "o_orderkey", lo, hi)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+DS_ZONEMAP_PRUNE_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
+GROUP BY o_orderstatus
+"""
+
+QUERIES = {
+    "ds_scan_pushdown": ds_scan_pushdown,
+    "ds_stream_tail": ds_stream_tail,
+    "ds_zonemap_prune": ds_zonemap_prune,
+}
 ORACLE = {
     "ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL,
     "ds_stream_tail": DS_STREAM_TAIL_SQL,
+    "ds_zonemap_prune": DS_ZONEMAP_PRUNE_SQL,
 }
 
 
