@@ -638,15 +638,73 @@ FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
 GROUP BY o_orderstatus
 """
 
+def ds_cdc_apply(spark, sf_dir: str):
+    """CDC apply through the catalog (Catalog.apply_cdc): a base set built
+    from orders receives one Debezium-shaped change batch — upserts at a
+    newer version (keys ≡3 mod 10: status→'X', price doubled), tombstone
+    deletes (keys ≡7), and a LATE batch replay (keys ≡1 at the stored
+    version — strictly-greater rule ignores it).  The oracle states the
+    resulting table directly with CASE/filter logic — identical aggregates
+    prove latest-wins, tombstone, and late-arrival semantics at once."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_cdc_"))
+    cat.create_database("cdc")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    base = orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("version")
+    )
+    cat.write_set(base, "cdc", "orders")
+    k = F.col("o_orderkey") % 10
+    changes = (
+        base.filter(k.isin(3, 7, 1)).select(
+            "o_orderkey",
+            F.when(k == 3, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+            F.when(k == 3, F.col("o_totalprice") * 2).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(k == 3, F.lit(2)).when(k == 7, F.lit(1)).otherwise(F.lit(0)).alias("version"),
+            F.when(k == 7, F.lit("delete")).otherwise(F.lit("upsert")).alias("op"),
+        )
+    )
+    cat.apply_cdc(changes, "cdc", "orders", ["o_orderkey"], "version")
+    return (
+        cat.read_set("cdc", "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.max("version").cast("long").alias("max_version"),
+        )
+    )
+
+
+DS_CDC_APPLY_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price), 2) AS sum_price,
+       CAST(max(version) AS BIGINT) AS max_version
+FROM (
+  SELECT CASE WHEN o_orderkey % 10 = 3 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey % 10 = 3 THEN 2 ELSE 0 END AS version
+  FROM orders WHERE o_orderkey % 10 <> 7
+)
+GROUP BY o_orderstatus
+"""
+
 QUERIES = {
     "ds_scan_pushdown": ds_scan_pushdown,
     "ds_stream_tail": ds_stream_tail,
     "ds_zonemap_prune": ds_zonemap_prune,
+    "ds_cdc_apply": ds_cdc_apply,
 }
 ORACLE = {
     "ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL,
     "ds_stream_tail": DS_STREAM_TAIL_SQL,
     "ds_zonemap_prune": DS_ZONEMAP_PRUNE_SQL,
+    "ds_cdc_apply": DS_CDC_APPLY_SQL,
 }
 
 
