@@ -58,26 +58,38 @@ def rewrite_layout(cat, db: str, name: str, kind: str, key_cols, n_buckets: int 
     if kind == "bucket_by":
         cat.write_set(df, db, tmp, bucket_by=(n_buckets, list(key_cols)))
     elif kind == "zorder":
-        cat.write_set(df, db, tmp, zorder_by=list(key_cols))
+        # a z-ordered set gets zone maps on its z-columns for free: the
+        # clustering is exactly what makes per-file ranges prunable
+        cat.write_set(
+            df, db, tmp, zorder_by=list(key_cols), zonemap_by=list(key_cols)
+        )
+    elif kind == "range_zonemap":
+        cat.write_set(
+            df.repartitionByRange(n_buckets, *key_cols),
+            db,
+            tmp,
+            zonemap_by=list(key_cols),
+        )
     else:
         raise ValueError(f"unknown layout kind {kind!r}")
     hints = read_hints(cat, db, name)  # survive the swap
     old_path, new_path = cat.set_path(db, name), cat.set_path(db, tmp)
-    # capture the freshly written layout sidecar BEFORE dropping the tmp
-    # table — _drop_owned_table deliberately removes the sidecar with the
-    # table (any other caller is a rewrite that stales it)
-    layout_meta = None
-    sidecar = os.path.join(new_path, "_lachesis_layout.json")
-    if os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            layout_meta = fh.read()
+    # capture the freshly written sidecars BEFORE dropping the tmp table —
+    # _drop_owned_table deliberately removes them with the table (any
+    # other caller is a rewrite that stales them)
+    sidecars: dict[str, str] = {}
+    for fname in ("_lachesis_layout.json", "_lachesis_zonemap.json"):
+        p = os.path.join(new_path, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                sidecars[fname] = fh.read()
     cat._drop_owned_table(db, name)
     cat._drop_owned_table(db, tmp)
     shutil.rmtree(old_path)
     os.rename(new_path, old_path)
-    if layout_meta is not None:
-        with open(os.path.join(old_path, "_lachesis_layout.json"), "w") as fh:
-            fh.write(layout_meta)
+    for fname, content in sidecars.items():
+        with open(os.path.join(old_path, fname), "w") as fh:
+            fh.write(content)
     if hints:
         write_hints(cat, db, name, hints)
     ensure_layout_table(cat.spark, cat.root, db, name)

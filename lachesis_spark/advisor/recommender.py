@@ -201,7 +201,7 @@ class LayoutRecommendation:
     """A full physical-layout decision for one dataset."""
 
     dataset: str
-    kind: str  # 'bucket_by' | 'zorder'
+    kind: str  # 'bucket_by' | 'zorder' | 'range_zonemap'
     key_cols: tuple[str, ...]
     weight: float
 
@@ -424,17 +424,37 @@ def advise_all(history: HistoryDB, **kw) -> list[PlacementReport]:
 def recommend_layout(
     history: HistoryDB, dataset: str, n_buckets: int = 32
 ) -> LayoutRecommendation | None:
-    """Extend the bucket-key rule with the data-skipping dimension the
-    reference never had: when history shows the dataset's scans filter on
-    TWO OR MORE columns whose combined runtime outweighs the best shuffle
-    key, no single bucket/sort key serves the workload — Z-order the top
-    filter columns instead (sources.layout.zorder).  Otherwise keep the
-    reference's rule: bucket on the runtime-weighted dominant shuffle key.
+    """Extend the bucket-key rule with the data-skipping dimensions the
+    reference never had:
+
+    - scans filter on TWO OR MORE columns whose combined runtime outweighs
+      the best shuffle key → no single sort key serves the workload —
+      Z-order the top filter columns (sources.layout.zorder);
+    - scans filter on ONE dominant column that outweighs the best shuffle
+      key → range-cluster on it and record zone maps
+      (``write_set(df.repartitionByRange(...), zonemap_by=[col])``): tight
+      per-file ranges + planning-time file skipping via
+      ``read_set_pruned`` — strictly better than Z-order for the
+      single-column workload because range clustering keeps each file's
+      span minimal in THE dimension that matters;
+    - otherwise the reference's rule: bucket on the runtime-weighted
+      dominant shuffle key.
     """
     shuffle = history.key_weights(dataset)
     filters = history.filter_weights(dataset)
     best_shuffle = max(shuffle.values()) if shuffle else 0.0
-    multi = sorted(filters.items(), key=lambda kv: -kv[1])[:2]
+    ranked = sorted(filters.items(), key=lambda kv: (-kv[1], kv[0]))
+    # dominant-single first: a second filter column under 20% of the top
+    # one doesn't justify trading away the tight single-dimension ranges
+    # (Z-order interleaving widens per-file spans in EVERY dimension)
+    if (
+        ranked
+        and ranked[0][1] > best_shuffle
+        and (len(ranked) == 1 or ranked[1][1] < 0.2 * ranked[0][1])
+    ):
+        col, w = ranked[0]
+        return LayoutRecommendation(dataset, "range_zonemap", (col,), w)
+    multi = ranked[:2]
     if len(multi) >= 2 and sum(w for _, w in multi) > best_shuffle:
         cols = tuple(sorted(k for k, _ in multi))
         return LayoutRecommendation(

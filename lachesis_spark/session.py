@@ -67,9 +67,17 @@ def get_spark(
         # ~800k tasks, each fitting comfortably in executor memory.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # plan-STRING rendering length only (no execution semantics): the
+        # advisor's capture_usages_from_plan parses Location/PushedFilters
+        # out of the executed plan text, and the 100-char default truncates
+        # long catalog paths mid-field, mangling the parsed dataset name
+        .config("spark.sql.maxMetadataStringLength", "4096")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate returns an EXISTING session unchanged; this conf is
+    # runtime-settable and rendering-only, so pin it unconditionally
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     spark.sparkContext.setLogLevel("WARN")
     return spark

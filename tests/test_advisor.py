@@ -714,3 +714,87 @@ def test_apply_all_compacts_scan_only_dataset(spark, tmp_path):
     n_files = scan_stat_for_set(cat, "db", "frag").n_files
     assert n_files < 64
     assert cat.read_set("db", "frag").count() == li.count()
+
+
+def test_recommend_layout_range_zonemap_for_dominant_single_filter():
+    """One filter column dominating (second under 20% of it, shuffle weight
+    below it) → range-cluster + zone maps, not Z-order or bucketing."""
+    from lachesis_spark.advisor import recommend_layout
+
+    h = HistoryDB(":memory:")
+    h.record_job("scan_k", 10.0, [KeyUsage("orders", "filter", ("o_orderkey",))])
+    h.record_job("scan_k2", 10.0, [KeyUsage("orders", "filter", ("o_orderkey",))])
+    h.record_job("tiny", 1.0, [KeyUsage("orders", "filter", ("o_custkey",))])
+    h.record_job("agg", 5.0, [KeyUsage("orders", "aggregate", ("o_custkey",))])
+    rec = recommend_layout(h, "orders")
+    assert rec is not None and rec.kind == "range_zonemap"
+    assert rec.key_cols == ("o_orderkey",)
+
+    # grow the second filter column past 20% of the top: Z-order takes over
+    h.record_job("scan_c", 9.0, [KeyUsage("orders", "filter", ("o_custkey",))])
+    rec2 = recommend_layout(h, "orders")
+    assert rec2 is not None and rec2.kind == "zorder"
+
+
+def test_range_zonemap_applies_end_to_end_and_prunes(spark, tmp_path):
+    """Full loop: range-filter history → range_zonemap recommendation →
+    apply_report rewrites the set → read_set_pruned skips files."""
+    import os
+
+    from lachesis_spark.advisor import recommend_layout
+    from lachesis_spark.advisor.apply import apply_report
+    from lachesis_spark.advisor.recommender import (
+        PlacementReport,
+        capture_usages_from_plan,
+    )
+    from lachesis_spark.catalog import ZONEMAP_FILE
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cat.write_set(orders.repartition(8), "db", "orders")
+
+    h = HistoryDB(":memory:")
+    q = cat.read_set("db", "orders").where(F.col("o_orderkey").between(100, 400))
+    h.record_job("range_scan", 10.0, capture_usages_from_plan(q))
+    rec = recommend_layout(h, "orders")
+    assert rec is not None and rec.kind == "range_zonemap"
+    assert rec.key_cols == ("o_orderkey",)
+
+    apply_report(
+        cat,
+        PlacementReport("orders", rec, None, None),
+        "db",
+        "orders",
+        n_buckets=8,
+    )
+    path = cat.set_path("db", "orders")
+    assert os.path.isfile(os.path.join(path, ZONEMAP_FILE))
+    pruned = cat.read_set_pruned("db", "orders", "o_orderkey", 100, 400)
+    n_total = len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    assert 0 < len(pruned.inputFiles()) < n_total
+    expect = orders.filter(F.col("o_orderkey").between(100, 400)).count()
+    assert pruned.count() == expect
+
+
+def test_zorder_rewrite_also_records_zonemap(spark, tmp_path):
+    """The zorder apply path now writes zone maps on the z-columns."""
+    import os
+
+    from lachesis_spark.advisor.apply import rewrite_layout
+    from lachesis_spark.catalog import ZONEMAP_FILE
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    cat.write_set(ev, "db", "ev")
+    rewrite_layout(cat, "db", "ev", "zorder", ["user_id", "value"])
+    path = cat.set_path("db", "ev")
+    assert os.path.isfile(os.path.join(path, ZONEMAP_FILE))
+    pruned = cat.read_set_pruned("db", "ev", "user_id", 0, 5)
+    expect = ev.filter(F.col("user_id").between(0, 5)).count()
+    assert pruned.count() == expect
