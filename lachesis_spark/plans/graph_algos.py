@@ -190,12 +190,122 @@ ORDER BY p.n_common DESC, p.x, p.y LIMIT {TOP_PAIRS}
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core peeling / onion decomposition
+KCORE_ORACLE_DEPTH = 16  # unroll budget; > observed peel depth (≤5) at every
+#                          sweep SF — a deeper peel would HASH-MISMATCH (the
+#                          Spark side is depth-independent), never pass silently
+
+
+def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
+    """Onion decomposition by k-core peeling: repeatedly remove every node
+    with fewer than ``k`` ALIVE neighbors; a node's ``layer`` is the round
+    that removed it (1-based), survivors — the k-core — get layer 0.
+
+    The convergence-checked production form (same operational shape as
+    dedup's ``cc_converged``): each sweep is one co-partitioned
+    edges⋈alive⋈alive join + one degree aggregation, shuffle width scoped
+    per-frame via explicit ``repartition(n_parts)`` (never the session
+    conf), alive set checkpointed per sweep, exit when a sweep removes
+    nothing.  Sweep count = peel depth (graph-dependent, typically
+    O(log n) on heavy-tailed graphs); the alive frame only shrinks, so
+    per-sweep cost falls monotonically."""
+    spark = und.sparkSession
+    e = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_parts, "u")
+        .localCheckpoint(eager=True)
+    )
+    alive = (
+        e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    layers = None
+    r = 0
+    while True:
+        r += 1
+        deg = (
+            e.join(alive.select(F.col("node").alias("u")), "u")
+            .join(alive.select(F.col("node").alias("v")), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select(F.col("u").alias("node"))
+        removed = alive.join(keep, "node", "left_anti").select(
+            "node", F.lit(r).cast("long").alias("layer")
+        )
+        # one bounded action per sweep: the removed count is the exit check
+        n_removed = removed.count()
+        if n_removed == 0:
+            break
+        layers = (
+            removed
+            if layers is None
+            else layers.unionByName(removed).localCheckpoint(eager=False)
+        )
+        alive = alive.join(removed.select("node"), "node", "left_anti").repartition(
+            n_parts, "node"
+        ).localCheckpoint(eager=True)
+    core = alive.select("node", F.lit(0).cast("long").alias("layer"))
+    out = core if layers is None else layers.unionByName(core)
+    return out.orderBy("node")
+
+
+def graph_kcore(spark, sf_dir):
+    """Onion layers of the events graph at k = mean degree: k and the peel
+    loop run engine-side; only the 2-number (m, n) aggregate reaches the
+    driver to fix k (bounded collect, the k-means pattern)."""
+    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    m = und.count()
+    n = und.select(F.col("a").alias("x")).unionAll(
+        und.select(F.col("b").alias("x"))
+    ).distinct().count()
+    k = int(2 * m / n)
+    return kcore_layers(und, k)
+
+
+def _kcore_oracle_sql(depth: int = KCORE_ORACLE_DEPTH) -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e)",
+        "kk AS MATERIALIZED (SELECT CAST(FLOOR(2.0 * (SELECT count(*) FROM und)"
+        " / (SELECT count(*) FROM alive0)) AS BIGINT) AS k)",
+    ]
+    for r in range(1, depth + 1):
+        ctes.append(
+            f"alive{r} AS MATERIALIZED (\n"
+            f"  SELECT u AS node FROM (\n"
+            f"    SELECT e.u, count(*) AS d FROM e\n"
+            f"    JOIN alive{r - 1} x ON e.u = x.node\n"
+            f"    JOIN alive{r - 1} y ON e.v = y.node\n"
+            f"    GROUP BY e.u)\n"
+            f"  WHERE d >= (SELECT k FROM kk))"
+        )
+    removed = "\nUNION ALL\n".join(
+        f"SELECT node, CAST({r} AS BIGINT) AS layer FROM alive{r - 1}\n"
+        f"WHERE node NOT IN (SELECT node FROM alive{r})"
+        for r in range(1, depth + 1)
+    )
+    return (
+        f"WITH {_SQL_EDGES},\n"
+        + ",\n".join(ctes)
+        + f"\n{'SELECT node, layer FROM ('}{removed}\n"
+        + f"UNION ALL SELECT node, CAST(0 AS BIGINT) FROM alive{depth})\n"
+        + "ORDER BY node"
+    )
+
+
+GRAPH_KCORE_SQL = _kcore_oracle_sql()
+
+
 QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_common_neighbors": graph_common_neighbors,
+    "graph_kcore": graph_kcore,
 }
 
 ORACLE = {
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_common_neighbors": GRAPH_COMMON_NEIGHBORS_SQL,
+    "graph_kcore": GRAPH_KCORE_SQL,
 }
