@@ -89,6 +89,16 @@ def doc_lengths(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(_tokens_col()).cast("double").alias("dl"))
 
 
+def doc_lengths_from_postings(postings: DataFrame) -> DataFrame:
+    """(doc_id, dl) derived from the postings index: dl = Σ tf per doc.
+    Saves the second tokenize pass over the corpus — the index already
+    contains the lengths (docs with zero tokens have no postings and no
+    meaningful BM25 score, so their absence is harmless by construction)."""
+    return postings.groupBy("doc_id").agg(
+        F.sum("tf").cast("double").alias("dl")
+    )
+
+
 def positional_postings(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, term): the positional index phrase search joins on."""
     return docs.select("doc_id", F.posexplode(_tokens_col()).alias("pos", "term"))
@@ -158,9 +168,11 @@ def index_documents(cat, db: str, docs: DataFrame, n_buckets: int = 8) -> None:
     Exchange via the layout-routing read_set), doc lengths bucketed by
     doc_id (the tf⋈dl join side), and the 1-row corpus stats."""
     cat.create_database(db)
-    cat.write_set(build_postings(docs), db, "postings", bucket_by=(n_buckets, ["term"]))
-    cat.write_set(doc_lengths(docs), db, "doclens", bucket_by=(n_buckets, ["doc_id"]))
-    stats = doc_lengths(docs).agg(
+    postings = build_postings(docs).localCheckpoint(eager=True)
+    cat.write_set(postings, db, "postings", bucket_by=(n_buckets, ["term"]))
+    dlens = doc_lengths_from_postings(postings)
+    cat.write_set(dlens, db, "doclens", bucket_by=(n_buckets, ["doc_id"]))
+    stats = doc_lengths_from_postings(postings).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     cat.write_set(stats, db, "stats")
@@ -174,9 +186,15 @@ def search_index(cat, db: str, terms: list[str], k: int = 20) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry queries
 def search_bm25_topk(spark, sf_dir):
-    """Top-20 documents by BM25 for a 3-term query."""
+    """Top-20 documents by BM25 for a 3-term query.  ONE corpus
+    tokenize+groupBy pass: the postings frame is lazily checkpointed and
+    feeds both the scoring join and the doc-length/corpus-stats
+    derivations (dl = Σ tf), instead of tokenizing the corpus twice."""
     docs = _docs(spark, sf_dir)
-    return bm25_topk(build_postings(docs), doc_lengths(docs), BM25_TERMS, k=20)
+    postings = build_postings(docs).localCheckpoint(eager=False)
+    return bm25_topk(
+        postings, doc_lengths_from_postings(postings), BM25_TERMS, k=20
+    )
 
 
 def _sql_terms(terms) -> str:
@@ -187,7 +205,8 @@ SEARCH_BM25_TOPK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
 ), dl AS (
-  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks
+  -- docs with >= 1 token, mirroring the postings-derived lengths
+  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks WHERE len(ts) > 0
 ), post AS (
   SELECT doc_id, unnest(ts) AS term FROM toks
 ), tf AS (
