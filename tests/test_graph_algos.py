@@ -131,3 +131,19 @@ def test_kcore_never_touches_session_conf(spark):
     und = G.undirected_edges(spark, SF_SMOKE)
     G.kcore_layers(und, k=3, n_parts=4).count()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_dense_and_sparse_regimes_agree(spark, monkeypatch):
+    """The size-gated bitset kernel and the wedge-join path are the same
+    query: force the sparse path by zeroing the gate and compare."""
+    und = G.undirected_edges(spark, SF_SMOKE).localCheckpoint(eager=True)
+    dense = [
+        (r["x"], r["y"], r["n_common"])
+        for r in G.common_neighbor_pairs(und, k=50).collect()
+    ]
+    monkeypatch.setattr(G, "DENSE_N_MAX", 0)
+    sparse = [
+        (r["x"], r["y"], r["n_common"])
+        for r in G.common_neighbor_pairs(und, k=50).collect()
+    ]
+    assert dense == sparse
