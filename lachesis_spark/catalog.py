@@ -444,11 +444,17 @@ class Catalog:
         O(touched partitions), not O(corpus).  The touched-partition list
         is collected to the driver — small by definition of an incremental
         update.
+
+        A zone-mapped set keeps its skipping: the sidecar's stat columns
+        are captured before the rewrite and the stats re-recorded after
+        (one column-pruned pass), so a daily-merged date-clustered set
+        never silently loses pruning.
         """
         from pyspark.sql import functions as F
 
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        zm_cols = self._zonemap_cols(db, name)
         # the merge rewrites plain part files; a bucketed table over this
         # path would keep a stale listing AND falsely-advertised bucketing
         self._drop_owned_table(db, name)
@@ -474,6 +480,8 @@ class Catalog:
                 merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
             finally:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+            if zm_cols:
+                self._write_zonemap(db, name, zm_cols)
             return
         merged = existing.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -483,6 +491,19 @@ class Catalog:
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        if zm_cols:
+            self._write_zonemap(db, name, zm_cols)
+
+    def _zonemap_cols(self, db: str, name: str) -> list[str] | None:
+        """The stat columns of an existing zonemap sidecar, if any — rewrite
+        paths use this to refresh (rather than lose) a set's file skipping."""
+        import json
+
+        p = os.path.join(self.set_path(db, name), ZONEMAP_FILE)
+        if not os.path.isfile(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh).get("cols") or None
 
     def apply_cdc(
         self,
@@ -522,6 +543,7 @@ class Catalog:
 
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        zm_cols = self._zonemap_cols(db, name)
         data_cols = [c for c in changes.columns if c != op_col]
         others = [c for c in data_cols if c not in key_cols]
         if version_col not in others:
@@ -603,11 +625,15 @@ class Catalog:
                         os.path.join(path, f"{partition_col}={p}"),
                         ignore_errors=True,
                     )
+            if zm_cols:
+                self._write_zonemap(db, name, zm_cols)
             return
         tmp = path.rstrip("/") + ".__merge_tmp__"
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(path)
         os.rename(tmp, path)
+        if zm_cols:
+            self._write_zonemap(db, name, zm_cols)
 
     def compact_set(
         self,
@@ -629,6 +655,7 @@ class Catalog:
 
         if (db, name) in self._external:
             raise ValueError(f"set {db}.{name} is external/read-only")
+        zm_cols = self._zonemap_cols(db, name)
         self._drop_owned_table(db, name)
         path = self.set_path(db, name)
         size = 0
@@ -657,6 +684,8 @@ class Catalog:
             df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
             shutil.rmtree(path)
             os.rename(tmp, path)
+        if zm_cols:
+            self._write_zonemap(db, name, zm_cols)
         return n_files
 
     # -- snapshots / time travel -------------------------------------------

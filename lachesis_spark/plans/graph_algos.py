@@ -164,21 +164,39 @@ def common_neighbor_pairs(
 
 
 def _popcount(a):
-    """Vectorized popcount over a uint64 array (numpy<2 fallback via the
-    uint8 view + unpackbits-free bit tricks)."""
+    """Vectorized popcount over a uint64 array: np.bitwise_count when
+    available (numpy ≥ 2), else the classic SWAR reduction — 5 fused
+    uint64 passes, no 8× uint8 gather (the LUT fallback's gather made the
+    kernel memory-bound: measured 3.5× slower at n≈15k)."""
     import numpy as np
 
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(a).sum(axis=-1, dtype=np.int64)
-    b = a.view(np.uint8)
-    # 8-bit popcount lookup
-    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
-    return lut[b].sum(axis=-1, dtype=np.int64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h0 = np.uint64(0x0101010101010101)
+    v = a - ((a >> np.uint64(1)) & m1)
+    v = (v & m2) + ((v >> np.uint64(2)) & m2)
+    v = (v + (v >> np.uint64(4))) & m4
+    return ((v * h0) >> np.uint64(56)).sum(axis=-1, dtype=np.int64)
 
 
 def _common_neighbors_dense(adj: DataFrame, k: int) -> DataFrame:
     """Bitset kernel for the gate-bounded dense regime (see
-    common_neighbor_pairs)."""
+    common_neighbor_pairs), with FAGIN-STYLE THRESHOLD TERMINATION:
+    c(x, y) = |N(x) ∩ N(y)| ≤ min(deg x, deg y), so the exact top-k is
+    found by scoring pairs within a degree-descending pool of D nodes and
+    growing D (×4 per round) until the kth score ≥ deg of the (D+1)-th
+    node — every pair outside the pool is then provably below the kth.
+    On hub-heavy graphs (the shape the ×10 probe builds: 100 dst hubs at
+    deg ~7000 over ~190-deg users) the bound fires at D ≈ 2k+hubs and the
+    kernel touches ~D²/2 pairs instead of n²/2 — measured 66 s → ~2 s at
+    ×10; on degree-uniform graphs the bound cannot fire and the final
+    round IS the full kernel, which the DENSE_N_MAX gate keeps bounded.
+    Counts are always over FULL bitmaps (all n nodes as potential common
+    neighbors) — the pool restricts which PAIRS are scored, never the
+    evidence, so results are exact."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -228,52 +246,76 @@ def _common_neighbors_dense(adj: DataFrame, k: int) -> DataFrame:
         ]
     )
 
-    def kernel(iterator):
-        B = b_bm.value
-        id_arr = np.asarray(b_ids.value, dtype=np.int64)
-        nn = B.shape[0]
-        for pdf in iterator:
-            xs_l, ys_l, cs_l = [], [], []
-            for x in pdf["id"]:
-                x = int(x)
-                if x + 1 >= nn:
-                    continue
-                common = _popcount(np.bitwise_and(B[x], B[x + 1 :]))
-                ys = np.arange(x + 1, nn)
-                # mask adjacent pairs (bit y of B[x]) and zero counts
-                adj_mask = (
-                    B[x][ys // 64] >> (ys % 64).astype(np.uint64)
-                ).astype(np.uint64) & np.uint64(1)
-                keep = (common > 0) & (adj_mask == 0)
-                m_keep = int(keep.sum())
-                if m_keep:
-                    xs_l.append(np.full(m_keep, x, dtype=np.int64))
-                    ys_l.append(ys[keep])
-                    cs_l.append(common[keep])
-            if not xs_l:
-                yield pd.DataFrame({"x": [], "y": [], "n_common": []}).astype(
-                    {"x": "int64", "y": "int64", "n_common": "int64"}
-                )
-                continue
-            X = np.concatenate(xs_l)
-            Y = np.concatenate(ys_l)
-            C = np.concatenate(cs_l)
-            # local top-k under the GLOBAL ordering (count desc, x, y); ids
-            # were assigned in ascending id order, so idx order == id order
-            order = np.lexsort((Y, X, -C))[:k]
-            yield pd.DataFrame(
-                {
-                    "x": id_arr[X[order]],
-                    "y": id_arr[Y[order]],
-                    "n_common": C[order],
-                }
-            )
+    deg = _popcount(bm)  # per-row popcount -> node degrees
+    # degree-descending pool order, id-ascending tiebreak (deterministic)
+    pool_order = np.lexsort((np.arange(n), -deg))
+    b_pool = spark.sparkContext.broadcast(pool_order)
 
-    cand = (
-        spark.range(0, n, numPartitions=min(32, max(2, n // 64)))
-        .mapInPandas(kernel, schema=out_schema)
-    )
-    return cand.orderBy(F.col("n_common").desc(), F.col("x"), F.col("y")).limit(k)
+    def make_kernel(D):
+        def kernel(iterator):
+            B = b_bm.value
+            id_arr = np.asarray(b_ids.value, dtype=np.int64)
+            pool = b_pool.value[:D]
+            for pdf in iterator:
+                xs_l, ys_l, cs_l = [], [], []
+                for pi in pdf["id"]:
+                    pi = int(pi)
+                    if pi + 1 >= D:
+                        continue
+                    x = int(pool[pi])
+                    ys = pool[pi + 1 :]
+                    common = _popcount(np.bitwise_and(B[x], B[ys]))
+                    # mask adjacent pairs (bit y of B[x]) and zero counts
+                    adj_mask = (
+                        B[x][ys // 64] >> (ys % 64).astype(np.uint64)
+                    ).astype(np.uint64) & np.uint64(1)
+                    keep = (common > 0) & (adj_mask == 0)
+                    m_keep = int(keep.sum())
+                    if m_keep:
+                        xs_l.append(np.full(m_keep, x, dtype=np.int64))
+                        ys_l.append(ys[keep])
+                        cs_l.append(common[keep])
+                if not xs_l:
+                    yield pd.DataFrame({"x": [], "y": [], "n_common": []}).astype(
+                        {"x": "int64", "y": "int64", "n_common": "int64"}
+                    )
+                    continue
+                X = np.concatenate(xs_l)
+                Y = np.concatenate(ys_l)
+                C = np.concatenate(cs_l)
+                # canonical pair order on ORIGINAL ids (pool order is by
+                # degree, so x/y may arrive either way around)
+                xi, yi = id_arr[X], id_arr[Y]
+                lo, hi = np.minimum(xi, yi), np.maximum(xi, yi)
+                # local top-k under the GLOBAL ordering (count desc, x, y)
+                order = np.lexsort((hi, lo, -C))[:k]
+                yield pd.DataFrame(
+                    {"x": lo[order], "y": hi[order], "n_common": C[order]}
+                )
+
+        return kernel
+
+    D = max(4 * k, 512)
+    while True:
+        D = min(D, n)
+        cand = (
+            spark.range(0, D, numPartitions=min(32, max(2, D // 64)))
+            .mapInPandas(make_kernel(D), schema=out_schema)
+        )
+        top = (
+            cand.orderBy(F.col("n_common").desc(), F.col("x"), F.col("y"))
+            .limit(k)
+            .localCheckpoint(eager=True)
+        )
+        if D >= n:
+            return top
+        rows = top.collect()  # k rows, bounded
+        kth = rows[-1]["n_common"] if len(rows) == k else -1
+        # every unscored pair has one endpoint outside the pool, so its
+        # count is bounded by that endpoint's degree
+        if kth >= int(deg[pool_order[D]]):
+            return top
+        D *= 4
 
 
 # ---------------------------------------------------------------------------

@@ -108,3 +108,73 @@ def test_zonemap_with_zorder_layout(spark, tmp_path):
     pruned = cat.read_set_pruned("zm", "li", "l_orderkey", 1, 500)
     expect = li.filter(F.col("l_orderkey").between(1, 500)).count()
     assert pruned.count() == expect
+
+
+def test_merge_refreshes_zonemap(spark, tmp_path):
+    """A zone-mapped set keeps (fresh) stats through merge_set: new files
+    get entries, pruning stays correct and effective."""
+    cat, orders = _write_clustered_orders(spark, tmp_path)
+    lo_key = orders.agg(F.min("o_orderkey")).first()[0]
+    updates = orders.filter(F.col("o_orderkey") < lo_key + 50).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    cat.merge_set(updates, "zm", "orders", ["o_orderkey"])
+    path = cat.set_path("zm", "orders")
+    assert os.path.isfile(os.path.join(path, ZONEMAP_FILE))
+    with open(os.path.join(path, ZONEMAP_FILE)) as fh:
+        zm = json.load(fh)
+    # every CURRENT data file carries stats (refresh, not stale carryover)
+    data = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert set(zm["files"]) == data
+    pruned = cat.read_set_pruned("zm", "orders", "o_orderkey", 100, 800)
+    merged_full = cat.read_set("zm", "orders")
+    expect = merged_full.filter(F.col("o_orderkey").between(100, 800)).count()
+    assert pruned.count() == expect
+
+
+def test_compact_refreshes_zonemap(spark, tmp_path):
+    cat, orders = _write_clustered_orders(spark, tmp_path)
+    cat.compact_set("zm", "orders")
+    path = cat.set_path("zm", "orders")
+    assert os.path.isfile(os.path.join(path, ZONEMAP_FILE))
+    with open(os.path.join(path, ZONEMAP_FILE)) as fh:
+        zm = json.load(fh)
+    data = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert set(zm["files"]) == data
+    pruned = cat.read_set_pruned("zm", "orders", "o_orderkey", 100, 800)
+    expect = orders.filter(F.col("o_orderkey").between(100, 800)).count()
+    assert pruned.count() == expect
+
+
+def test_cdc_refreshes_zonemap(spark, tmp_path):
+    cat, orders = _write_clustered_orders(spark, tmp_path)
+    base = orders.select("o_orderkey", "o_totalprice").withColumn(
+        "__v", F.lit(0)
+    )
+    cat.write_set(
+        base.repartitionByRange(4, "o_orderkey"), "zm", "orders2",
+        zonemap_by=["o_orderkey"],
+    )
+    changes = (
+        base.limit(10)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 2).alias("o_totalprice"),
+            F.lit(1).alias("__v"),
+            F.lit("upsert").alias("op"),
+        )
+    )
+    cat.apply_cdc(changes, "zm", "orders2", ["o_orderkey"], "__v")
+    path = cat.set_path("zm", "orders2")
+    assert os.path.isfile(os.path.join(path, ZONEMAP_FILE))
+    with open(os.path.join(path, ZONEMAP_FILE)) as fh:
+        zm = json.load(fh)
+    data = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert set(zm["files"]) == data
+    pruned = cat.read_set_pruned("zm", "orders2", "o_orderkey", 100, 800)
+    expect = (
+        cat.read_set("zm", "orders2")
+        .filter(F.col("o_orderkey").between(100, 800))
+        .count()
+    )
+    assert pruned.count() == expect
