@@ -375,3 +375,129 @@ def test_bpe_batch_fold_equals_any_sequential_order(stream, seed):
     for pair in order:
         seq = single(seq, pair)
     assert seq == batch(list(stream))
+
+
+# ---------------------------------------------------------------------------
+# round-7 kernels
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=8
+    )
+)
+def test_popcount_matches_int_bit_count(vals):
+    """SWAR popcount == Python int.bit_count over the word array."""
+    import numpy as np
+
+    from lachesis_spark.plans.graph_algos import _popcount
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert int(_popcount(arr)) == sum(v.bit_count() for v in vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lo=st.integers(min_value=-100, max_value=100),
+    width=st.integers(min_value=0, max_value=50),
+    fmin=st.integers(min_value=-100, max_value=100),
+    fwidth=st.integers(min_value=0, max_value=50),
+)
+def test_zonemap_overlap_never_prunes_a_matching_file(lo, width, fmin, fwidth):
+    """The pruning predicate keeps every file whose [min,max] intersects
+    [lo,hi] — model the keep() logic directly against interval math."""
+    hi, fmax = lo + width, fmin + fwidth
+    intersects = not (fmax < lo or fmin > hi)
+    # mirror of read_set_pruned.keep()
+    keep = not (fmax < lo) and not (fmin > hi)
+    assert keep == intersects
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=14),
+            st.integers(min_value=0, max_value=14),
+        ).map(lambda t: (min(t), max(t))).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_threshold_kernel_equals_wedge_join_on_random_graphs(spark, edges, k):
+    """Dense (Fagin-threshold bitset) and sparse (wedge join) regimes give
+    identical top-k common-neighbor pairs on random graphs."""
+    import pytest
+
+    from lachesis_spark.plans import graph_algos as G
+
+    und = spark.createDataFrame(sorted(edges), "a long, b long").localCheckpoint(
+        eager=True
+    )
+    dense = [
+        (r["x"], r["y"], r["n_common"])
+        for r in G.common_neighbor_pairs(und, k=k).collect()
+    ]
+    old = G.DENSE_N_MAX
+    try:
+        G.DENSE_N_MAX = 0  # force the wedge-join path
+        sparse = [
+            (r["x"], r["y"], r["n_common"])
+            for r in G.common_neighbor_pairs(und, k=k).collect()
+        ]
+    finally:
+        G.DENSE_N_MAX = old
+    assert dense == sparse
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    changes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.integers(min_value=0, max_value=9),   # version
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    base=st.dictionaries(
+        st.integers(min_value=0, max_value=4),
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=99),
+        ),
+        max_size=5,
+    ),
+)
+def test_cdc_model_idempotent_and_order_free(changes, base):
+    """A pure-Python model of apply_cdc's semantics: batch winner =
+    max (version, op, payload) struct; applies iff version strictly
+    greater than stored.  Applying the same batch twice == once."""
+
+    def apply(state, batch):
+        win: dict = {}
+        for key, ver, op, pay in batch:
+            cand = (ver, op, pay)
+            if key not in win or cand > win[key]:
+                win[key] = cand
+        out = dict(state)
+        for key, (ver, op, pay) in win.items():
+            if key in out and ver <= out[key][0]:
+                continue
+            if op == "delete":
+                out.pop(key, None)
+            else:
+                out[key] = (ver, pay)
+        return out
+
+    once = apply(base, changes)
+    twice = apply(once, changes)
+    assert once == twice
