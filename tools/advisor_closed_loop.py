@@ -88,6 +88,26 @@ def skew_workload(cat, fact, dim):
     return joined.groupBy("w").agg(F.sum("v").alias("sv"))
 
 
+RANGE_LO, RANGE_HI = 1000, 4000
+
+
+def range_workload(cat):
+    """Key-range scan through the pruning entry point: before the advisor
+    acts the set has no clustering and no zone maps (full scan + filter);
+    after apply_all's range_zonemap rewrite the same call skips files at
+    planning time."""
+    pruned = cat.read_set_pruned("db", "od_range", "o_orderkey", RANGE_LO, RANGE_HI)
+    return pruned.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("s"))
+
+
+def range_files_read(cat) -> int:
+    return len(
+        cat.read_set_pruned(
+            "db", "od_range", "o_orderkey", RANGE_LO, RANGE_HI
+        ).inputFiles()
+    )
+
+
 def n_exchanges(df) -> int:
     return (
         df._jdf.queryExecution().executedPlan().toString()
@@ -120,6 +140,10 @@ def main():
         (F.col("id") * 7 % 1000).alias("v"),
     )
     cat.write_set(fact.repartition(SHUFFLE_PARTS), "db", "skewfact")
+    # range-scanned set: written UNCLUSTERED (random 32-way) so every file
+    # spans the whole key range — zone maps would prune nothing until the
+    # advisor's range_zonemap rewrite re-clusters it
+    cat.write_set(od.repartition(32), "db", "od_range")
     dim = spark.range(N_KEYS).select(
         F.col("id").alias("k"), (F.col("id") % 97).alias("w")
     ).cache()
@@ -148,6 +172,18 @@ def main():
     # load-time observation: the skewed set's key-frequency profile
     h.record_job("skew_load", run_timed(skew_workload(cat, sk, dim)), [],
                  key_stats=[key_stat_for(sk, "db.skewfact", ["k"])])
+    # range-filter history: the pushed o_orderkey predicate is the
+    # data-skipping signal the range_zonemap rule fires on
+    for i in range(3):
+        rq = cat.read_set("db", "od_range").where(
+            F.col("o_orderkey").between(RANGE_LO, RANGE_HI)
+        )
+        t0 = time.perf_counter()
+        rq.count()
+        h.record_job(
+            f"range_run{i}", time.perf_counter() - t0,
+            capture_usages_from_plan(rq),
+        )
 
     before = {
         "join_sec": run_timed(join_workload(a, b)),
@@ -155,6 +191,8 @@ def main():
         "scan_sec": run_timed(scan_workload(fr)),
         "scan_files": scan_stat_for_set(cat, "db", "frag").n_files,
         "skew_sec": run_timed(skew_workload(cat, sk, dim)),
+        "range_sec": run_timed(range_workload(cat)),
+        "range_files": range_files_read(cat),
     }
 
     # ----- phase 2+3: ADVISE + APPLY (the one call under test)
@@ -169,6 +207,7 @@ def main():
             "orders": ("db", "orders"),
             "db.frag": ("db", "frag"),
             "db.skewfact": ("db", "skewfact"),
+            "od_range": ("db", "od_range"),
         },
         n_buckets=N_BUCKETS,
     )
@@ -184,6 +223,8 @@ def main():
         "scan_sec": run_timed(scan_workload(fr2)),
         "scan_files": scan_stat_for_set(cat, "db", "frag").n_files,
         "skew_sec": run_timed(skew_workload(cat, sk2, dim)),
+        "range_sec": run_timed(range_workload(cat)),
+        "range_files": range_files_read(cat),
     }
 
     out = {
@@ -198,6 +239,7 @@ def main():
         "join_speedup": round(before["join_sec"] / after["join_sec"], 2),
         "scan_speedup": round(before["scan_sec"] / after["scan_sec"], 2),
         "skew_speedup": round(before["skew_sec"] / after["skew_sec"], 2),
+        "range_speedup": round(before["range_sec"] / after["range_sec"], 2),
     }
     print(json.dumps(out), flush=True)
 
@@ -223,6 +265,7 @@ Applied: {actions}
 | lineitem⋈orders join+agg | {out['before']['join_sec']} s ({out['before']['join_exchanges']} Exchanges) | {out['after']['join_sec']} s ({out['after']['join_exchanges']} Exchanges) | {out['join_speedup']}× |
 | fragmented scan+agg | {out['before']['scan_sec']} s ({out['before']['scan_files']} files) | {out['after']['scan_sec']} s ({out['after']['scan_files']} files) | {out['scan_speedup']}× |
 | skewed fact⋈dim (hint-salted) | {out['before']['skew_sec']} s | {out['after']['skew_sec']} s | {out['skew_speedup']}× |
+| key-range scan (range_zonemap) | {out['before']['range_sec']} s ({out['before']['range_files']} files read) | {out['after']['range_sec']} s ({out['after']['range_files']} files read) | {out['range_speedup']}× |
 """)
 
 
