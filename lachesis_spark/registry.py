@@ -8,14 +8,14 @@ without an ORACLE entry and get the driver's rows-only check.
 from __future__ import annotations
 
 from lachesis_spark.llm import dedup, multimodal, sampling, scrub, search, similarity, textstats, training
-from lachesis_spark.plans import graph_algos, iterative, la, la_dsl, ops_queries, reddit, tpch
+from lachesis_spark.plans import graph_algos, iterative, la, la_dsl, matview, ops_queries, reddit, tpch
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search, graph_algos):
+for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search, graph_algos, matview):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
@@ -44,8 +44,11 @@ _PRIORITY = [
     "op_native_filter", "op_flatmap_python", "op_jaccard_topk",
     # beyond-reference SQL surface (§2.8)
     "op_cube", "op_outer_join", "op_semi_anti",
+    # Round 7 rotated op_range_window out (op_window_analytics keeps the
+    # window-function seat; range frames stay oracle-checked in the strict
+    # sweep) to seat the materialized-view subsystem.
     "op_percentiles", "op_window_analytics", "op_correlated_subquery",
-    "op_range_window",
+    "mv_incremental",
     # scrub / multimodal / DataSource subsystem representatives.  Round 6
     # rotated mm_features -> mm_features_png: the gate seat now exercises
     # the REAL codec path (chunk walk + zlib inflate + 5-filter

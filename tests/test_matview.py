@@ -1,0 +1,115 @@
+"""Materialized aggregate views (plans/matview.py): incremental refresh
+folds only new files, full fallback on rewrite, derived averages."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lachesis_spark.catalog import Catalog
+from lachesis_spark.plans import matview as MV
+from tests.conftest import SF_SMOKE
+
+
+def _setup(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("mv")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    rest = orders.filter(F.col("o_orderkey") % 2 == 1)
+    cat.write_set(base.repartition(3), "mv", "src")
+    MV.create_agg_view(
+        cat, "mv", "v", "mv", "src", ["o_orderstatus"], ["o_totalprice"]
+    )
+    return cat, orders, rest
+
+
+def _full_expect(df):
+    return {
+        r["o_orderstatus"]: (
+            r["c"], round(r["s"], 2), round(r["mn"], 2), round(r["mx"], 2)
+        )
+        for r in df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum("o_totalprice").alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        .collect()
+    }
+
+
+def _view_state(cat):
+    return {
+        r["o_orderstatus"]: (
+            r["mv_count"],
+            round(r["sum_o_totalprice"], 2),
+            round(r["min_o_totalprice"], 2),
+            round(r["max_o_totalprice"], 2),
+        )
+        for r in cat.read_set("mv", "v").collect()
+    }
+
+
+def test_incremental_refresh_equals_full_aggregate(spark, tmp_path):
+    cat, orders, rest = _setup(spark, tmp_path)
+    # append-only growth, then refresh: mode must be incremental
+    rest.repartition(2).write.mode("append").parquet(cat.set_path("mv", "src"))
+    assert MV.refresh_view(cat, "mv", "v") == "incremental"
+    assert _view_state(cat) == _full_expect(orders)
+    # nothing new: noop
+    assert MV.refresh_view(cat, "mv", "v") == "noop"
+    assert _view_state(cat) == _full_expect(orders)
+
+
+def test_rewrite_triggers_full_recompute(spark, tmp_path):
+    cat, orders, rest = _setup(spark, tmp_path)
+    # REWRITE the source (compact): consumed files vanish -> full fallback
+    cat.compact_set("mv", "src")
+    assert MV.refresh_view(cat, "mv", "v") == "full"
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    assert _view_state(cat) == _full_expect(base)
+
+
+def test_read_view_derives_average(spark, tmp_path):
+    cat, orders, rest = _setup(spark, tmp_path)
+    out = {
+        r["o_orderstatus"]: round(r["avg_o_totalprice"], 4)
+        for r in MV.read_view(cat, "mv", "v", avg_of=["o_totalprice"]).collect()
+    }
+    base = orders.filter(F.col("o_orderkey") % 2 == 0)
+    expect = {
+        r["o_orderstatus"]: round(r["a"], 4)
+        for r in base.groupBy("o_orderstatus")
+        .agg((F.sum("o_totalprice") / F.count(F.lit(1))).alias("a"))
+        .collect()
+    }
+    assert out == expect
+
+
+def test_delta_scan_touches_only_new_files(spark, tmp_path, monkeypatch):
+    """The incremental path must scan ONLY the appended files."""
+    cat, orders, rest = _setup(spark, tmp_path)
+    before = set(MV._source_files(cat, "mv", "src"))
+    rest.repartition(2).write.mode("append").parquet(cat.set_path("mv", "src"))
+    new = set(MV._source_files(cat, "mv", "src")) - before
+
+    from pyspark.sql.readwriter import DataFrameReader
+
+    seen: dict = {"calls": []}
+    orig = DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen["calls"].append(paths)
+        return orig(self, *paths, **kw)
+
+    # spark.read returns a FRESH reader per access — patch the class
+    monkeypatch.setattr(DataFrameReader, "parquet", spy)
+    assert MV.refresh_view(cat, "mv", "v") == "incremental"
+    delta_calls = [
+        c for c in seen["calls"] if set(c) and set(c) <= new
+    ]
+    assert delta_calls, "refresh never scanned the new files in isolation"
+    assert all(set(c) <= new for c in delta_calls)

@@ -21,7 +21,16 @@ from lachesis_spark.llm import (
     textstats,
     training,
 )
-from lachesis_spark.plans import graph_algos, iterative, la, la_dsl, ops_queries, reddit, tpch
+from lachesis_spark.plans import (
+    graph_algos,
+    iterative,
+    la,
+    la_dsl,
+    matview,
+    ops_queries,
+    reddit,
+    tpch,
+)
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
 
@@ -37,6 +46,7 @@ MODULES = {
     "stream": stream,
     "iterative": iterative,
     "graph_algos": graph_algos,
+    "matview": matview,
     "reddit": reddit,
     "multimodal": multimodal,
     "sampling": sampling,
