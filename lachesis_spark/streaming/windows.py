@@ -250,6 +250,88 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# 7. Gap-fill + LOCF: the time-series downsampling surface (TimescaleDB's
+#    time_bucket_gapfill / locf).  Hourly per-user averages on a COMPLETE
+#    hour grid, missing hours carried forward from the last observation.
+GAPFILL_USERS = 20  # bounded user slice: output = users x hours, never x rows
+
+
+def win_gapfill(spark, sf_dir):
+    """Per-user hourly averages gap-filled over the global hour grid with
+    last-observation-carried-forward.
+
+    Scale shape: the observation agg is one windowed groupBy; the grid is
+    (bounded user slice) × (span hours) built from a 1-row bounds
+    aggregate — sequence+explode, no scan; LOCF is a PER-USER running
+    window (partitioned — never the unpartitioned-window anti-pattern).
+    Leading hours before a user's first observation stay NULL (there is
+    nothing to carry)."""
+    ev = _events(spark, sf_dir)
+    obs = (
+        ev.filter(F.col("user_id") < GAPFILL_USERS)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.avg("value").alias("v"))
+        .select("user_id", F.col("w.start").alias("hour_start"), "v")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour_start")
+    )
+    users = (
+        ev.filter(F.col("user_id") < GAPFILL_USERS).select("user_id").distinct()
+    )
+    grid = hours.crossJoin(F.broadcast(users))
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "hour_start"], "left")
+        .select(
+            "user_id",
+            "hour_start",
+            F.round(F.last("v", ignorenulls=True).over(w), 6).alias("v_filled"),
+        )
+    )
+
+
+WIN_GAPFILL_SQL = f"""
+WITH obs AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+         avg(value) AS v
+  FROM events WHERE user_id < {GAPFILL_USERS} GROUP BY 1, 2
+),
+bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS h0,
+         time_bucket(INTERVAL '1 hour', max(ts)) AS h1
+  FROM events
+),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour_start
+  FROM bounds
+),
+users AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id < {GAPFILL_USERS}
+),
+grid AS (SELECT u.user_id, h.hour_start FROM users u CROSS JOIN hours h)
+SELECT g.user_id, g.hour_start,
+       round(last_value(o.v IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+FROM grid g LEFT JOIN obs o
+  ON g.user_id = o.user_id AND g.hour_start = o.hour_start
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
@@ -257,6 +339,7 @@ QUERIES = {
     "win_correlation": win_correlation,
     "win_asof": win_asof,
     "win_hier_rollup": win_hier_rollup,
+    "win_gapfill": win_gapfill,
 }
 
 ORACLE = {
@@ -266,4 +349,5 @@ ORACLE = {
     "win_correlation": WIN_CORRELATION_SQL,
     "win_asof": WIN_ASOF_SQL,
     "win_hier_rollup": WIN_HIER_ROLLUP_SQL,
+    "win_gapfill": WIN_GAPFILL_SQL,
 }
