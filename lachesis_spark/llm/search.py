@@ -184,6 +184,50 @@ def search_index(cat, db: str, terms: list[str], k: int = 20) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental index maintenance: the inverted index IS a materialized view
+# (postings = count per (doc_id, term) over the tokenized corpus), so the
+# MV layer's file-level watermark + delta fold maintains it: appending a
+# day's documents re-tokenizes ONLY the new files and folds their postings
+# into the term-bucketed state — never a full corpus re-index.
+def _postings_transform(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.explode(_tokens_col()).alias("term"))
+
+
+def index_documents_incremental(
+    cat, idx_db: str, src_db: str, src_name: str, n_buckets: int = 8
+) -> None:
+    """Create the incremental inverted index over a stored documents set."""
+    from lachesis_spark.plans import matview as MV
+
+    MV.register_transform("search_postings", _postings_transform)
+    cat.create_database(idx_db)
+    MV.create_agg_view(
+        cat, idx_db, "postings_mv", src_db, src_name,
+        keys=["doc_id", "term"], cols=[],
+        bucket_by=(n_buckets, ["term"]), transform="search_postings",
+    )
+
+
+def refresh_index(cat, idx_db: str) -> str:
+    """Fold newly appended document files into the index (see
+    matview.refresh_view for the modes)."""
+    from lachesis_spark.plans import matview as MV
+
+    MV.register_transform("search_postings", _postings_transform)
+    return MV.refresh_view(cat, idx_db, "postings_mv")
+
+
+def search_incremental_index(cat, idx_db: str, terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 over the MV-maintained index: tf is the MV count, doc lengths
+    derive from the postings (one more reason dl = Σ tf pays off: the
+    incremental index needs no separate length table)."""
+    postings = cat.read_set(idx_db, "postings_mv").select(
+        "doc_id", "term", F.col("mv_count").alias("tf")
+    )
+    return bm25_topk(postings, doc_lengths_from_postings(postings), terms, k=k)
+
+
+# ---------------------------------------------------------------------------
 # registry queries
 def search_bm25_topk(spark, sf_dir):
     """Top-20 documents by BM25 for a 3-term query.  ONE corpus

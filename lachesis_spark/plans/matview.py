@@ -43,6 +43,17 @@ from pyspark.sql import functions as F
 
 MV_FILE = "_lachesis_mv.json"
 
+# Named row-transforms applied to the scanned source BEFORE aggregation —
+# the view definition's "query body".  Registered by NAME (the sidecar must
+# survive process restarts, so it stores the name, not the function); a
+# transform must be deterministic and PER-ROW/PER-FILE (no cross-file
+# state), which is exactly what makes per-file delta folding sound.
+TRANSFORMS: dict = {}
+
+
+def register_transform(name: str, fn) -> None:
+    TRANSFORMS[name] = fn
+
 
 def _source_files(cat, db: str, name: str) -> list[str]:
     path = cat.set_path(db, name)
@@ -91,17 +102,29 @@ def create_agg_view(
     src_name: str,
     keys: list[str],
     cols: list[str],
+    bucket_by: tuple[int, list[str]] | None = None,
+    transform: str | None = None,
 ) -> None:
     """Materialize count/sum/min/max per ``keys`` over ``cols`` of the
-    source set, recording the consumed-file watermark."""
+    source set, recording the consumed-file watermark.
+
+    ``bucket_by`` lays the STATE out co-partitioned (persisted through
+    every refresh) — e.g. an inverted index is exactly an MV with
+    keys=(doc_id, term) bucketed by term: searches prune to their terms'
+    buckets and per-term aggs plan no Exchange, while appends of new
+    documents fold in incrementally like any other view."""
     spark = cat.spark
     files = _source_files(cat, src_db, src_name)
     df = spark.read.parquet(*files)
-    cat.write_set(_state_agg(df, keys, cols), db, view)
+    if transform is not None:
+        df = TRANSFORMS[transform](df)
+    cat.write_set(_state_agg(df, keys, cols), db, view, bucket_by=bucket_by)
     meta = {
         "src": [src_db, src_name],
         "keys": list(keys),
         "cols": list(cols),
+        "bucket_by": [bucket_by[0], list(bucket_by[1])] if bucket_by else None,
+        "transform": transform,
         "consumed": [os.path.basename(f) for f in files],
     }
     with open(_mv_path(cat, db, view), "w") as fh:
@@ -118,22 +141,31 @@ def refresh_view(cat, db: str, view: str) -> str:
         meta = json.load(fh)
     src_db, src_name = meta["src"]
     keys, cols = meta["keys"], meta["cols"]
+    bucket_by = meta.get("bucket_by")
+    if bucket_by:
+        bucket_by = (bucket_by[0], list(bucket_by[1]))
     files = _source_files(cat, src_db, src_name)
     names = [os.path.basename(f) for f in files]
     consumed = set(meta["consumed"])
     if not consumed <= set(names):
         # a consumed file is gone: the source was rewritten, not appended —
         # incremental folding would be wrong; recompute fully
-        create_agg_view(cat, db, view, src_db, src_name, keys, cols)
+        create_agg_view(
+            cat, db, view, src_db, src_name, keys, cols,
+            bucket_by=bucket_by, transform=meta.get("transform"),
+        )
         return "full"
     new = [f for f in files if os.path.basename(f) not in consumed]
     if not new:
         return "noop"
     # fold the delta: ONLY the new files are scanned
-    delta = _state_agg(spark.read.parquet(*new), keys, cols)
+    delta_df = spark.read.parquet(*new)
+    if meta.get("transform"):
+        delta_df = TRANSFORMS[meta["transform"]](delta_df)
+    delta = _state_agg(delta_df, keys, cols)
     state = cat.read_set(db, view)
     folded = _fold(state, delta, keys, cols).localCheckpoint(eager=True)
-    cat.write_set(folded, db, view)
+    cat.write_set(folded, db, view, bucket_by=bucket_by)
     meta["consumed"] = names
     with open(_mv_path(cat, db, view), "w") as fh:
         json.dump(meta, fh)

@@ -113,3 +113,35 @@ def test_delta_scan_touches_only_new_files(spark, tmp_path, monkeypatch):
     ]
     assert delta_calls, "refresh never scanned the new files in isolation"
     assert all(set(c) <= new for c in delta_calls)
+
+
+def test_incremental_inverted_index_via_mv(spark, tmp_path):
+    """Compose the layers: the BM25 inverted index maintained as a
+    term-bucketed MV — append new documents, refresh folds only the new
+    files, search results equal the inline full-corpus query."""
+    from lachesis_spark.llm import search as S
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("docs")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    cat.write_set(old.repartition(2), "docs", "corpus")
+    S.index_documents_incremental(cat, "idx", "docs", "corpus")
+    new.repartition(2).write.mode("append").parquet(cat.set_path("docs", "corpus"))
+    assert S.refresh_index(cat, "idx") == "incremental"
+    via_mv = {
+        (r["doc_id"], r["score"])
+        for r in S.search_incremental_index(cat, "idx", S.BM25_TERMS, k=20).collect()
+    }
+    inline = {
+        (r["doc_id"], r["score"])
+        for r in S.search_bm25_topk(spark, SF_SMOKE).collect()
+    }
+    assert via_mv == inline
+    # the state kept its term bucketing through the refresh
+    from lachesis_spark.catalog import LAYOUT_FILE
+
+    assert os.path.isfile(
+        os.path.join(cat.set_path("idx", "postings_mv"), LAYOUT_FILE)
+    )
