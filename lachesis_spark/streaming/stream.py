@@ -503,6 +503,41 @@ def write_stream_merge(
     )
 
 
+def write_stream_append(
+    events: DataFrame,
+    catalog,
+    db: str,
+    name: str,
+    checkpoint: str,
+) -> None:
+    """Append-only ingestion sink: foreachBatch + plain parquet append into
+    the set's directory.
+
+    The streaming half of the MATERIALIZED-VIEW pattern: the merge sink
+    (:func:`write_stream_merge`) rewrites the set per batch — correct for
+    keyed upserts, but it invalidates an MV's consumed-file watermark so
+    every refresh recomputes fully.  An append sink grows the set file-by
+    -file, which is exactly the delta ``matview.refresh_view`` folds
+    incrementally — stream in, ``refresh_view`` after (or per batch), and
+    the view's cost tracks the batch, not the corpus.  Exactly-once here
+    comes from the checkpointed offsets + idempotent downstream (the MV
+    fold consumes each file once, recorded in its watermark); a replayed
+    batch writes NEW part files, which the checkpoint prevents in the
+    first place."""
+    path = catalog.set_path(db, name)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-microbatch throughput measurement.  The registry stream_* queries
 # replay the whole bounded source in ~one micro-batch, so their bench

@@ -145,3 +145,55 @@ def test_incremental_inverted_index_via_mv(spark, tmp_path):
     assert os.path.isfile(
         os.path.join(cat.set_path("idx", "postings_mv"), LAYOUT_FILE)
     )
+
+
+def test_streaming_append_sink_feeds_incremental_view(spark, tmp_path):
+    """The streaming half of the MV pattern: a parquet stream flows
+    through write_stream_append into a catalog set; refresh_view after
+    each replay folds ONLY the newly landed files (mode 'incremental'),
+    and the view always equals the batch aggregate of everything
+    ingested so far."""
+    import glob
+    import shutil
+
+    from lachesis_spark.streaming.stream import write_stream_append
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cat = Catalog(spark, str(tmp_path / "catroot"))
+    cat.create_database("s")
+    chk = str(tmp_path / "chk")
+
+    def add_file(i, rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = str(tmp_path / f"b{i}")
+        df.coalesce(1).write.parquet(out)
+        f = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.move(f, str(src / f"{i:02d}.parquet"))
+
+    def ingest():
+        stream = spark.readStream.schema("g string, v double").format(
+            "parquet"
+        ).load(str(src))
+        write_stream_append(stream, cat, "s", "feed", chk)
+
+    def view_state():
+        return {
+            r["g"]: (r["mv_count"], round(r["sum_v"], 6))
+            for r in cat.read_set("s", "v").collect()
+        }
+
+    add_file(0, [("a", 1.0), ("b", 2.0)])
+    ingest()
+    MV.create_agg_view(cat, "s", "v", "s", "feed", ["g"], ["v"])
+    assert view_state() == {"a": (1, 1.0), "b": (1, 2.0)}
+
+    add_file(1, [("a", 3.0), ("c", 4.0)])
+    ingest()  # same checkpoint: only the new file lands, appended
+    assert MV.refresh_view(cat, "s", "v") == "incremental"
+    assert view_state() == {"a": (2, 4.0), "b": (1, 2.0), "c": (1, 4.0)}
+
+    add_file(2, [("b", 5.0)])
+    ingest()
+    assert MV.refresh_view(cat, "s", "v") == "incremental"
+    assert view_state() == {"a": (2, 4.0), "b": (2, 7.0), "c": (1, 4.0)}
