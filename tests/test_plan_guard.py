@@ -35,6 +35,7 @@ BNLJ_OK = {
     "ann_bruteforce",       # broadcast 1-row query vector
     "ann_jl_rerank",        # broadcast 1-row query vector (both tiers)
     "win_gapfill",          # bounded grid: broadcast user-slice x span hours
+    "dedup_fuzzy_names",    # broadcast of the (rare, pigeonhole-exempt) short strings
     "dedup_semantic",       # broadcast k centroid rows (k=8, bounded at any SF)
     "sample_dsir",          # 1-row LM-total scalar crossed into <=256 bucket rows
     "tok_bpe_train",        # 1-row selected-merge scalar crossed into the vocab

@@ -501,3 +501,50 @@ def test_cdc_model_idempotent_and_order_free(changes, base):
     once = apply(base, changes)
     twice = apply(once, changes)
     assert once == twice
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=10),
+        min_size=2,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_fuzzy_join_qgram_filter_is_complete(spark, names):
+    """The pigeonhole q-gram candidate filter misses NO pair within the
+    edit-distance threshold — checked against brute force over random
+    strings, including ones below the safe length (the cross-checked
+    short path)."""
+    from lachesis_spark.llm.dedup import FUZZY_D, fuzzy_value_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) <= FUZZY_D
+    }
+    expect = {(min(a, b), max(a, b), d) for a, b, d in expect}
+    values = spark.createDataFrame(
+        [(n, 1) for n in names], "name string, cnt long"
+    )
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_value_pairs(values).collect()
+    }
+    assert got == expect
