@@ -1,0 +1,319 @@
+"""Event-sequence analytics over the ``events`` table.
+
+Product-analytics operators the reference's event workloads imply but never
+ship as first-class queries: ordered funnels (ClickHouse ``windowFunnel``
+semantics), weekly cohort retention, rolling z-score anomaly flags, and a
+Kimball SCD Type-2 dimension build.  All four are pure DataFrame plans —
+window functions + conditional aggregation, zero Python in the hot path.
+
+Scale notes
+-----------
+* ``evt_funnel`` shuffles ONCE on ``user_id``; the three chained step
+  windows share that partitioning (one Exchange, three WindowExec passes
+  over sorted runs), the per-user collapse reuses it, and the final funnel
+  frame is 1 row.  At 100 TB the only cost is the user_id exchange — the
+  same shuffle any sessionization already pays.
+* ``evt_retention`` is window-on-user + distinct + a cohort-week agg whose
+  output is (weeks × offsets)-sized, i.e. tiny; the retention fraction is a
+  window over that tiny frame.
+* ``evt_anomaly`` aggregates to (event_type × hour) first — the rolling
+  stats run over the *bucketed* frame (720 rows/month/type), never raw
+  events.  Mean/variance use explicit sum / sum-of-squares over integer
+  counts so the DuckDB oracle reproduces the doubles bit-for-bit
+  (stddev_samp's internal algorithm differs between engines; this doesn't).
+* ``scd2_build`` is one row_number+lead window partitioned by the entity
+  key — the standard dimension-versioning shuffle, linear in the change
+  stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lachesis_spark.sources.readers import read_events
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# 1. Ordered funnel: view -> click -> purchase within 24 h of the first view.
+#    Earliest-chain semantics: s1 = first view; s2 = first click in
+#    [s1, s1+24h]; s3 = first purchase in [s2, s1+24h].  Depth = furthest
+#    step reached; the report is users-per-step + conversion from step 1.
+def evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    day = F.expr("INTERVAL 24 HOURS")
+
+    df = ev.withColumn(
+        "s1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "s2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("s1"))
+                & (F.col("ts") <= F.col("s1") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "s3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("s2"))
+                & (F.col("ts") <= F.col("s1") + day),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = df.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("s3").isNotNull(), 3)
+            .when(F.col("s2").isNotNull(), 2)
+            .when(F.col("s1").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("depth")
+    )
+    counts = per_user.agg(
+        F.sum((F.col("depth") >= 1).cast("long")).alias("u1"),
+        F.sum((F.col("depth") >= 2).cast("long")).alias("u2"),
+        F.sum((F.col("depth") >= 3).cast("long")).alias("u3"),
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("step"), F.col("u1").alias("n_users")),
+                F.struct(F.lit(2).alias("step"), F.col("u2").alias("n_users")),
+                F.struct(F.lit(3).alias("step"), F.col("u3").alias("n_users")),
+            )
+        ).alias("s"),
+        F.col("u1"),
+    ).select(
+        F.col("s.step").alias("step"),
+        F.col("s.n_users").alias("n_users"),
+        F.round(F.col("s.n_users") / F.col("u1"), 6).alias("conv_from_step1"),
+    )
+
+
+EVT_FUNNEL_SQL = """
+WITH u1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS s1
+  FROM events GROUP BY user_id
+), u2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= u1.s1
+                   AND e.ts <= u1.s1 + INTERVAL 24 HOUR THEN e.ts END) AS s2
+  FROM events e JOIN u1 ON e.user_id = u1.user_id
+  GROUP BY e.user_id
+), u3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= u2.s2
+                   AND e.ts <= u1.s1 + INTERVAL 24 HOUR THEN e.ts END) AS s3
+  FROM events e
+  JOIN u1 ON e.user_id = u1.user_id
+  JOIN u2 ON e.user_id = u2.user_id
+  GROUP BY e.user_id
+), d AS (
+  SELECT u1.user_id,
+         CASE WHEN u3.s3 IS NOT NULL THEN 3
+              WHEN u2.s2 IS NOT NULL THEN 2
+              WHEN u1.s1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+  FROM u1
+  JOIN u2 ON u1.user_id = u2.user_id
+  JOIN u3 ON u1.user_id = u3.user_id
+), c AS (
+  SELECT CAST(sum(CASE WHEN depth >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS u1n,
+         CAST(sum(CASE WHEN depth >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS u2n,
+         CAST(sum(CASE WHEN depth >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS u3n
+  FROM d
+)
+SELECT 1 AS step, u1n AS n_users, round(CAST(u1n AS DOUBLE) / u1n, 6) AS conv_from_step1 FROM c
+UNION ALL
+SELECT 2, u2n, round(CAST(u2n AS DOUBLE) / u1n, 6) FROM c
+UNION ALL
+SELECT 3, u3n, round(CAST(u3n AS DOUBLE) / u1n, 6) FROM c
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Weekly cohort retention: users grouped by the ISO week of their first
+#    event; for each (cohort_week, week_offset) the count of cohort members
+#    active that week and the fraction of the cohort they represent.
+def evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir).select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    ).withColumn("activity_week", F.date_trunc("week", F.col("ts")))
+    per = (
+        df.select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("activity_week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    g = per.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    wc = Window.partitionBy("cohort_week")
+    return g.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(
+            F.col("n_active")
+            / F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc),
+            6,
+        ).alias("retention"),
+    )
+
+
+EVT_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) // 7 AS INTEGER)
+           AS week_offset
+  FROM events e JOIN f ON e.user_id = f.user_id
+), g AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM a GROUP BY cohort_week, week_offset
+)
+SELECT cohort_week, week_offset, n_active,
+       round(CAST(n_active AS DOUBLE)
+             / max(CASE WHEN week_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_week), 6) AS retention
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Rolling z-score anomaly flags on hourly event-type volumes.  The
+#    rolling window is the previous 24 OBSERVED hourly buckets (rows-frame,
+#    full-window only); mean/variance from explicit sum / sum-of-squares so
+#    both engines produce identical IEEE doubles.
+def evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    st = h.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(w).alias("s"),
+        F.count("n").over(w).alias("c"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / 24
+    var = (F.col("sq").cast("double") - 24 * mean * mean) / 23
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        st.withColumn("mean_", mean)
+        .withColumn("var_", var)
+        .withColumn("z_", z)
+        .filter(
+            (F.col("c") == 24) & (F.col("var_") > 1e-12) & (F.abs(F.col("z_")) >= 2)
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            F.round("mean_", 4).alias("mean24"),
+            F.round("z_", 4).alias("zscore"),
+        )
+    )
+
+
+EVT_ANOMALY_SQL = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), wdw AS (
+  SELECT event_type, hour, n,
+         sum(n) OVER w AS s, count(n) OVER w AS c, sum(n * n) OVER w AS sq
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), st AS (
+  SELECT event_type, hour, n, c,
+         CAST(s AS DOUBLE) / 24 AS mean_,
+         (CAST(sq AS DOUBLE)
+          - 24 * (CAST(s AS DOUBLE) / 24) * (CAST(s AS DOUBLE) / 24)) / 23 AS var_
+  FROM wdw
+)
+SELECT event_type, hour, n, round(mean_, 4) AS mean24,
+       round((CAST(n AS DOUBLE) - mean_) / sqrt(var_), 4) AS zscore
+FROM st
+WHERE c = 24 AND var_ > 1e-12
+  AND abs((CAST(n AS DOUBLE) - mean_) / sqrt(var_)) >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. SCD Type-2 dimension build (Kimball): each order is a versioned change
+#    to its customer's "latest order" attributes; validity intervals come
+#    from lead() over the change stream.  Hash-free deterministic subset
+#    (o_custkey % 97 = 0) keeps the emitted dimension bounded while the
+#    window itself runs over the full partition.
+def scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _orders(spark, sf_dir).filter(F.col("o_custkey") % 97 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        F.row_number().over(w).alias("ver"),
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_BUILD_SQL = """
+SELECT o_custkey,
+       CAST(row_number() OVER w AS INTEGER) AS ver,
+       o_orderkey, o_totalprice,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current
+FROM orders
+WHERE o_custkey % 97 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+QUERIES = {
+    "evt_funnel": evt_funnel,
+    "evt_retention": evt_retention,
+    "evt_anomaly": evt_anomaly,
+    "scd2_build": scd2_build,
+}
+
+ORACLE = {
+    "evt_funnel": EVT_FUNNEL_SQL,
+    "evt_retention": EVT_RETENTION_SQL,
+    "evt_anomaly": EVT_ANOMALY_SQL,
+    "scd2_build": SCD2_BUILD_SQL,
+}

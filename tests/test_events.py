@@ -1,0 +1,107 @@
+"""Event-sequence analytics: funnel, retention, anomaly, SCD2."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lachesis_spark.plans.events import (
+    evt_anomaly,
+    evt_funnel,
+    evt_retention,
+    scd2_build,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_funnel_is_monotone(spark):
+    rows = {r["step"]: r for r in evt_funnel(spark, SF_SMOKE).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["conv_from_step1"] == 1.0
+
+
+def test_funnel_chain_respects_order(spark):
+    # A user whose only purchase precedes every view must not reach step 3.
+    ev = spark.createDataFrame(
+        [
+            (1, "purchase", "2024-01-01 00:00:00"),
+            (1, "view", "2024-01-01 01:00:00"),
+            (1, "click", "2024-01-01 02:00:00"),
+        ],
+        "user_id long, event_type string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+    import lachesis_spark.plans.events as mod
+
+    orig = mod.read_events
+    mod.read_events = lambda s, d: ev
+    try:
+        rows = {r["step"]: r["n_users"] for r in evt_funnel(spark, "ignored").collect()}
+    finally:
+        mod.read_events = orig
+    assert rows == {1: 1, 2: 1, 3: 0}
+
+
+def test_retention_offset_zero_is_full_cohort(spark):
+    rows = evt_retention(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+        assert 0.0 <= r["retention"] <= 1.0
+        assert r["week_offset"] >= 0
+
+
+def test_funnel_single_user_shuffle(spark):
+    # The three chained step windows must share ONE user_id exchange.
+    plan = evt_funnel(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_exchanges == 1, plan
+
+
+def test_anomaly_flags_planted_spike(spark):
+    # 30 days alternating 1/2 events per hour (nonzero variance), then one
+    # 100-event hour.
+    hours = spark.range(24 * 30)
+    base = hours.unionByName(hours.filter(F.col("id") % 2 == 0)).select(
+        F.lit("click").alias("event_type"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.expr("make_interval(0,0,0,0,CAST(id AS INT),0,0)")).alias("ts"),
+        F.lit(7).alias("user_id").cast("long"),
+    )
+    spike_hour = "2024-01-30 23:00:00"
+    spike = (
+        spark.range(100)
+        .select(
+            F.lit("click").alias("event_type"),
+            (F.to_timestamp(F.lit(spike_hour)) + F.expr("make_interval(0,0,0,0,0,0,CAST(id AS INT))")).alias("ts"),
+            F.lit(7).alias("user_id").cast("long"),
+        )
+    )
+    ev = base.unionByName(spike)
+    import lachesis_spark.plans.events as mod
+
+    orig = mod.read_events
+    mod.read_events = lambda s, d: ev
+    try:
+        rows = evt_anomaly(spark, "ignored").collect()
+    finally:
+        mod.read_events = orig
+    flagged = {r["hour"].strftime("%Y-%m-%d %H:%M:%S"): r for r in rows}
+    assert spike_hour in flagged
+    assert flagged[spike_hour]["zscore"] > 2
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    rows = scd2_build(spark, SF_SMOKE).collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["o_custkey"], []).append(r)
+    for key, vers in by_key.items():
+        vers.sort(key=lambda r: r["ver"])
+        assert [r["ver"] for r in vers] == list(range(1, len(vers) + 1))
+        # exactly one current version, intervals chain contiguously
+        assert sum(r["is_current"] for r in vers) == 1
+        assert vers[-1]["is_current"] and vers[-1]["valid_to"] is None
+        for a, b in zip(vers, vers[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
