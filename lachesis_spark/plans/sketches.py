@@ -1,0 +1,235 @@
+"""Deterministic mergeable sketches: HyperLogLog and Count-Min.
+
+``op_approx_sketches`` covers Spark's built-in approx aggregates
+(HLL++ / quantile) but is rows-only: sketch internals aren't comparable
+across engines.  These two queries close that gap by building the sketches
+FROM SCRATCH out of cross-engine-deterministic md5 hashes
+(:mod:`lachesis_spark.functions.hashing`), so every register / counter —
+and therefore the estimate itself — is reproduced bit-for-bit by the DuckDB
+oracle.  The estimates are then compared against exact counts in the same
+plan, making the error measurable, not just trusted.
+
+Scale notes
+-----------
+* ``sketch_hll`` (p=9, m=512 registers): registers are
+  ``groupBy(bucket).max(rho)`` — Spark's partial aggregation IS the HLL
+  merge, so a 1000-executor pass ships 512 rows per task, never values.
+  The exact-count branch (for the error column) is the only
+  value-distinct shuffle and exists purely for verification.
+* ``sketch_cms`` (d=4 rows × w=256 buckets): the sketch is a
+  4×-amplified token stream folded to 1024 cells by partial agg; heavy-
+  hitter estimates then touch only (candidates × 4) cells.  On 100 TB the
+  sketch build is one map-side-combined pass; nothing value-sized
+  shuffles except the exact side kept for error measurement.
+
+HLL per Flajolet et al. 2007 (the same algorithm behind Spark's
+``approx_count_distinct``); CMS per Cormode & Muthukrishnan 2005.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions.hashing import h60, h60_seeded, sql_h60, sql_h60_seeded
+from lachesis_spark.functions.text import tokens
+
+M_HLL = 512          # registers (p = 9)
+W_BITS = 51          # value bits left after the bucket index (60 - 9)
+CMS_D = 4            # hash rows
+CMS_W = 256          # buckets per row
+CMS_TOPK = 20
+
+
+# ---------------------------------------------------------------------------
+# 1. HyperLogLog distinct-count of orders.o_custkey, registers + estimate
+#    reproduced exactly by the oracle, error vs exact in the same row.
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    v = orders.select(F.col("o_custkey").cast("string").alias("v"))
+    h = h60("v")
+    # 60-bit value: bucket/value split MUST stay integral (a double division
+    # would drop bits past 2^53), so shift/mask instead of divide.
+    hashed = v.select(
+        h.bitwiseAND(F.lit(M_HLL - 1)).alias("bucket"),
+        F.shiftright(h, 9).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, W_BITS + 1).otherwise(
+        W_BITS + 1 - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    stats = regs.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_inv_used"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / M_HLL)
+    zeros = M_HLL - F.col("n_used")
+    sum_inv = F.col("sum_inv_used") + zeros.cast("double")
+    e_raw = F.lit(alpha * M_HLL * M_HLL) / sum_inv
+    est = F.when(
+        (e_raw <= 2.5 * M_HLL) & (zeros > 0),
+        F.lit(float(M_HLL)) * F.log(F.lit(float(M_HLL)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = v.agg(F.countDistinct("v").alias("exact"))
+    return (
+        stats.crossJoin(exact)
+        .select(
+            F.col("n_used").cast("long").alias("n_registers_used"),
+            zeros.cast("long").alias("n_registers_zero"),
+            F.round(est, 4).alias("hll_estimate"),
+            F.col("exact").alias("exact_distinct"),
+            F.round(F.abs(est - F.col("exact")) / F.col("exact"), 6).alias("rel_err"),
+        )
+    )
+
+
+SKETCH_HLL_SQL = f"""
+WITH v AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS v FROM orders
+), hashed AS (
+  SELECT {sql_h60("v")} % {M_HLL} AS bucket,
+         {sql_h60("v")} // {M_HLL} AS w
+  FROM v
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN w = 0 THEN {W_BITS + 1}
+                  ELSE {W_BITS + 1} - length(bin(w)) END) AS r
+  FROM hashed GROUP BY bucket
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         sum(power(2.0, -r)) AS sum_inv_used
+  FROM regs
+), ex AS (
+  SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact FROM v
+), calc AS (
+  SELECT n_used, {M_HLL} - n_used AS zeros,
+         (0.7213 / (1.0 + 1.079 / {M_HLL})) * {M_HLL} * {M_HLL}
+           / (sum_inv_used + CAST({M_HLL} - n_used AS DOUBLE)) AS e_raw,
+         exact
+  FROM stats, ex
+), est AS (
+  SELECT n_used, zeros, exact,
+         CASE WHEN e_raw <= 2.5 * {M_HLL} AND zeros > 0
+              THEN CAST({M_HLL} AS DOUBLE)
+                   * ln(CAST({M_HLL} AS DOUBLE) / CAST(zeros AS DOUBLE))
+              ELSE e_raw END AS e
+  FROM calc
+)
+SELECT n_used AS n_registers_used,
+       CAST(zeros AS BIGINT) AS n_registers_zero,
+       round(e, 4) AS hll_estimate,
+       exact AS exact_distinct,
+       round(abs(e - exact) / exact, 6) AS rel_err
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Count-Min heavy hitters on the document token stream: build the 4×256
+#    counter grid, then report estimate vs exact for the exact top-20 words
+#    (overcount = est - exact >= 0 by construction — test-locked).
+def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("tok")
+    )
+
+
+def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _token_stream(spark, sf_dir)
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("row_id"),
+                        (h60_seeded("tok", s) % CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket")
+    sketch = cells.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), F.col("tok").asc()).limit(CMS_TOPK)
+
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("row_id"),
+                        (h60_seeded("tok", s) % CMS_W).alias("bucket"),
+                    )
+                    for s in range(CMS_D)
+                ]
+            )
+        ).alias("c"),
+    ).select("tok", "exact_n", "c.row_id", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+def _cms_cells_sql(src: str) -> str:
+    parts = [
+        f"SELECT tok, {s} AS row_id, {sql_h60_seeded('tok', s)} % {CMS_W} AS bucket FROM {src}"
+        for s in range(CMS_D)
+    ]
+    return " UNION ALL ".join(parts)
+
+
+SKETCH_CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+  FROM documents
+), cells AS (
+  {_cms_cells_sql("toks")}
+), sketch AS (
+  SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row_id, bucket
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY tok
+), top AS (
+  SELECT tok, exact_n FROM exact
+  ORDER BY exact_n DESC, tok ASC LIMIT {CMS_TOPK}
+), probes AS (
+  {_cms_cells_sql("top")}
+)
+SELECT p.tok, t.exact_n, min(s.cnt) AS cms_estimate,
+       min(s.cnt) - t.exact_n AS overcount
+FROM probes p
+JOIN top t ON p.tok = t.tok
+JOIN sketch s ON p.row_id = s.row_id AND p.bucket = s.bucket
+GROUP BY p.tok, t.exact_n
+"""
+
+
+QUERIES = {
+    "sketch_hll": sketch_hll,
+    "sketch_cms": sketch_cms,
+}
+
+ORACLE = {
+    "sketch_hll": SKETCH_HLL_SQL,
+    "sketch_cms": SKETCH_CMS_SQL,
+}

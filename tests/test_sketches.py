@@ -1,0 +1,55 @@
+"""Deterministic HLL / Count-Min sketches."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lachesis_spark.functions.hashing import h60
+from lachesis_spark.plans.sketches import M_HLL, sketch_cms, sketch_hll
+from tests.conftest import SF_CHECK, SF_SMOKE
+
+
+def test_hll_error_within_theory(spark):
+    # sigma ~ 1.04/sqrt(512) = 4.6%; 3-sigma bound.
+    row = sketch_hll(spark, SF_CHECK).collect()[0]
+    assert row["rel_err"] <= 3 * 1.04 / (M_HLL ** 0.5)
+    assert row["n_registers_used"] + row["n_registers_zero"] == M_HLL
+
+
+def test_hll_registers_merge_across_sources(spark):
+    # Max-merging per-group registers == registers of the union: the
+    # property that makes the sketch distributable (partial agg = merge).
+    orders = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    v = orders.select(
+        F.col("o_custkey").cast("string").alias("v"),
+        (F.col("o_orderkey") % 7).alias("src"),
+    )
+    h = h60("v")
+    hashed = v.select(
+        "src",
+        h.bitwiseAND(F.lit(M_HLL - 1)).alias("bucket"),
+        F.shiftright(h, 9).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 52).otherwise(52 - F.length(F.bin(F.col("w"))))
+    per_src = (
+        hashed.select("src", "bucket", rho.alias("rho"))
+        .groupBy("src", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = per_src.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_cms_never_undercounts(spark):
+    rows = sketch_cms(spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["cms_estimate"] >= r["exact_n"]
