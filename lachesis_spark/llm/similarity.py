@@ -707,3 +707,117 @@ ANN_JL_RERANK_SQL = (
 
 QUERIES["ann_jl_rerank"] = ann_jl_rerank
 ORACLE["ann_jl_rerank"] = ANN_JL_RERANK_SQL
+
+
+# ---------------------------------------------------------------------------
+# 8. Scalar-quantized (SQ8) ANN: per-dimension int8 codes, asymmetric
+#    distance (full-precision query vs decoded corpus), exact re-score of
+#    the short-list.  The memory-compression tier of the ANN family
+#    (Faiss's SQ8): 4x smaller vectors than float32, 8x than double, so a
+#    100 TB float corpus fits the same executors at 25 TB, and the
+#    per-dimension codebook is a d-row broadcast — no training, no
+#    codebook shuffle.  Quantization arithmetic is pure doubles, so the
+#    oracle reproduces every code and estimate bit-for-bit; the emitted
+#    rows carry estimate vs exact per hit, making the quantization error
+#    measurable in-plan.
+SQ8_LEVELS = 255
+
+
+def ann_sq8(spark, sf_dir, query_id: int = QUERY_VEC_ID, k: int = TOP_K):
+    emb = _emb(spark, sf_dir)
+    coo = emb.select(
+        "vec_id", F.posexplode(V.to_double_array("embedding")).alias("j0", "v")
+    ).select("vec_id", (F.col("j0") + 1).alias("j"), "v")
+
+    stats = coo.groupBy("j").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = coo.filter(F.col("vec_id") == query_id).select("j", F.col("v").alias("qv"))
+    qn = q.agg(F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("qn"))
+
+    code = F.round(
+        (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")) * SQ8_LEVELS
+    )
+    vhat = F.when(
+        F.col("hi") > F.col("lo"),
+        F.col("lo") + code / float(SQ8_LEVELS) * (F.col("hi") - F.col("lo")),
+    ).otherwise(F.col("lo"))
+
+    dec = (
+        coo.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(stats), "j")
+        .withColumn("vhat", vhat)
+    )
+    scored = (
+        dec.join(F.broadcast(q), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("vhat") * F.col("qv")).alias("dp"),
+            F.sqrt(F.sum(F.col("vhat") * F.col("vhat"))).alias("cn"),
+        )
+    )
+    topk = (
+        scored.crossJoin(F.broadcast(qn))
+        .select("vec_id", (F.col("dp") / (F.col("cn") * F.col("qn"))).alias("cos_sq8"))
+        .orderBy(F.col("cos_sq8").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+    exact = (
+        coo.join(F.broadcast(topk), "vec_id")
+        .join(F.broadcast(q), "j")
+        .groupBy("vec_id", "cos_sq8")
+        .agg(
+            F.sum(F.col("v") * F.col("qv")).alias("dp"),
+            F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("cn"),
+        )
+    )
+    return (
+        exact.crossJoin(F.broadcast(qn))
+        .select(
+            "vec_id",
+            F.round(F.col("dp") / (F.col("cn") * F.col("qn")), 6).alias("cos_exact"),
+            F.round("cos_sq8", 6).alias("cos_sq8"),
+            F.round(
+                F.abs(F.col("cos_sq8") - F.col("dp") / (F.col("cn") * F.col("qn"))), 6
+            ).alias("sq8_err"),
+        )
+    )
+
+
+ANN_SQ8_SQL = (
+    """
+WITH coo AS ({_COO}),
+st AS (SELECT j, min(v) AS lo, max(v) AS hi FROM coo GROUP BY j),
+q AS (SELECT j, v AS qv FROM coo WHERE vec_id = {QID}),
+qn AS (SELECT sqrt(sum(qv * qv)) AS n FROM q),
+dec AS (
+  SELECT c.vec_id, c.j,
+         CASE WHEN s.hi > s.lo
+              THEN s.lo + round((c.v - s.lo) / (s.hi - s.lo) * 255) / 255.0
+                     * (s.hi - s.lo)
+              ELSE s.lo END AS vhat
+  FROM coo c JOIN st s ON c.j = s.j
+  WHERE c.vec_id <> {QID}
+), sq AS (
+  SELECT d.vec_id, sum(d.vhat * q.qv) AS dp, sqrt(sum(d.vhat * d.vhat)) AS cn
+  FROM dec d JOIN q ON d.j = q.j GROUP BY d.vec_id
+), topk AS (
+  SELECT vec_id, dp / (cn * (SELECT n FROM qn)) AS cos_sq8
+  FROM sq ORDER BY cos_sq8 DESC, vec_id ASC LIMIT {K}
+), ex AS (
+  SELECT c.vec_id, sum(c.v * q.qv) AS dp, sqrt(sum(c.v * c.v)) AS cn
+  FROM coo c JOIN q ON c.j = q.j
+  WHERE c.vec_id IN (SELECT vec_id FROM topk)
+  GROUP BY c.vec_id
+)
+SELECT t.vec_id,
+       round(e.dp / (e.cn * (SELECT n FROM qn)), 6) AS cos_exact,
+       round(t.cos_sq8, 6) AS cos_sq8,
+       round(abs(t.cos_sq8 - e.dp / (e.cn * (SELECT n FROM qn))), 6) AS sq8_err
+FROM topk t JOIN ex e ON t.vec_id = e.vec_id
+"""
+    .replace("{_COO}", _SQL_COO)
+    .replace("{QID}", str(QUERY_VEC_ID))
+    .replace("{K}", str(TOP_K))
+)
+
+QUERIES["ann_sq8"] = ann_sq8
+ORACLE["ann_sq8"] = ANN_SQ8_SQL

@@ -46,3 +46,16 @@ def test_jl_rerank_recall_vs_exact(spark):
     assert len(hit) >= 6, (sorted(exact), sorted(jl))
     for v in hit:
         assert abs(exact[v] - jl[v]) < 1e-12
+
+
+def test_sq8_error_small_and_recall_high(spark):
+    """SQ8 with 255 levels on 64 dims: per-hit cosine estimate within 0.05
+    of exact, and the quantized top-10 recovers most of the exact top-10."""
+    rows = S.ann_sq8(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["sq8_err"] <= 0.05, r
+        assert r["cos_exact"] == round(r["cos_exact"], 6)
+    exact = {r["vec_id"] for r in S.ann_bruteforce(spark, SF_SMOKE).collect()}
+    got = {r["vec_id"] for r in rows}
+    assert len(exact & got) >= 7, (sorted(exact), sorted(got))
