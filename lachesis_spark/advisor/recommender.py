@@ -464,3 +464,82 @@ def recommend_layout(
     if rec is None:
         return None
     return LayoutRecommendation(dataset, "bucket_by", rec.key_cols, rec.weight)
+
+
+@dataclass(frozen=True)
+class JoinStrategyRecommendation:
+    """Pick the physical join strategy for (left ⋈ right on key_cols) from
+    RECORDED statistics instead of engine defaults: Spark's
+    autoBroadcastJoinThreshold sees only logical-plan size estimates (often
+    unknown behind a Python DataSource or fresh write), while the history
+    DB has the measured on-disk bytes and key NDV from past runs.
+
+    strategy ∈ 'broadcast_left' | 'broadcast_right' | 'bucket_both' |
+    'shuffle'.  Apply broadcast_* with :func:`apply_join_strategy`;
+    bucket_both via ``Catalog.write_set(bucket_by=...)`` on both sides
+    (the advisor's layout apply path) so the join plans no Exchange.
+    """
+
+    left: str
+    right: str
+    key_cols: tuple[str, ...]
+    strategy: str
+    reason: str
+
+
+def recommend_join_strategy(
+    history: HistoryDB,
+    left: str,
+    right: str,
+    key_cols: Sequence[str],
+    broadcast_threshold_bytes: int = 32 << 20,
+    n_buckets: int = 32,
+) -> JoinStrategyRecommendation:
+    """Measured-bytes broadcast rule, then co-partitioning, then shuffle.
+
+    - either side's latest recorded scan bytes under the threshold →
+      broadcast that side (prefer the smaller);
+    - both sides large with a recorded profile of this key on each and NDV
+      ≥ n_buckets on both (buckets would actually spread) → bucket both on
+      the key for a persistent exchange-free local join;
+    - otherwise plain shuffle join (and AQE takes it from there).
+    """
+    key = tuple(sorted(key_cols))
+    lp, rp = history.scan_profile(left), history.scan_profile(right)
+    lb = lp[1] if lp else None
+    rb = rp[1] if rp else None
+    sides = [(b, s, ds) for b, s, ds in ((lb, "broadcast_left", left), (rb, "broadcast_right", right)) if b is not None]
+    small = min(sides, key=lambda t: t[0], default=None)
+    if small is not None and small[0] <= broadcast_threshold_bytes:
+        return JoinStrategyRecommendation(
+            left, right, key, small[1],
+            f"{small[2]} measured at {small[0]} bytes <= {broadcast_threshold_bytes}",
+        )
+
+    def prof(ds):
+        for st in history.key_profiles(ds):
+            if tuple(sorted(st.key_cols)) == key:
+                return st
+        return None
+
+    lk, rk = prof(left), prof(right)
+    if lk and rk and min(lk.n_distinct, rk.n_distinct) >= n_buckets:
+        return JoinStrategyRecommendation(
+            left, right, key, "bucket_both",
+            f"both sides large; key NDV {lk.n_distinct}/{rk.n_distinct} >= {n_buckets} buckets",
+        )
+    return JoinStrategyRecommendation(
+        left, right, key, "shuffle", "no side broadcastable; co-partitioning not justified"
+    )
+
+
+def apply_join_strategy(left_df, right_df, on, rec: JoinStrategyRecommendation):
+    """Query-time application of a broadcast recommendation (bucket_both is
+    a STORAGE decision — apply it through the layout rewrite path)."""
+    from pyspark.sql import functions as F
+
+    if rec.strategy == "broadcast_left":
+        left_df = F.broadcast(left_df)
+    elif rec.strategy == "broadcast_right":
+        right_df = F.broadcast(right_df)
+    return left_df.join(right_df, on=on, how="inner")

@@ -1,0 +1,89 @@
+"""ANALYZE-style table profiling — the statistics a cost-based placement
+or join-strategy decision consumes.
+
+``profile_table`` computes, in ONE scan of the source, per-column:
+row count, null count, exact distinct count, numeric min/max.  Multiple
+``count(DISTINCT ...)`` aggregates in one Aggregate make Catalyst plan a
+single pass with an Expand (one input row fans to one row per distinct
+aggregate) — the same shape Spark's own ``ANALYZE TABLE ... COMPUTE
+STATISTICS FOR COLUMNS`` uses, and the distributed analog of the
+reference's per-set statistics collection.
+
+Scale: the Expand multiplies the scanned rows by the number of profiled
+columns before the partial aggregation absorbs them — still one scan and
+one shuffle of (column × value-partials), no driver collect.  Profile 100
+columns of a 100 TB table in column batches if the Expand factor matters;
+each batch remains a single pass.
+
+The profile feeds :func:`lachesis_spark.advisor.recommender.
+recommend_join_strategy` via ``HistoryDB.record_job(key_stats=...)`` —
+NDV + table bytes decide broadcast vs bucket vs plain shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PROFILE_COLS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderkey",
+]
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column stats in one scan: (col, n_rows, n_nulls, n_distinct,
+    min_num, max_num).  Non-numeric columns get NULL min/max (TRY_CAST)."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"{c}__mn"),
+            F.max(F.expr(f"try_cast({c} AS DOUBLE)")).alias(f"{c}__mx"),
+        ]
+    one = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("__n").alias("n_rows"),
+            (F.col("__n") - F.col(f"{c}__nn")).alias("n_nulls"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            F.col(f"{c}__mn").alias("min_num"),
+            F.col(f"{c}__mx").alias("max_num"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return profile_table(orders, PROFILE_COLS)
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+  SELECT '{c}' AS col,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+         min(TRY_CAST({c} AS DOUBLE)) AS min_num,
+         max(TRY_CAST({c} AS DOUBLE)) AS max_num
+  FROM {table}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+STATS_PROFILE_SQL = _profile_sql("orders", PROFILE_COLS)
+
+
+QUERIES = {"stats_profile": stats_profile}
+ORACLE = {"stats_profile": STATS_PROFILE_SQL}

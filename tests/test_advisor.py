@@ -798,3 +798,78 @@ def test_zorder_rewrite_also_records_zonemap(spark, tmp_path):
     pruned = cat.read_set_pruned("db", "ev", "user_id", 0, 5)
     expect = ev.filter(F.col("user_id").between(0, 5)).count()
     assert pruned.count() == expect
+
+
+def test_join_strategy_broadcasts_measured_small_side(spark):
+    from lachesis_spark.advisor.history import HistoryDB, KeyStat, ScanStat
+    from lachesis_spark.advisor.recommender import (
+        apply_join_strategy,
+        recommend_join_strategy,
+    )
+
+    h = HistoryDB(":memory:")
+    h.record_job(
+        "load",
+        1.0,
+        [],
+        scans=[ScanStat("db.fact", 400, 40 << 30), ScanStat("db.dim", 2, 4 << 20)],
+    )
+    rec = recommend_join_strategy(h, "db.fact", "db.dim", ("k",))
+    assert rec.strategy == "broadcast_right", rec
+
+    left = spark.range(1000).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = apply_join_strategy(left, right, "k", rec)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_join_strategy_buckets_two_large_sides():
+    from lachesis_spark.advisor.history import HistoryDB, KeyStat, ScanStat
+    from lachesis_spark.advisor.recommender import recommend_join_strategy
+
+    h = HistoryDB(":memory:")
+    h.record_job(
+        "load",
+        1.0,
+        [],
+        scans=[ScanStat("db.a", 400, 40 << 30), ScanStat("db.b", 300, 30 << 30)],
+        key_stats=[
+            KeyStat("db.a", ("k",), 10**9, 50_000, 100),
+            KeyStat("db.b", ("k",), 10**8, 40_000, 50),
+        ],
+    )
+    rec = recommend_join_strategy(h, "db.a", "db.b", ("k",))
+    assert rec.strategy == "bucket_both", rec
+    # low-NDV key cannot fill the buckets -> plain shuffle
+    h2 = HistoryDB(":memory:")
+    h2.record_job(
+        "load",
+        1.0,
+        [],
+        scans=[ScanStat("db.a", 400, 40 << 30), ScanStat("db.b", 300, 30 << 30)],
+        key_stats=[
+            KeyStat("db.a", ("k",), 10**9, 5, 100),
+            KeyStat("db.b", ("k",), 10**8, 5, 50),
+        ],
+    )
+    assert recommend_join_strategy(h2, "db.a", "db.b", ("k",)).strategy == "shuffle"
+
+
+def test_profile_table_matches_hand_stats(spark):
+    from lachesis_spark.plans.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "a", None), (3, None, 0.5), (3, "b", 0.5)],
+        "k long, s string, x double",
+    )
+    rows = {r["col"]: r for r in profile_table(df, ["k", "s", "x"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_distinct"] == 3
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 3.0
+    assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
+    assert rows["s"]["min_num"] is None  # non-numeric column
+    assert rows["x"]["n_nulls"] == 1 and rows["x"]["min_num"] == 0.5
