@@ -8,14 +8,14 @@ without an ORACLE entry and get the driver's rows-only check.
 from __future__ import annotations
 
 from lachesis_spark.llm import dedup, multimodal, sampling, scrub, search, similarity, textstats, training
-from lachesis_spark.plans import events, graph_algos, iterative, la, la_dsl, matview, ops_queries, profile, reddit, sketches, tpch
+from lachesis_spark.plans import events, graph_algos, itemsets, iterative, la, la_dsl, matview, ops_queries, profile, reddit, sketches, tpch
 from lachesis_spark.sources import lachesis_source
 from lachesis_spark.streaming import stream, windows
 
 QUERIES: dict = {}
 ORACLE: dict = {}
 
-for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search, graph_algos, matview, events, sketches, profile):
+for _mod in (tpch, ops_queries, la, dedup, similarity, textstats, windows, stream, iterative, reddit, multimodal, la_dsl, sampling, scrub, lachesis_source, training, search, graph_algos, matview, events, sketches, profile, itemsets):
     QUERIES.update(_mod.QUERIES)
     ORACLE.update(_mod.ORACLE)
 
