@@ -224,12 +224,135 @@ GROUP BY p.tok, t.exact_n
 """
 
 
+# ---------------------------------------------------------------------------
+# 3. Mergeable histogram quantile sketch: p50/p90/p99 of
+#    lineitem.l_extendedprice from a fixed-B equi-width histogram, with the
+#    exact percentiles and absolute errors in the same row.
+#
+#    Two phases, both trivially distributed:
+#      phase 1: global min/max — a column-pruned agg (at 100 TB this is
+#               answered from parquet footer statistics for most files;
+#               Spark pushes Min/Max partial aggs map-side regardless);
+#      phase 2: bin counts — groupBy(bin).count(), where partial
+#               aggregation IS the sketch merge: every executor ships ≤ B
+#               rows, never values.  Quantiles then interpolate inside the
+#               target bin from B cumulative counts on the driver-sized
+#               frame.
+#
+#    Bin assignment uses only IEEE-exact ops (subtract, divide, floor), so
+#    DuckDB reproduces every bin — and therefore the estimate — exactly.
+#    B = 4096 gives ≤ (max-min)/4096 absolute error per estimate; the
+#    error columns make the bound observable rather than trusted.
+Q_BINS = 4096
+Q_PROBES = (0.5, 0.9, 0.99)
+
+
+def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    x = li.select(F.col("l_extendedprice").alias("x"))
+    mm = x.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = x.join(F.broadcast(mm)).select(
+        F.least(
+            F.lit(Q_BINS - 1),
+            F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / Q_BINS)),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # cumulative counts over ≤ B rows — window over a sketch-sized frame
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum"), F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n")
+    )
+    probes = spark.createDataFrame([(p,) for p in Q_PROBES], "p double")
+    # first bin whose cumulative count reaches rank = p * n
+    est = (
+        cum.join(F.broadcast(probes))
+        .filter(F.col("cum") >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+        .join(F.broadcast(mm))
+        .select(
+            "p",
+            F.round(
+                F.col("lo") + (F.col("qbin") + F.lit(0.5)) * ((F.col("hi") - F.col("lo")) / Q_BINS),
+                6,
+            ).alias("estimate"),
+        )
+    )
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {p})").alias(f"e{i}")
+            for i, p in enumerate(Q_PROBES)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("p"), F.col(f"e{i}").alias("exact"))
+                    for i, p in enumerate(Q_PROBES)
+                ]
+            )
+        ).alias("s")
+    ).select("s.p", F.round("s.exact", 6).alias("exact"))
+    return (
+        est.join(exact, "p")
+        .select("p", "estimate", "exact", F.round(F.abs(F.col("estimate") - F.col("exact")), 6).alias("abs_err"))
+        .orderBy("p")
+    )
+
+
+SKETCH_QUANTILE_SQL = f"""
+WITH x AS (
+  SELECT l_extendedprice AS x FROM lineitem
+), mm AS (
+  SELECT min(x) AS lo, max(x) AS hi FROM x
+), binned AS (
+  SELECT least({Q_BINS - 1},
+               CAST(floor((x.x - mm.lo) / ((mm.hi - mm.lo) / {Q_BINS})) AS BIGINT)) AS bin
+  FROM x, mm
+), hist AS (
+  SELECT bin, count(*)::BIGINT AS cnt FROM binned GROUP BY bin
+), cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin) AS cum,
+         sum(cnt) OVER () AS n
+  FROM hist
+), probes AS (
+  SELECT unnest([{", ".join(str(p) for p in Q_PROBES)}]) AS p
+), est AS (
+  SELECT p.p, min(c.bin) AS qbin
+  FROM cum c JOIN probes p ON c.cum >= p.p * c.n
+  GROUP BY p.p
+), ex AS (
+  SELECT p.p,
+         CASE p.p {"".join(f"WHEN {p} THEN quantile_cont(x.x, {p}) " for p in Q_PROBES)}END AS exact
+  FROM x, probes p GROUP BY p.p
+)
+SELECT p, estimate, exact, round(abs(estimate - exact), 6) AS abs_err
+FROM (
+  SELECT e.p,
+         round(mm.lo + (e.qbin + 0.5) * ((mm.hi - mm.lo) / {Q_BINS}), 6) AS estimate,
+         round(ex.exact, 6) AS exact
+  FROM est e JOIN ex ON e.p = ex.p, mm
+)
+ORDER BY p
+"""
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
     "sketch_cms": sketch_cms,
+    "sketch_quantile": sketch_quantile,
 }
 
 ORACLE = {
     "sketch_hll": SKETCH_HLL_SQL,
     "sketch_cms": SKETCH_CMS_SQL,
+    "sketch_quantile": SKETCH_QUANTILE_SQL,
 }

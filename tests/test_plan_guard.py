@@ -34,6 +34,7 @@ BNLJ_OK = {
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector
     "ann_jl_rerank",        # broadcast 1-row query vector (both tiers)
+    "ann_sq8",              # broadcast 1-row query-norm scalar (both tiers)
     "win_gapfill",          # bounded grid: broadcast user-slice x span hours
     "dedup_fuzzy_names",    # broadcast of the (rare, pigeonhole-exempt) short strings
     "dedup_semantic",       # broadcast k centroid rows (k=8, bounded at any SF)
@@ -47,6 +48,7 @@ BNLJ_OK = {
     # test-scale configuration — production composes the LSH prefilter
     # (see llm/dedup.py scale notes)
     "dedup_embedding_cosine",
+    "sketch_quantile",      # 1-row min/max scalar + 3-row probe literal crosses
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)
