@@ -484,14 +484,104 @@ def _kcore_oracle_sql(depth: int = KCORE_ORACLE_DEPTH) -> str:
 GRAPH_KCORE_SQL = _kcore_oracle_sql()
 
 
+# ---------------------------------------------------------------------------
+# single-source shortest paths (BFS hop distance)
+SSSP_ORACLE_DEPTH = 32  # oracle recursion bound; > observed eccentricity at
+#                         every sweep SF — a deeper BFS level would surface
+#                         as rows the oracle lacks (hash mismatch), never
+#                         pass silently.  The Spark side is depth-independent.
+
+
+def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
+    """Hop distances from ``src`` by frontier BFS — the convergence-checked
+    production loop (same shape as ``kcore_layers``): per level, one
+    co-partitioned frontier⋈edges join expands the frontier, one anti-join
+    against the visited set removes known nodes; exit when a level adds
+    nothing.  Level count = the source's eccentricity (small-world graphs:
+    O(log n)); the per-level join is frontier-sized, never graph-sized, and
+    both frames are explicitly repartitioned on their key — the session
+    shuffle conf is never touched.  Unreachable nodes are absent (standard
+    BFS contract)."""
+    spark = und.sparkSession
+    e = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_parts, "u")
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        spark.createDataFrame([(src, 0)], "node long, dist long")
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    level = 0
+    while True:
+        level += 1
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("u")), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(level).cast("long").alias("dist"))
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:  # one bounded action per level — the exit check
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist
+
+
+def graph_sssp(spark, sf_dir):
+    """BFS level profile from the minimum node id of the events graph:
+    per-distance node count + id extrema.  The full (node, dist) frame
+    stays engine-side; only the eccentricity-sized histogram is returned
+    (what a reachability dashboard actually renders), so result size is
+    O(diameter) at any corpus scale."""
+    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    src = und.agg(F.min("a")).collect()[0][0]  # deterministic, 1-value collect
+    d = sssp_hops(und, int(src))
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )
+
+
+GRAPH_SSSP_SQL = f"""
+WITH RECURSIVE
+{_SQL_EDGES.strip().rstrip()},
+e AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+),
+walk(node, dist) AS (
+  SELECT (SELECT min(a) FROM und), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.v, w.dist + 1 FROM e JOIN walk w ON e.u = w.node
+  WHERE w.dist < {SSSP_ORACLE_DEPTH}
+)
+SELECT dist, count(*)::BIGINT AS n_nodes, min(node) AS min_node, max(node) AS max_node
+FROM (SELECT node, min(dist) AS dist FROM walk GROUP BY node)
+GROUP BY dist ORDER BY dist
+"""
+
+
 QUERIES = {
     "graph_triangles": graph_triangles,
     "graph_common_neighbors": graph_common_neighbors,
     "graph_kcore": graph_kcore,
+    "graph_sssp": graph_sssp,
 }
 
 ORACLE = {
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "graph_common_neighbors": GRAPH_COMMON_NEIGHBORS_SQL,
     "graph_kcore": GRAPH_KCORE_SQL,
+    "graph_sssp": GRAPH_SSSP_SQL,
 }

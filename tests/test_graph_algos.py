@@ -147,3 +147,34 @@ def test_dense_and_sparse_regimes_agree(spark, monkeypatch):
         for r in G.common_neighbor_pairs(und, k=50).collect()
     ]
     assert dense == sparse
+
+
+def test_sssp_levels_contiguous_and_rooted(spark):
+    from lachesis_spark.plans.graph_algos import graph_sssp, undirected_edges
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    df = graph_sssp(spark, sf).toPandas()
+    assert df.dist.tolist() == list(range(len(df)))  # contiguous levels from 0
+    assert df.iloc[0].n_nodes == 1  # level 0 is the source alone
+    src = undirected_edges(spark, sf).agg(F.min("a")).collect()[0][0]
+    assert df.iloc[0].min_node == src == df.iloc[0].max_node
+
+
+def test_sssp_neighbors_of_source_are_level_one(spark):
+    from lachesis_spark.plans.graph_algos import sssp_hops, undirected_edges
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    und = undirected_edges(spark, sf).localCheckpoint(eager=True)
+    src = int(und.agg(F.min("a")).collect()[0][0])
+    d = sssp_hops(und, src)
+    nbrs = (
+        und.filter((F.col("a") == src) | (F.col("b") == src))
+        .select(
+            F.when(F.col("a") == src, F.col("b")).otherwise(F.col("a")).alias("node")
+        )
+        .distinct()
+    )
+    bad = nbrs.join(d, "node").filter(F.col("dist") != 1).count()
+    assert bad == 0
