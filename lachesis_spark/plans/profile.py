@@ -85,5 +85,73 @@ def _profile_sql(table: str, cols: list[str]) -> str:
 STATS_PROFILE_SQL = _profile_sql("orders", PROFILE_COLS)
 
 
-QUERIES = {"stats_profile": stats_profile}
-ORACLE = {"stats_profile": STATS_PROFILE_SQL}
+# ---------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix in ONE scan — the dependence map a
+# feature-selection / data-drift monitor reads.  For k columns, the single
+# Aggregate carries k sums + k sums-of-squares + k(k-1)/2 cross-product
+# sums; every one is a map-side partial, so a 1000-executor pass ships
+# O(k²) doubles per task and the matrix assembles from one 1-row frame.
+# The same sum-based estimator is mirrored verbatim in the oracle (rather
+# than calling each engine's corr()) so both engines run identical
+# arithmetic, not merely equivalent formulas.
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    cols = CORR_COLS
+    aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast("double")).alias(f"{c}__s"))
+        aggs.append(F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"{c}__ss"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a).cast("double") * F.col(b).cast("double")).alias(f"{a}__{b}__sp")
+            )
+    one = li.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("__n")
+        cov = F.col(f"{a}__{b}__sp") - F.col(f"{a}__s") * F.col(f"{b}__s") / n
+        va = F.col(f"{a}__ss") - F.col(f"{a}__s") * F.col(f"{a}__s") / n
+        vb = F.col(f"{b}__ss") - F.col(f"{b}__s") * F.col(f"{b}__s") / n
+        return F.round(cov / F.sqrt(va * vb), 6)
+
+    structs = [
+        F.struct(F.lit(a).alias("c1"), F.lit(b).alias("c2"), _corr(a, b).alias("corr"))
+        for i, a in enumerate(cols)
+        for b in cols[i + 1:]
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("c1", "c2")
+    )
+
+
+def _corr_matrix_sql(table: str, cols: list[str]) -> str:
+    aggs = ["CAST(count(*) AS DOUBLE) AS __n"]
+    for c in cols:
+        aggs.append(f"sum(CAST({c} AS DOUBLE)) AS {c}__s")
+        aggs.append(f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS {c}__ss")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(f"sum(CAST({a} AS DOUBLE) * CAST({b} AS DOUBLE)) AS {a}__{b}__sp")
+    sel = " UNION ALL ".join(
+        f"""
+  SELECT '{a}' AS c1, '{b}' AS c2,
+         round(({a}__{b}__sp - {a}__s * {b}__s / __n)
+               / sqrt(({a}__ss - {a}__s * {a}__s / __n)
+                      * ({b}__ss - {b}__s * {b}__s / __n)), 6) AS corr
+  FROM m"""
+        for a, b in pairs
+    )
+    return f"WITH m AS (SELECT {', '.join(aggs)} FROM {table})\nSELECT * FROM ({sel}) ORDER BY c1, c2"
+
+
+STATS_CORR_SQL = _corr_matrix_sql("lineitem", CORR_COLS)
+
+
+QUERIES = {"stats_profile": stats_profile, "stats_corr_matrix": stats_corr_matrix}
+ORACLE = {"stats_profile": STATS_PROFILE_SQL, "stats_corr_matrix": STATS_CORR_SQL}

@@ -263,11 +263,14 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cumulative counts over ≤ B rows — window over a sketch-sized frame
     from pyspark.sql import Window
 
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # explicit constant partition: the histogram is ≤ Q_BINS rows by
+    # construction, so the single-partition window is bounded, not a smell
+    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = hist.select(
-        "bin", "cnt", F.sum("cnt").over(w).alias("cum"), F.sum("cnt").over(
-            Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n")
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum"), F.sum("cnt").over(wall).alias("n")
     )
     probes = spark.createDataFrame([(p,) for p in Q_PROBES], "p double")
     # first bin whose cumulative count reaches rank = p * n
