@@ -259,26 +259,28 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bin")
     )
-    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    # cumulative counts over ≤ B rows — window over a sketch-sized frame
-    from pyspark.sql import Window
-
-    # explicit constant partition: the histogram is ≤ Q_BINS rows by
-    # construction, so the single-partition window is bounded, not a smell
-    w = Window.partitionBy(F.lit(0)).orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy(F.lit(0)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)
+    # cumulative counts via a bounded inequality self-join: the histogram
+    # is ≤ Q_BINS rows by construction, so the broadcast b.bin <= a.bin
+    # join is a CONSTANT ≤ B² cells at any corpus scale — no global-sort
+    # window, no single-partition data movement of row-sized frames.
+    cum = (
+        hist.select(F.col("bin").alias("abin"))
+        .join(F.broadcast(hist), F.col("bin") <= F.col("abin"))
+        .groupBy("abin")
+        .agg(F.sum("cnt").alias("cum"))
     )
-    cum = hist.select(
-        "bin", "cnt", F.sum("cnt").over(w).alias("cum"), F.sum("cnt").over(wall).alias("n")
-    )
+    n = hist.agg(F.sum("cnt").alias("n"))
     probes = spark.createDataFrame([(p,) for p in Q_PROBES], "p double")
     # first bin whose cumulative count reaches rank = p * n
     est = (
-        cum.join(F.broadcast(probes))
+        cum.join(F.broadcast(n))
+        .join(F.broadcast(probes))
         .filter(F.col("cum") >= F.col("p") * F.col("n"))
         .groupBy("p")
-        .agg(F.min("bin").alias("qbin"))
+        .agg(F.min("abin").alias("qbin"))
         .join(F.broadcast(mm))
         .select(
             "p",
