@@ -196,3 +196,30 @@ def test_anti_join_bloom_equivalence(spark):
         for r in DD.dedup_incremental(spark, SF_SMOKE, use_bloom=True).collect()
     }
     assert plain == bloomed and plain
+
+
+def test_containment_candidates_path_matches_allpairs_on_lsh_pairs(spark):
+    """The production (candidates=) path must agree with the all-pairs form
+    wherever they overlap: every candidate pair's containment is identical."""
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    cand = dedup.dedup_minhash_lsh(spark, sf)
+    prod = dedup.containment_pairs(spark, sf, k=50, candidates=cand)
+    full = dedup.containment_pairs(spark, sf, k=10**6)
+    joined = prod.alias("p").join(
+        full.alias("f"), ["src_id", "dst_id"], "inner"
+    ).filter(F.abs(F.col("p.containment") - F.col("f.containment")) > 1e-12)
+    assert joined.count() == 0
+
+
+def test_containment_is_asymmetric_and_bounded(spark):
+    from lachesis_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    df = dedup.containment_pairs(spark, sf, k=40).toPandas()
+    assert ((df.containment > 0) & (df.containment <= 1.0)).all()
+    # directions are distinct rows
+    assert not df.duplicated(subset=["src_id", "dst_id"]).any()

@@ -53,3 +53,18 @@ def test_cms_never_undercounts(spark):
     for r in rows:
         assert r["overcount"] >= 0
         assert r["cms_estimate"] >= r["exact_n"]
+
+
+def test_quantile_sketch_error_within_bin_width(spark):
+    from lachesis_spark.plans.sketches import Q_BINS, sketch_quantile
+
+    sf = "/root/testdata/sf0.001"
+    df = sketch_quantile(spark, sf).toPandas()
+    assert len(df) == 3
+    # histogram estimate can miss by at most one bin width
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(sf + "/lineitem.parquet")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    width = (hi - lo) / Q_BINS
+    assert (df.abs_err <= width).all()
