@@ -350,14 +350,121 @@ ORDER BY p1.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF cosine ranking — the sparse-lexical twin of llm/similarity's dense
+# cosine: rank documents by cosine(query tf-idf vector, doc tf-idf vector)
+# with log-tf weighting w(d,t) = (1 + ln tf) · ln(N/df).
+#
+# Scale: doc norms require idf over EVERY term of each doc — one linear
+# postings⋈term-df join co-keyed on term plus one groupBy(doc_id); at
+# index time this is materialized alongside the postings (same one-pass
+# amortization as doc_lengths_from_postings), so a query touches only the
+# |Q|-term numerator, the broadcast |Q|-row idf table and the persisted
+# norms.  Nothing here is quadratic; top-k is TakeOrdered.
+def tfidf_doc_norms(postings: DataFrame) -> DataFrame:
+    """(doc_id, dnorm): L2 norm of each doc's full tf-idf vector."""
+    n_docs = postings.select("doc_id").distinct().count()
+    df_t = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = (
+        postings.join(df_t, "term")
+        .select(
+            "doc_id",
+            (
+                (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * F.log(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    return w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("dnorm"))
+
+
+def tfidf_cosine_topk(
+    postings: DataFrame, terms: list[str], k: int = 20
+) -> DataFrame:
+    spark = postings.sparkSession
+    p = postings.localCheckpoint(eager=False)  # shared: norms + numerator
+    n_docs = p.select("doc_id").distinct().count()
+    norms = tfidf_doc_norms(p)
+    qdf = (
+        p.filter(F.col("term").isin(terms))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    qnorm = qdf.agg(F.sqrt(F.sum(F.col("idf") * F.col("idf"))).alias("qnorm"))
+    num = (
+        p.join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            (
+                (F.lit(1.0) + F.log(F.col("tf").cast("double")))
+                * F.col("idf")
+                * F.col("idf")
+            ).alias("c"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("num"))
+    )
+    return (
+        num.join(norms, "doc_id")
+        .join(F.broadcast(qnorm))
+        .select(
+            "doc_id",
+            F.round(F.col("num") / (F.col("dnorm") * F.col("qnorm")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def search_tfidf_cosine(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return tfidf_cosine_topk(build_postings(docs), BM25_TERMS)
+
+
+SEARCH_TFIDF_COSINE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS ts FROM documents
+), post AS (
+  SELECT doc_id, unnest(ts) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM post GROUP BY doc_id, term
+), n AS (
+  SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), w AS (
+  SELECT tf.doc_id,
+         (1.0 + ln(CAST(tf.tf AS DOUBLE))) * ln((SELECT n_docs FROM n) / dft.df) AS w,
+         tf.term
+  FROM tf JOIN dft USING (term)
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS dnorm FROM w GROUP BY doc_id
+), qdf AS (
+  SELECT term, df, ln((SELECT n_docs FROM n) / df) AS idf
+  FROM dft WHERE term IN ({_sql_terms(BM25_TERMS)})
+), qn AS (
+  SELECT sqrt(sum(idf * idf)) AS qnorm FROM qdf
+), num AS (
+  SELECT tf.doc_id, sum((1.0 + ln(CAST(tf.tf AS DOUBLE))) * qdf.idf * qdf.idf) AS num
+  FROM tf JOIN qdf USING (term) GROUP BY tf.doc_id
+)
+SELECT num.doc_id, round(num.num / (norms.dnorm * qn.qnorm), 6) AS cosine
+FROM num JOIN norms USING (doc_id) CROSS JOIN qn
+ORDER BY cosine DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES = {
     "search_bm25_topk": search_bm25_topk,
     "search_keyword_and": search_keyword_and,
     "search_phrase": search_phrase,
+    "search_tfidf_cosine": search_tfidf_cosine,
 }
 
 ORACLE = {
     "search_bm25_topk": SEARCH_BM25_TOPK_SQL,
     "search_keyword_and": SEARCH_KEYWORD_AND_SQL,
     "search_phrase": SEARCH_PHRASE_SQL,
+    "search_tfidf_cosine": SEARCH_TFIDF_COSINE_SQL,
 }

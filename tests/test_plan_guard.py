@@ -30,6 +30,7 @@ BNLJ_OK = {
     "lda_em", "lstm_inference",  # k×k / gate-constant matrices
     "text_quality_filter",  # 1-row quantile threshold
     "search_bm25_topk",     # 1-row corpus stats (N, avgdl) scalar
+    "search_tfidf_cosine",  # 1-row query-norm scalar cross
     "text_ppl_buckets",     # 1-row quartile-threshold broadcast
     "op_correlated_subquery",  # decorrelated scalar-agg side
     "ann_bruteforce",       # broadcast 1-row query vector

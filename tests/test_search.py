@@ -97,3 +97,51 @@ def test_persisted_index_equals_inline(spark, tmp_path):
         for r in S.search_bm25_topk(spark, SF_SMOKE).collect()
     }
     assert via_index == inline
+
+
+def test_tfidf_cosine_bounded_and_sorted(spark):
+    from lachesis_spark.llm.search import search_tfidf_cosine
+
+    df = search_tfidf_cosine(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(df) > 0
+    assert ((df.cosine > 0) & (df.cosine <= 1.0 + 1e-9)).all()
+    keys = list(zip(-df.cosine, df.doc_id))
+    assert keys == sorted(keys)
+
+
+def test_tfidf_norms_match_manual_vector(spark):
+    """One doc's norm recomputed from its raw postings equals the
+    index-side norm (locks the log-tf · idf weighting)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.llm.search import _docs, build_postings, tfidf_doc_norms
+
+    sf = "/root/testdata/sf0.001"
+    p = build_postings(_docs(spark, sf)).cache()
+    try:
+        n_docs = p.select("doc_id").distinct().count()
+        some_doc = p.agg(F.min("doc_id")).collect()[0][0]
+        rows = p.filter(F.col("doc_id") == some_doc).collect()
+        dfs = {
+            r.term: r.df
+            for r in p.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .join(
+                p.filter(F.col("doc_id") == some_doc).select("term"), "term", "semi"
+            )
+            .collect()
+        }
+        manual = math.sqrt(
+            sum(
+                ((1.0 + math.log(r.tf)) * math.log(n_docs / dfs[r.term])) ** 2
+                for r in rows
+            )
+        )
+        engine = (
+            tfidf_doc_norms(p).filter(F.col("doc_id") == some_doc).collect()[0].dnorm
+        )
+        assert abs(manual - engine) < 1e-9 * max(1.0, manual)
+    finally:
+        p.unpersist()
