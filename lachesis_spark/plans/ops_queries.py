@@ -838,3 +838,98 @@ WINDOW w_cum AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 
 QUERIES["op_window_analytics"] = op_window_analytics
 ORACLE["op_window_analytics"] = OP_WINDOW_ANALYTICS_SQL
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (preference query): parts not strictly
+# dominated on (minimize p_retailprice, maximize p_size).  A part is
+# dominated iff some other part is strictly cheaper AND strictly larger;
+# the frontier is what a cost/quality trade-off dashboard plots.
+#
+# Distributed formulation — NO global-sort window: prices are range-
+# bucketed (SKY_BUCKETS equi-width bins off a 1-row min/max broadcast);
+# dominance splits into (a) the max size among strictly-cheaper PRICES
+# within the bucket — a per-bucket window over price-deduped rows, and
+# (b) the max size over all LOWER buckets — a prefix-max over the
+# SKY_BUCKETS-row per-bucket summary (tiny broadcast self-join).  Each
+# window partition is one bucket, so the sort is bucket-local; the only
+# corpus-wide shuffles are the bucket groupBys.  The same decomposition
+# is exact at any scale because bucket order refines price order.
+SKY_BUCKETS = 64
+
+
+def op_skyline(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    mm = part.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    b = part.join(F.broadcast(mm)).select(
+        "p_partkey",
+        "price",
+        "size",
+        F.least(
+            F.lit(SKY_BUCKETS - 1),
+            F.floor((F.col("price") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / SKY_BUCKETS)),
+        )
+        .cast("long")
+        .alias("bkt"),
+    ).localCheckpoint(eager=False)
+    # (a) per-(bucket, price) max size, then within-bucket strictly-cheaper
+    #     running max over the deduped price rows
+    from pyspark.sql import Window
+
+    pm = b.groupBy("bkt", "price").agg(F.max("size").alias("mx"))
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = pm.select("bkt", "price", F.max("mx").over(w).alias("in_bkt_cheaper"))
+    # (b) prefix max over lower buckets: SKY_BUCKETS-row self-join
+    bmax = b.groupBy("bkt").agg(F.max("size").alias("bmx"))
+    prev = (
+        bmax.select(F.col("bkt").alias("tb"))
+        .join(F.broadcast(bmax), F.col("bkt") < F.col("tb"))
+        .groupBy("tb")
+        .agg(F.max("bmx").alias("prev_max"))
+        .withColumnRenamed("tb", "bkt")
+    )
+    thresh = within.join(prev, "bkt", "left").select(
+        "bkt",
+        "price",
+        F.greatest(
+            F.coalesce(F.col("in_bkt_cheaper"), F.lit(-(1 << 62))),
+            F.coalesce(F.col("prev_max"), F.lit(-(1 << 62))),
+        ).alias("cheaper_max"),
+    )
+    return (
+        b.join(thresh, ["bkt", "price"])
+        .filter(F.col("size") >= F.col("cheaper_max"))
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
+    )
+
+
+OP_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), pm AS (
+  SELECT price, max(size) AS mx FROM p GROUP BY price
+), cm AS (
+  SELECT price,
+         max(mx) OVER (ORDER BY price ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS cheaper_max
+  FROM pm
+)
+SELECT p.p_partkey, p.price, p.size
+FROM p JOIN cm USING (price)
+WHERE cm.cheaper_max IS NULL OR p.size >= cm.cheaper_max
+ORDER BY p.price, p.p_partkey
+"""
+
+QUERIES["op_skyline"] = op_skyline
+ORACLE["op_skyline"] = OP_SKYLINE_SQL

@@ -332,6 +332,59 @@ FROM grid g LEFT JOIN obs o
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. Exponentially-weighted moving average — the smoothed per-entity
+#    baseline an anomaly monitor (evt_anomaly's continuous twin) keeps.
+#    Finite-memory formulation: weights (1-α)^j over each user's last
+#    EWMA_W observations, normalized by the present-weight sum — the
+#    truncated-EWMA every streaming system actually computes (exact
+#    infinite-horizon EWMA is a linear recurrence whose float error and
+#    state grow unboundedly; truncation at W=8 bounds both, and the
+#    dropped tail weighs (1-α)^8 < 1.7%).
+#
+#    Scale: one shuffle on user_id; the rank window is per-user (never a
+#    global sort), the weighting is a codegen expression, and the result
+#    is one row per entity — the shape of a baseline dimension table
+#    refreshed per batch.
+EWMA_ALPHA = 0.4
+EWMA_W = 8
+
+
+def win_ewma(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    recent = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= EWMA_W)
+    wgt = F.pow(F.lit(1.0 - EWMA_ALPHA), F.col("rn") - 1)
+    return (
+        recent.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_recent"),
+            F.round(F.sum(wgt * F.col("value")) / F.sum(wgt), 6).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+WIN_EWMA_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, count(*)::BIGINT AS n_recent,
+       round(sum(power({1.0 - EWMA_ALPHA}, rn - 1) * value)
+             / sum(power({1.0 - EWMA_ALPHA}, rn - 1)), 6) AS ewma
+FROM ranked WHERE rn <= {EWMA_W}
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
@@ -340,6 +393,7 @@ QUERIES = {
     "win_asof": win_asof,
     "win_hier_rollup": win_hier_rollup,
     "win_gapfill": win_gapfill,
+    "win_ewma": win_ewma,
 }
 
 ORACLE = {
@@ -350,4 +404,5 @@ ORACLE = {
     "win_asof": WIN_ASOF_SQL,
     "win_hier_rollup": WIN_HIER_ROLLUP_SQL,
     "win_gapfill": WIN_GAPFILL_SQL,
+    "win_ewma": WIN_EWMA_SQL,
 }

@@ -197,3 +197,29 @@ def test_write_set_materializes_and_rescan(spark, tmp_path):
     rescan = ScanSet(cat, "out_db", "totals").to_df(spark)
     assert sorted(map(tuple, result.collect())) == sorted(map(tuple, rescan.collect()))
     assert {tuple(r) for r in rescan.collect()} == {(1, 15.0), (2, 7.0)}
+
+
+def test_skyline_is_exact_pareto_frontier(spark):
+    """Brute-force cross-check at sf0.001: the bucketed two-phase plan
+    returns exactly the strict-dominance frontier."""
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.plans.ops_queries import _t, op_skyline
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.p_partkey, r.price, r.size)
+        for r in op_skyline(spark, sf).collect()
+    }
+    pts = [
+        (r.p_partkey, float(r.p_retailprice), int(r.p_size))
+        for r in _t(spark, sf, "part").select(
+            "p_partkey", "p_retailprice", "p_size"
+        ).collect()
+    ]
+    want = {
+        (k, p, s)
+        for (k, p, s) in pts
+        if not any(q[1] < p and q[2] > s for q in pts)
+    }
+    assert got == want

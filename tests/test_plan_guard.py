@@ -50,6 +50,7 @@ BNLJ_OK = {
     # (see llm/dedup.py scale notes)
     "dedup_embedding_cosine",
     "sketch_quantile",      # 1-row min/max scalar + 3-row probe literal crosses
+    "op_skyline",           # 1-row min/max scalar + SKY_BUCKETS-row prefix join
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)
