@@ -304,11 +304,70 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. First-order Markov transition matrix of user journeys: for each
+#    consecutive event pair within a user's timeline, count (prev_type →
+#    type) and the per-source transition probability.  The model behind
+#    next-action prediction and journey sankeys.
+#
+#    Scale: ONE shuffle on user_id for the lag window (the sessionization
+#    partitioning every other evt_* query shares), then a groupBy on the
+#    (|types|²)-sized transition space — the output is model-sized, not
+#    data-sized.  Probabilities are exact integer ratios rounded at 1e-6
+#    so both engines agree bit-for-bit.
+def evt_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lachesis_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(totals, "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVT_MARKOV_SQL = """
+WITH pairs AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, count(*)::BIGINT AS n
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT c.prev_type, c.next_type, c.n,
+       round(c.n / t.tot::DOUBLE, 6) AS p
+FROM c JOIN (SELECT prev_type, sum(n) AS tot FROM c GROUP BY prev_type) t
+  USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+
 QUERIES = {
     "evt_funnel": evt_funnel,
     "evt_retention": evt_retention,
     "evt_anomaly": evt_anomaly,
     "scd2_build": scd2_build,
+    "evt_markov": evt_markov,
 }
 
 ORACLE = {
@@ -316,4 +375,5 @@ ORACLE = {
     "evt_retention": EVT_RETENTION_SQL,
     "evt_anomaly": EVT_ANOMALY_SQL,
     "scd2_build": SCD2_BUILD_SQL,
+    "evt_markov": EVT_MARKOV_SQL,
 }

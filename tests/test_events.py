@@ -105,3 +105,20 @@ def test_scd2_intervals_partition_the_timeline(spark):
         for a, b in zip(vers, vers[1:]):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] <= a["valid_to"]
+
+
+def test_markov_rows_are_probability_distributions(spark):
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.plans.events import evt_markov
+
+    df = evt_markov(spark, "/root/testdata/sf0.001")
+    # per-source probabilities sum to ~1 (rounding at 1e-6 per cell)
+    sums = df.groupBy("prev_type").agg(F.sum("p").alias("s")).collect()
+    assert all(abs(r.s - 1.0) < 1e-4 for r in sums)
+    # transition space is |types|^2-bounded
+    n_types = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_type").distinct().count()
+    )
+    assert df.count() <= n_types * n_types
