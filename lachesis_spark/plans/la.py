@@ -558,3 +558,107 @@ ORACLE = {
     "la_extrema": LA_EXTREMA_SQL,
     "la_inverse_identity": LA_INVERSE_IDENTITY_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# Power iteration for the dominant eigenpair of the covariance G = A'A —
+# the distributed top-PC computation (the first step of PCA / spectral
+# embedding).  Two-phase, matched to the d=64 embedding width:
+#
+#   1. ONE corpus pass builds G (the same co-keyed join+agg as ``la_gram``:
+#      shuffle on the row id, map-side combined) — d×d = 4096 values.
+#   2. POWER_ITERS normalized steps v ← G·v / ‖G·v‖ run on the d²-sized
+#      frame: broadcast joins + 64-row aggregates, zero further corpus
+#      reads.  (When d² itself is too large to materialize, the two-matvec
+#      form A'(A·v) per step avoids G at the cost of 2 corpus joins per
+#      iteration — with d = 64 the Gram route is strictly better: one
+#      corpus pass total instead of 2K.)
+#
+# Iteration count is FIXED so the oracle can unroll the identical
+# arithmetic; both engines compute the same K-step iterate, making the
+# comparison exact rather than convergence-dependent.  Every oracle CTE is
+# MATERIALIZED — the iterate chain references each level twice (value +
+# norm), and un-materialized CTE inlining would re-evaluate the whole
+# upstream chain 2^K times.
+POWER_ITERS = 8
+
+
+def la_power_iteration(spark, sf_dir):
+    import math
+
+    a = coo_from_embeddings(spark, sf_dir)
+    g = gram(a).localCheckpoint(eager=True)  # d×d; ONE corpus pass
+    d = int(g.agg(F.max("j")).collect()[0][0]) + 1  # 1-value bounded collect
+    v = spark.createDataFrame(
+        [(j, 1.0 / math.sqrt(d)) for j in range(d)], "j long, x double"
+    )
+    for _ in range(POWER_ITERS):
+        gv = (
+            g.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("v") * F.col("x")).alias("x"))
+        )
+        nrm = gv.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+        v = (
+            gv.join(F.broadcast(nrm))
+            .select(F.col("i").alias("j"), (F.col("x") / F.col("nrm")).alias("x"))
+            .localCheckpoint(eager=True)  # d rows; truncates the K-step lineage
+        )
+    gv = (
+        g.join(F.broadcast(v), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("v") * F.col("x")).alias("x"))
+    )
+    # v normalized → Rayleigh quotient v'Gv is the eigenvalue estimate
+    vr = v.select(F.col("j").alias("vj"), F.col("x").alias("vx"))
+    lam = gv.join(F.broadcast(vr), gv.i == vr.vj).agg(
+        F.sum(F.col("x") * F.col("vx")).alias("eigval")
+    )
+    return (
+        v.join(F.broadcast(lam))
+        .select("j", F.round("x", 6).alias("x"), F.round("eigval", 6).alias("eigval"))
+        .orderBy("j")
+    )
+
+
+def _power_iteration_sql(iters: int = POWER_ITERS) -> str:
+    ctes = [
+        f"coo AS MATERIALIZED ({_coo_sql()})",
+        "g AS MATERIALIZED (SELECT a.j AS i, b.j AS j, sum(a.v * b.v) AS v"
+        " FROM coo a JOIN coo b ON a.i = b.i GROUP BY a.j, b.j)",
+        "dims AS MATERIALIZED (SELECT DISTINCT j FROM g)",
+        "v0 AS MATERIALIZED"
+        " (SELECT j, 1.0 / sqrt((SELECT count(*) FROM dims)) AS x FROM dims)",
+    ]
+    for k in range(iters):
+        ctes.append(
+            f"gv{k} AS MATERIALIZED (SELECT g.i, sum(g.v * v.x) AS x"
+            f" FROM g JOIN v{k} v USING (j) GROUP BY g.i)"
+        )
+        ctes.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(sum(x * x)) AS nrm FROM gv{k})"
+        )
+        ctes.append(
+            f"v{k + 1} AS MATERIALIZED"
+            f" (SELECT i AS j, x / (SELECT nrm FROM n{k}) AS x FROM gv{k})"
+        )
+    ctes.append(
+        f"gvf AS MATERIALIZED (SELECT g.i, sum(g.v * v.x) AS x"
+        f" FROM g JOIN v{iters} v USING (j) GROUP BY g.i)"
+    )
+    ctes.append(
+        f"lam AS MATERIALIZED (SELECT sum(gvf.x * v.x) AS eigval"
+        f" FROM gvf JOIN v{iters} v ON gvf.i = v.j)"
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT v.j, round(v.x, 6) AS x,"
+        f" round((SELECT eigval FROM lam), 6) AS eigval"
+        f" FROM v{iters} v ORDER BY v.j"
+    )
+
+
+LA_POWER_ITERATION_SQL = _power_iteration_sql()
+
+QUERIES["la_power_iteration"] = la_power_iteration
+ORACLE["la_power_iteration"] = LA_POWER_ITERATION_SQL

@@ -130,3 +130,33 @@ def test_inverse_newton_early_termination_on_convergence(spark):
     # 500 un-terminated sweeps of spark jobs would take minutes; converged
     # runs finish in a handful of checkpoint rounds
     assert wall < 60, wall
+
+
+def test_power_iteration_matches_numpy_replication(spark):
+    """Third independent implementation: numpy replicates the identical
+    8 normalized steps from the same v0 — the distributed arithmetic must
+    agree to float precision.  (True-eigenpair convergence is NOT asserted:
+    the synthetic embeddings have a near-degenerate spectrum —
+    lam2/lam1 ~ 0.98 — so isolating the top eigenvector needs O(100)
+    steps; the query contract is the exact K-step iterate, which is what
+    the oracle also checks.)"""
+    import numpy as np
+
+    from lachesis_spark.plans.la import POWER_ITERS, la_power_iteration
+
+    sf = "/root/testdata/sf0.001"
+    out = la_power_iteration(spark, sf).toPandas().sort_values("j")
+    emb = spark.read.parquet(sf + "/embeddings.parquet").toPandas()
+    A = np.array(emb.embedding.tolist(), dtype=np.float64)
+    G = A.T @ A
+    d = G.shape[0]
+    v = np.full(d, 1.0 / np.sqrt(d))
+    rayleighs = []
+    for _ in range(POWER_ITERS):
+        w = G @ v
+        v = w / np.linalg.norm(w)
+        rayleighs.append(float(v @ G @ v))
+    assert np.allclose(out.x.to_numpy(), np.round(v, 6), atol=2e-6)
+    assert abs(out.eigval.iloc[0] - v @ G @ v) < 1e-4
+    # power iteration on an SPD matrix: Rayleigh quotient is non-decreasing
+    assert all(b >= a - 1e-9 for a, b in zip(rayleighs, rayleighs[1:]))
