@@ -41,21 +41,32 @@ _PRIORITY = [
     # (tests/test_registry_gate.py).
     "op_selection", "op_multi_selection", "op_aggregate", "op_join_multiway",
     "op_join_salted", "op_partition", "op_topk",
-    "op_native_filter", "op_flatmap_python", "op_jaccard_topk",
-    # beyond-reference SQL surface (§2.8)
-    "op_cube", "op_outer_join", "op_semi_anti",
+    # Round 7 (cont.) rotated op_flatmap_python out (op_native_filter keeps
+    # the §2.2 Python-lambda seat; the flatMap path stays oracle-checked in
+    # the strict sweep) to seat the frequent-itemset subsystem.
+    "op_native_filter", "itemset_rules", "op_jaccard_topk",
+    # beyond-reference SQL surface (§2.8).  Round 7 (cont.) rotated
+    # op_semi_anti out (op_outer_join keeps the join-surface seat) for the
+    # deterministic-sketch subsystem, and op_percentiles out (exact
+    # percentile semantics stay gate-exercised through text_quality_filter's
+    # percentile threshold and sweep-checked in op_percentiles) for the
+    # event-sequence subsystem.
+    "op_cube", "op_outer_join", "sketch_hll",
     # Round 7 rotated op_range_window out (op_window_analytics keeps the
     # window-function seat; range frames stay oracle-checked in the strict
     # sweep) to seat the materialized-view subsystem.
-    "op_percentiles", "op_window_analytics", "op_correlated_subquery",
+    "evt_funnel", "op_window_analytics", "op_correlated_subquery",
     "mv_incremental",
     # scrub / multimodal / DataSource subsystem representatives.  Round 6
     # rotated mm_features -> mm_features_png: the gate seat now exercises
     # the REAL codec path (chunk walk + zlib inflate + 5-filter
     # unfiltering) instead of the deterministic stub.
     "pii_scrub", "mm_features_png", "ds_scan_pushdown",
-    # linear-algebra DSL (§2.6)
-    "la_gram", "la_transpose_rowsum", "la_dsl_gram_rowsum",
+    # linear-algebra DSL (§2.6).  Round 7 (cont.) rotated
+    # la_transpose_rowsum out (la_dsl_gram_rowsum exercises transpose+rowSum
+    # through the DSL front-end; the direct form stays sweep-checked) to
+    # seat the profiler subsystem's one-scan correlation matrix.
+    "la_gram", "stats_corr_matrix", "la_dsl_gram_rowsum",
     # LLM-corpus engine additions (round 4 added the training-corpus ops,
     # displacing la_matmul (la_gram covers the matmul plan shape) and
     # op_topk_grouped (op_topk covers the TopKQueue dataflow)).  Round 6

@@ -22,13 +22,17 @@ from lachesis_spark.llm import (
     training,
 )
 from lachesis_spark.plans import (
+    events,
     graph_algos,
+    itemsets,
     iterative,
     la,
     la_dsl,
     matview,
     ops_queries,
+    profile,
     reddit,
+    sketches,
     tpch,
 )
 from lachesis_spark.sources import lachesis_source
@@ -54,6 +58,11 @@ MODULES = {
     "search": search,
     "lachesis_source": lachesis_source,
     "training": training,
+    # round 7 (cont.): these four claimed gate seats when added
+    "events": events,
+    "sketches": sketches,
+    "profile": profile,
+    "itemsets": itemsets,
 }
 
 
