@@ -350,14 +350,136 @@ ORDER BY p
 """
 
 
+# ---------------------------------------------------------------------------
+# 4. HLL merge property, made observable: per-source sketches of the
+#    distinct document vocabulary are MERGED (register-wise max) and the
+#    union estimate is derived from the merged registers — the exact
+#    workflow of per-day / per-shard sketches folded into a corpus-wide
+#    cardinality without re-scanning values.  ``regsum_merged`` vs
+#    ``regsum_direct`` are integer register checksums of the merged
+#    sketch and of a sketch built directly over the union stream: they are
+#    IDENTICAL by the max-of-max algebra — the invariant in the output,
+#    bit-exact, no float tolerance needed.  At 100 TB each source/day
+#    keeps 512 registers; the merge is a 512-row-per-source agg.
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("v")
+    )
+    h = h60("v")
+    hashed = toks.select(
+        "source",
+        h.bitwiseAND(F.lit(M_HLL - 1)).alias("bucket"),
+        F.shiftright(h, 9).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, W_BITS + 1).otherwise(
+        W_BITS + 1 - F.length(F.bin(F.col("w")))
+    )
+    per_src = (
+        hashed.select("source", "bucket", rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = per_src.groupBy("bucket").agg(F.max("r").alias("r"))
+    direct = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    m_stats = merged.agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("r").cast("long").alias("regsum_merged"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_inv_used"),
+    )
+    d_sum = direct.agg(F.sum("r").cast("long").alias("regsum_direct"))
+    n_src = docs.agg(F.countDistinct("source").cast("long").alias("n_sources"))
+    alpha = 0.7213 / (1.0 + 1.079 / M_HLL)
+    zeros = M_HLL - F.col("n_used")
+    sum_inv = F.col("sum_inv_used") + zeros.cast("double")
+    e_raw = F.lit(alpha * M_HLL * M_HLL) / sum_inv
+    est = F.when(
+        (e_raw <= 2.5 * M_HLL) & (zeros > 0),
+        F.lit(float(M_HLL)) * F.log(F.lit(float(M_HLL)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    exact = toks.agg(F.countDistinct("v").alias("exact"))
+    return (
+        m_stats.crossJoin(d_sum)
+        .crossJoin(n_src)
+        .crossJoin(exact)
+        .select(
+            "n_sources",
+            "regsum_merged",
+            "regsum_direct",
+            F.round(est, 4).alias("hll_estimate"),
+            F.col("exact").alias("exact_distinct"),
+            F.round(F.abs(est - F.col("exact")) / F.col("exact"), 6).alias("rel_err"),
+        )
+    )
+
+
+SKETCH_HLL_MERGE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS v
+  FROM documents
+), hashed AS (
+  SELECT source, {sql_h60("v")} % {M_HLL} AS bucket,
+         {sql_h60("v")} // {M_HLL} AS w
+  FROM toks
+), rhos AS (
+  SELECT source, bucket,
+         CASE WHEN w = 0 THEN {W_BITS + 1}
+              ELSE {W_BITS + 1} - length(bin(w)) END AS rho
+  FROM hashed
+), per_src AS (
+  SELECT source, bucket, max(rho) AS r FROM rhos GROUP BY source, bucket
+), merged AS (
+  SELECT bucket, max(r) AS r FROM per_src GROUP BY bucket
+), direct AS (
+  SELECT bucket, max(rho) AS r FROM rhos GROUP BY bucket
+), m_stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_used,
+         CAST(sum(r) AS BIGINT) AS regsum_merged,
+         sum(power(2.0, -r)) AS sum_inv_used
+  FROM merged
+), d_sum AS (
+  SELECT CAST(sum(r) AS BIGINT) AS regsum_direct FROM direct
+), srcs AS (
+  SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM documents
+), ex AS (
+  SELECT CAST(count(DISTINCT v) AS BIGINT) AS exact FROM toks
+), calc AS (
+  SELECT n_used, {M_HLL} - n_used AS zeros,
+         regsum_merged,
+         (0.7213 / (1.0 + 1.079 / {M_HLL})) * {M_HLL} * {M_HLL}
+           / (sum_inv_used + CAST({M_HLL} - n_used AS DOUBLE)) AS e_raw
+  FROM m_stats
+), est AS (
+  SELECT regsum_merged,
+         CASE WHEN e_raw <= 2.5 * {M_HLL} AND zeros > 0
+              THEN CAST({M_HLL} AS DOUBLE)
+                   * ln(CAST({M_HLL} AS DOUBLE) / CAST(zeros AS DOUBLE))
+              ELSE e_raw END AS e
+  FROM calc
+)
+SELECT srcs.n_sources, est.regsum_merged, d_sum.regsum_direct,
+       round(est.e, 4) AS hll_estimate,
+       ex.exact AS exact_distinct,
+       round(abs(est.e - ex.exact) / ex.exact, 6) AS rel_err
+FROM est, d_sum, srcs, ex
+"""
+
+
 QUERIES = {
     "sketch_hll": sketch_hll,
     "sketch_cms": sketch_cms,
     "sketch_quantile": sketch_quantile,
+    "sketch_hll_merge": sketch_hll_merge,
 }
 
 ORACLE = {
     "sketch_hll": SKETCH_HLL_SQL,
     "sketch_cms": SKETCH_CMS_SQL,
     "sketch_quantile": SKETCH_QUANTILE_SQL,
+    "sketch_hll_merge": SKETCH_HLL_MERGE_SQL,
 }

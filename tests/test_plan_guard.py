@@ -52,6 +52,7 @@ BNLJ_OK = {
     "sketch_quantile",      # 1-row min/max scalar + 3-row probe literal crosses
     "op_skyline",           # 1-row min/max scalar + SKY_BUCKETS-row prefix join
     "la_power_iteration",   # 1-row norm / Rayleigh scalar crosses per step
+    "sketch_hll_merge",     # crosses of four 1-row aggregates
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)

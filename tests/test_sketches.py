@@ -68,3 +68,13 @@ def test_quantile_sketch_error_within_bin_width(spark):
     lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
     width = (hi - lo) / Q_BINS
     assert (df.abs_err <= width).all()
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Register-wise max of per-source sketches == sketch of the union
+    stream — the mergeability contract, bit-exact on integer checksums."""
+    from lachesis_spark.plans.sketches import sketch_hll_merge
+
+    row = sketch_hll_merge(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.regsum_merged == row.regsum_direct
+    assert row.rel_err < 0.2  # p=9 HLL: ~4.6% typical; generous bound
