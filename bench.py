@@ -34,6 +34,21 @@ def main():
     # swings from ordering alone).  SPARK_GRAFT_BENCH_REPS=1 restores the
     # single-shot mode for a faster smoke run.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+
+    def _release_all_blocks():
+        # clearCache drops df.cache() entries but NOT localCheckpoint
+        # blocks — those are persistent RDDs freed only when the JVM-side
+        # RDD reference is GC'd.  With 170+ queries, many of which
+        # checkpoint iterate/signature frames, the block manager
+        # accumulates gigabytes over the run and late queries measure GC
+        # pressure instead of their own plan (observed: dedup_simhash
+        # 2.5 s isolated vs 21 s at position ~60 of a full run).
+        # Explicitly unpersist every persistent RDD between queries.
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         fn = QUERIES[name]
@@ -42,14 +57,11 @@ def main():
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
                 timings[name] = round(time.perf_counter() - t0, 3)
-                # drop caches left by iterative queries (kmeans/pagerank/
-                # dedup): accumulated cached RDDs otherwise build heap
-                # pressure and a full GC lands on an arbitrary later query
-                spark.catalog.clearCache()
+                _release_all_blocks()
         except Exception as e:  # noqa: BLE001
             print(f"# {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
-            spark.catalog.clearCache()
+            _release_all_blocks()
     ok = [v for v in timings.values() if v >= 0]
     failed = sorted(k for k, v in timings.items() if v < 0)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
