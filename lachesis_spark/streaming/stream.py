@@ -449,9 +449,110 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 # against the batch twins' SQL (replay equivalence makes the oracle binding).
 from lachesis_spark.streaming.windows import (  # noqa: E402
     WIN_CORRELATION_SQL,
+    WIN_EWMA_SQL,
     WIN_SESSION_SQL,
     WIN_TUMBLING_SQL,
 )
+
+# ---------------------------------------------------------------------------
+# streaming EWMA — the batch win_ewma's operational twin.  Per-user state
+# is the BOUNDED buffer of the 8 newest (ts, event_id, value) observations
+# (the truncated-EWMA window), merged order-independently: each microbatch
+# folds its rows into the buffer and keeps the top-8 by (ts, event_id), so
+# out-of-order delivery across batches cannot change the final state.  A
+# monotone n_seen counter marks the last emission per user; the final
+# buffer's weighted mean equals the batch query exactly, making
+# WIN_EWMA_SQL a binding oracle for the custom-state path.
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ts_ns", T.ArrayType(T.LongType())),
+        T.StructField("eid", T.ArrayType(T.LongType())),
+        T.StructField("val", T.ArrayType(T.DoubleType())),
+        T.StructField("n_seen", T.LongType()),
+    ]
+)
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("n_recent", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def stream_ewma_baselines(events: DataFrame) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from lachesis_spark.streaming.windows import EWMA_ALPHA, EWMA_W
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        ts, eid, val, n_seen = (
+            state.get if state.exists else ([], [], [], 0)
+        )
+        rows = list(zip(ts, eid, val))
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            rows.extend(
+                zip(
+                    pdf["ts"].astype("int64").tolist(),
+                    pdf["event_id"].tolist(),
+                    pdf["value"].tolist(),
+                )
+            )
+        rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        rows = rows[:EWMA_W]
+        state.update(
+            ([r[0] for r in rows], [int(r[1]) for r in rows], [float(r[2]) for r in rows], n_seen)
+        )
+        wsum = vsum = 0.0
+        for j, r in enumerate(rows):
+            w = (1.0 - EWMA_ALPHA) ** j
+            wsum += w
+            vsum += w * r[2]
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [n_seen],
+                "n_recent": [len(rows)],
+                "ewma": [round(vsum / wsum, 6)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay to completion; keep each user's final emission (max n_seen —
+    update mode re-emits per touched microbatch) and compare against the
+    batch win_ewma oracle."""
+    ev = read_events_stream(spark, sf_dir)
+    with _state_partitions(spark):
+        run_to_memory(stream_ewma_baselines(ev), "q_stream_ewma", "update")
+    got = spark.table("q_stream_ewma")
+    return (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("n_seen", "n_recent", "ewma")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_recent").alias("n_recent"),
+            F.col("s.ewma").alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
 
 QUERIES = {
     "stream_tumbling": stream_tumbling_query,
@@ -460,6 +561,7 @@ QUERIES = {
     "stream_interval_join": stream_interval_join_query,
     "stream_dedup": stream_dedup_query,
     "stream_enrich": stream_enrich_query,
+    "stream_ewma": stream_ewma_query,
 }
 
 ORACLE = {
@@ -469,6 +571,7 @@ ORACLE = {
     "stream_interval_join": WIN_CORRELATION_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enrich": STREAM_ENRICH_SQL,
+    "stream_ewma": WIN_EWMA_SQL,
 }
 
 

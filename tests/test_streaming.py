@@ -364,3 +364,38 @@ def test_foreach_batch_merge_sink_is_exactly_once(spark, tmp_path):
     got = cat.read_set("ing", "events")
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_stream_ewma_equals_batch_under_multibatch_replay(spark):
+    """Rate-limited replay (many microbatches, order not guaranteed per
+    user) must still converge to the batch win_ewma — the bounded-buffer
+    state is order-independent by construction."""
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.streaming.stream import (
+        _state_partitions,
+        read_events_stream,
+        run_to_memory,
+        stream_ewma_baselines,
+    )
+    from lachesis_spark.streaming.windows import win_ewma
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_events_stream(spark, sf, max_files_per_trigger=1)
+    with _state_partitions(spark):
+        run_to_memory(stream_ewma_baselines(ev), "t_ewma_mb", "update")
+    got = (
+        spark.table("t_ewma_mb")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_seen", "n_recent", "ewma")).alias("s"))
+        .select("user_id", F.col("s.n_recent").alias("g_recent"), F.col("s.ewma").alias("g_ewma"))
+    )
+    want = win_ewma(spark, sf)
+    diff = got.join(want, "user_id", "full").filter(
+        F.col("n_recent").isNull()
+        | F.col("g_recent").isNull()
+        | (F.col("n_recent") != F.col("g_recent"))
+        | (F.abs(F.col("ewma") - F.col("g_ewma")) > 1e-9)
+    )
+    assert diff.count() == 0
+    assert got.count() == want.count()
