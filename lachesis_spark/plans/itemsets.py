@@ -57,13 +57,26 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frequent_items(b: DataFrame) -> DataFrame:
-    """Items above the support floor (fraction of distinct baskets)."""
-    n_baskets = b.select("oid").distinct().count()
-    floor = max(2, int(n_baskets * MIN_ITEM_FRAC))
+    """Items above the support floor (fraction of distinct baskets).
+
+    The floor stays IN-PLAN: the 1-row basket-count aggregate broadcasts
+    into the filter, so building the frame runs no driver action and the
+    whole query stays lazy.  ``floor()`` (truncation) is explicit in both
+    engines — a bare BIGINT cast truncates in Python but rounds in DuckDB,
+    a divergence that would silently flip the threshold whenever
+    n_baskets · frac lands on .5."""
+    nb = b.select("oid").distinct().agg(
+        F.greatest(
+            F.lit(2).cast("long"),
+            F.floor(F.count(F.lit(1)) * F.lit(MIN_ITEM_FRAC)).cast("long"),
+        ).alias("floor")
+    )
     return (
         b.groupBy("item")
         .agg(F.count(F.lit(1)).cast("long").alias("item_cnt"))
-        .filter(F.col("item_cnt") >= floor)
+        .join(F.broadcast(nb))
+        .filter(F.col("item_cnt") >= F.col("floor"))
+        .select("item", "item_cnt")
     )
 
 
@@ -100,7 +113,9 @@ def itemset_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric); support/lift are symmetric and repeat on both rows.
     """
     b = _baskets(spark, sf_dir).localCheckpoint(eager=False)
-    n = b.select("oid").distinct().count()
+    nb = b.select("oid").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("n_baskets")
+    )
     freq = _frequent_items(b).localCheckpoint(eager=False)
     fb = b.join(freq.select("item"), "item")
     pairs = (
@@ -117,14 +132,15 @@ def itemset_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         both.join(freq.select(F.col("item").alias("p1"), F.col("item_cnt").alias("c1")), "p1")
         .join(freq.select(F.col("item").alias("p2"), F.col("item_cnt").alias("c2")), "p2")
+        .join(F.broadcast(nb))
         .select(
             "p1",
             "p2",
             "pair_cnt",
-            F.round(F.col("pair_cnt") / F.lit(float(n)), 6).alias("support"),
+            F.round(F.col("pair_cnt") / F.col("n_baskets"), 6).alias("support"),
             F.round(F.col("pair_cnt") / F.col("c1"), 6).alias("confidence"),
             F.round(
-                (F.col("pair_cnt") * F.lit(float(n))) / (F.col("c1") * F.col("c2")), 6
+                (F.col("pair_cnt") * F.col("n_baskets")) / (F.col("c1") * F.col("c2")), 6
             ).alias("lift"),
         )
     )
@@ -144,7 +160,7 @@ WITH baskets0 AS (
 ), freq AS (
   SELECT item, count(*)::BIGINT AS item_cnt
   FROM baskets GROUP BY item
-  HAVING count(*) >= greatest(2, CAST((SELECT n_baskets FROM n) * {MIN_ITEM_FRAC} AS BIGINT))
+  HAVING count(*) >= greatest(2, CAST(floor((SELECT n_baskets FROM n) * {MIN_ITEM_FRAC}) AS BIGINT))
 ), fb AS (
   SELECT b.oid, b.item FROM baskets b JOIN freq f ON b.item = f.item
 ), pairs AS (

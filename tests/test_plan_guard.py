@@ -53,6 +53,8 @@ BNLJ_OK = {
     "op_skyline",           # 1-row min/max scalar + SKY_BUCKETS-row prefix join
     "la_power_iteration",   # 1-row norm / Rayleigh scalar crosses per step
     "sketch_hll_merge",     # crosses of four 1-row aggregates
+    "itemset_pairs",        # 1-row support-floor broadcast cross
+    "itemset_rules",        # 1-row support-floor + basket-count crosses
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)
