@@ -153,5 +153,107 @@ def _corr_matrix_sql(table: str, cols: list[str]) -> str:
 STATS_CORR_SQL = _corr_matrix_sql("lineitem", CORR_COLS)
 
 
-QUERIES = {"stats_profile": stats_profile, "stats_corr_matrix": stats_corr_matrix}
-ORACLE = {"stats_profile": STATS_PROFILE_SQL, "stats_corr_matrix": STATS_CORR_SQL}
+# ---------------------------------------------------------------------------
+# Deequ-style data-quality checks — the constraint suite a pipeline runs
+# before shipping a batch: completeness, key uniqueness, value ranges,
+# domain membership, cross-column consistency, referential integrity.
+# Each intra-table metric folds into ONE multi-aggregate scan of its
+# table (conditional sums — map-side combined, no shuffle of rows); the
+# referential-integrity check is the one key-shuffle (anti-join on the
+# FK), which is the minimum any orphan count costs.  Output is a
+# constraint-sized report frame: (check, metric, passed).
+DQ_MIN_PASS = {
+    "orders.custkey_completeness": 1.0,
+    "orders.orderkey_uniqueness": 1.0,
+    "orders.totalprice_positive": 1.0,
+    "orders.status_in_domain": 1.0,
+    "lineitem.quantity_positive": 1.0,
+    "lineitem.orderkey_ri": 1.0,
+}
+
+
+def stats_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("ck_nn"),
+        F.countDistinct("o_orderkey").alias("ok_nd"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0)).alias("tp_pos"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("st_dom"),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).alias("ln"),
+        F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0)).alias("qty_pos"),
+    )
+    orphans = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .join(orders.select(F.col("o_orderkey").alias("k")), "k", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    one = o.crossJoin(l).crossJoin(orphans)
+    checks = [
+        ("orders.custkey_completeness", F.col("ck_nn") / F.col("n")),
+        ("orders.orderkey_uniqueness", F.col("ok_nd") / F.col("n")),
+        ("orders.totalprice_positive", F.col("tp_pos") / F.col("n")),
+        ("orders.status_in_domain", F.col("st_dom") / F.col("n")),
+        ("lineitem.quantity_positive", F.col("qty_pos") / F.col("ln")),
+        ("lineitem.orderkey_ri", F.lit(1.0) - F.col("n_orphans") / F.col("ln")),
+    ]
+    structs = [
+        F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(expr.cast("double"), 6).alias("metric"),
+            (F.round(expr.cast("double"), 6) >= DQ_MIN_PASS[name]).alias("passed"),
+        )
+        for name, expr in checks
+    ]
+    return (
+        one.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.*")
+        .orderBy("check_name")
+    )
+
+
+STATS_DQ_SQL = """
+WITH o AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS ck_nn,
+         count(DISTINCT o_orderkey) AS ok_nd,
+         sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS tp_pos,
+         sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS st_dom
+  FROM orders
+), l AS (
+  SELECT count(*) AS ln,
+         sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS qty_pos
+  FROM lineitem
+), orph AS (
+  SELECT count(*) AS n_orphans
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+), m AS (
+  SELECT * FROM o, l, orph
+)
+SELECT check_name, metric, metric >= 1.0 AS passed FROM (
+  SELECT 'orders.custkey_completeness' AS check_name, round(ck_nn / n::DOUBLE, 6) AS metric FROM m
+  UNION ALL SELECT 'orders.orderkey_uniqueness', round(ok_nd / n::DOUBLE, 6) FROM m
+  UNION ALL SELECT 'orders.totalprice_positive', round(tp_pos / n::DOUBLE, 6) FROM m
+  UNION ALL SELECT 'orders.status_in_domain', round(st_dom / n::DOUBLE, 6) FROM m
+  UNION ALL SELECT 'lineitem.quantity_positive', round(qty_pos / ln::DOUBLE, 6) FROM m
+  UNION ALL SELECT 'lineitem.orderkey_ri', round(1.0 - n_orphans / ln::DOUBLE, 6) FROM m
+)
+ORDER BY check_name
+"""
+
+
+QUERIES = {
+    "stats_profile": stats_profile,
+    "stats_corr_matrix": stats_corr_matrix,
+    "stats_dq_checks": stats_dq_checks,
+}
+ORACLE = {
+    "stats_profile": STATS_PROFILE_SQL,
+    "stats_corr_matrix": STATS_CORR_SQL,
+    "stats_dq_checks": STATS_DQ_SQL,
+}

@@ -56,3 +56,12 @@ def test_basket_cap_enforced(spark):
     b = itemsets._baskets(spark, SF)
     mx = b.groupBy("oid").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).collect()[0][0]
     assert mx <= itemsets.BASKET_CAP
+
+
+def test_dq_checks_all_pass_on_clean_tpch(spark):
+    from lachesis_spark.plans.profile import DQ_MIN_PASS, stats_dq_checks
+
+    df = stats_dq_checks(spark, "/root/testdata/sf0.001").toPandas()
+    assert set(df.check_name) == set(DQ_MIN_PASS)
+    assert df.passed.all()  # synthetic TPC-H is constraint-clean
+    assert ((df.metric >= 0) & (df.metric <= 1)).all()

@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sketch_hll_merge",     # crosses of four 1-row aggregates
     "itemset_pairs",        # 1-row support-floor broadcast cross
     "itemset_rules",        # 1-row support-floor + basket-count crosses
+    "stats_dq_checks",      # crosses of three 1-row metric aggregates
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)
