@@ -52,6 +52,7 @@ BNLJ_OK = {
     "sketch_quantile",      # 1-row min/max scalar + 3-row probe literal crosses
     "op_skyline",           # 1-row min/max scalar + SKY_BUCKETS-row prefix join
     "la_power_iteration",   # 1-row norm / Rayleigh scalar crosses per step
+    "sketch_hll",           # cross of two 1-row aggregates (stats × exact)
     "sketch_hll_merge",     # crosses of four 1-row aggregates
     "itemset_pairs",        # 1-row support-floor broadcast cross
     "itemset_rules",        # 1-row support-floor + basket-count crosses
