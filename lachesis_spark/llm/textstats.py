@@ -778,3 +778,101 @@ FROM sums s, tot t
 
 QUERIES["text_zipf"] = text_zipf
 ORACLE["text_zipf"] = TEXT_ZIPF_SQL
+
+
+# ---------------------------------------------------------------------------
+# 13. Bigram language-model scoring — the KenLM-shaped fluency signal one
+#     tier above the unigram model: per-source perplexity under an add-k
+#     smoothed bigram LM trained on the corpus itself.
+#
+#     Scale: the bigram stream comes from a lag window PARTITIONED BY
+#     doc_id (adjacency never crosses a document's partition — the
+#     search_phrase co-location argument), the LM is two map-side-combined
+#     groupBys (bigram, then left-word totals derived FROM the bigram
+#     frame, never a second corpus pass), the 1-row vocabulary size
+#     broadcasts into the smoothing expression, and scoring re-joins the
+#     model on (w1, w2) — linear everywhere, output is source-sized.
+BIGRAM_K = 0.5
+
+
+def text_bigram_ppl(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", "source",
+        F.posexplode(TX.tokens(F.lower(F.col("text")))).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        t.select(
+            "doc_id", "source",
+            F.lag("w").over(w).alias("w1"), F.col("w").alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull())
+        .localCheckpoint(eager=False)  # shared: LM counts + scoring join
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bg.agg(F.countDistinct("w2").cast("double").alias("V"))
+    lm = (
+        c2.join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            ((F.col("c12") + F.lit(BIGRAM_K)) / (F.col("c1") + F.lit(BIGRAM_K) * F.col("V"))).alias("p"),
+        )
+    )
+    scored = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(F.avg(F.log("p")).alias("lp"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("lp"), 6).alias("mean_lp"),
+            F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_BIGRAM_PPL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(generate_subscripts(ts, 1) AS BIGINT) AS pos, unnest(ts) AS w
+  FROM (
+    SELECT doc_id, source,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+    FROM documents
+  )
+), bg AS (
+  SELECT doc_id, source,
+         lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+  FROM toks
+  QUALIFY w1 IS NOT NULL
+), c2 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(c12) AS c1 FROM c2 GROUP BY w1
+), v AS (
+  SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS V FROM bg
+), lm AS (
+  SELECT c2.w1, c2.w2,
+         (c2.c12 + {BIGRAM_K}) / (c1.c1 + {BIGRAM_K} * (SELECT V FROM v)) AS p
+  FROM c2 JOIN c1 USING (w1)
+), scored AS (
+  SELECT bg.doc_id, bg.source, avg(ln(lm.p)) AS lp
+  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+  GROUP BY bg.doc_id, bg.source
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(avg(lp), 6) AS mean_lp,
+       round(exp(-avg(lp)), 6) AS ppl
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES["text_bigram_ppl"] = text_bigram_ppl
+ORACLE["text_bigram_ppl"] = TEXT_BIGRAM_PPL_SQL

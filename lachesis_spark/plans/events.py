@@ -377,3 +377,66 @@ ORACLE = {
     "scd2_build": SCD2_BUILD_SQL,
     "evt_markov": EVT_MARKOV_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 6. Hour-of-day seasonal profile + deviation counts — the baseline table
+#    behind evt_anomaly's z-scores, exposed as its own operator: per
+#    (event_type, hour-of-day) mean value over the whole window, plus how
+#    many raw events exceed 2× their slot's seasonal mean.
+#
+#    Scale: one groupBy to the 24×|types| profile (map-side combined),
+#    then ONE re-join of the raw stream against the broadcast-sized
+#    profile for the deviation count — the profile is model-sized, the
+#    stream is touched exactly twice (once to build, once to compare),
+#    and nothing shuffles by value.
+def evt_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lachesis_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        "event_type", F.hour("ts").alias("hod"), "value"
+    ).localCheckpoint(eager=False)
+    prof = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("mean_raw"),
+    )
+    dev = (
+        ev.join(F.broadcast(prof), ["event_type", "hod"])
+        .groupBy("event_type", "hod")
+        .agg(
+            F.sum(
+                F.when(F.col("value") > 2 * F.col("mean_raw"), 1).otherwise(0)
+            ).cast("long").alias("n_above_2x")
+        )
+    )
+    return (
+        prof.join(dev, ["event_type", "hod"])
+        .select(
+            "event_type", "hod", "n",
+            F.round("mean_raw", 6).alias("mean_value"),
+            "n_above_2x",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+EVT_SEASONALITY_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod, value FROM events
+), prof AS (
+  SELECT event_type, hod, count(*)::BIGINT AS n, avg(value) AS mean_raw
+  FROM ev GROUP BY event_type, hod
+), dev AS (
+  SELECT ev.event_type, ev.hod,
+         sum(CASE WHEN ev.value > 2 * prof.mean_raw THEN 1 ELSE 0 END)::BIGINT
+           AS n_above_2x
+  FROM ev JOIN prof USING (event_type, hod)
+  GROUP BY ev.event_type, ev.hod
+)
+SELECT p.event_type, p.hod, p.n, round(p.mean_raw, 6) AS mean_value, d.n_above_2x
+FROM prof p JOIN dev d USING (event_type, hod)
+ORDER BY p.event_type, p.hod
+"""
+
+QUERIES["evt_seasonality"] = evt_seasonality
+ORACLE["evt_seasonality"] = EVT_SEASONALITY_SQL

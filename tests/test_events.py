@@ -122,3 +122,13 @@ def test_markov_rows_are_probability_distributions(spark):
         .select("event_type").distinct().count()
     )
     assert df.count() <= n_types * n_types
+
+
+def test_seasonality_profile_shape_and_bounds(spark):
+    from lachesis_spark.plans.events import evt_seasonality
+
+    df = evt_seasonality(spark, "/root/testdata/sf0.001").toPandas()
+    assert ((df.hod >= 0) & (df.hod <= 23)).all()
+    assert (df.n_above_2x <= df.n).all()
+    # every (type, hod) slot appears at most once
+    assert not df.duplicated(subset=["event_type", "hod"]).any()

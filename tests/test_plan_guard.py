@@ -57,6 +57,7 @@ BNLJ_OK = {
     "itemset_pairs",        # 1-row support-floor broadcast cross
     "itemset_rules",        # 1-row support-floor + basket-count crosses
     "stats_dq_checks",      # crosses of three 1-row metric aggregates
+    "text_bigram_ppl",      # 1-row vocabulary-size scalar cross
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)

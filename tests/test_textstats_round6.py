@@ -33,3 +33,13 @@ def test_zipf_fit_shape(spark):
     import math
 
     assert abs(r["intercept"] - math.log(r["top_cnt"])) < 3.0
+
+
+def test_bigram_ppl_bounds(spark):
+    from lachesis_spark.llm.textstats import text_bigram_ppl
+
+    df = text_bigram_ppl(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(df) > 0
+    # perplexity of an add-k bigram LM over V words lies in [1, V + slack]
+    assert (df.ppl >= 1.0).all()
+    assert (df.mean_lp < 0).all()
