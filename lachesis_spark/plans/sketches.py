@@ -483,3 +483,96 @@ ORACLE = {
     "sketch_quantile": SKETCH_QUANTILE_SQL,
     "sketch_hll_merge": SKETCH_HLL_MERGE_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# 5. Count-Min join-size estimation (AGMS/CM inner product): |A ⋈ B| on a
+#    key equals Σ_v fA(v)·fB(v), which the CM sketches of the two key
+#    streams estimate as min_d Σ_b A_d[b]·B_d[b] — the upper-bound
+#    estimate a cost-based join planner consults BEFORE shuffling
+#    anything.  Each side folds to its d×w counter grid in one map-side-
+#    combined pass; the estimate touches d·w cells.  The exact join size
+#    is computed in the same plan so the error is observable.  This is the
+#    sketch-driven statistic behind recommend_join_strategy-style
+#    decisions at 100 TB: the sketches are mergeable across partitions /
+#    days exactly like sketch_hll_merge's registers.
+def _cm_cells(df: DataFrame, col: str) -> DataFrame:
+    v = df.select(F.col(col).cast("string").alias("v"))
+    return (
+        v.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("row_id"),
+                            (h60_seeded("v", s) % CMS_W).alias("bucket"),
+                        )
+                        for s in range(CMS_D)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.row_id", "c.bucket")
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    a = _cm_cells(orders, "o_custkey")
+    b = _cm_cells(cust, "c_custkey")
+    est = (
+        a.join(b.withColumnRenamed("cnt", "bcnt"), ["row_id", "bucket"])
+        .groupBy("row_id")
+        .agg(F.sum(F.col("cnt") * F.col("bcnt")).alias("ip"))
+        .agg(F.min("ip").cast("long").alias("cm_estimate"))
+    )
+    exact = (
+        orders.select(F.col("o_custkey").alias("k"))
+        .join(cust.select(F.col("c_custkey").alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact).select(
+        "cm_estimate",
+        "exact_join_size",
+        F.round(
+            (F.col("cm_estimate") - F.col("exact_join_size"))
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_overcount"),
+    )
+
+
+def _cm_cells_sql_for(table: str, col: str) -> str:
+    parts = [
+        f"SELECT {s} AS row_id, {sql_h60_seeded(f'CAST({col} AS VARCHAR)', s)} % {CMS_W} AS bucket"
+        f" FROM {table}"
+        for s in range(CMS_D)
+    ]
+    inner = " UNION ALL ".join(parts)
+    return f"SELECT row_id, bucket, count(*)::BIGINT AS cnt FROM ({inner}) GROUP BY row_id, bucket"
+
+
+SKETCH_JOIN_SIZE_SQL = f"""
+WITH a AS ({_cm_cells_sql_for("orders", "o_custkey")}),
+b AS ({_cm_cells_sql_for("customer", "c_custkey")}),
+est AS (
+  SELECT CAST(min(ip) AS BIGINT) AS cm_estimate FROM (
+    SELECT a.row_id, sum(a.cnt * b.cnt) AS ip
+    FROM a JOIN b ON a.row_id = b.row_id AND a.bucket = b.bucket
+    GROUP BY a.row_id
+  )
+), ex AS (
+  SELECT count(*)::BIGINT AS exact_join_size
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT est.cm_estimate, ex.exact_join_size,
+       round((est.cm_estimate - ex.exact_join_size)
+             / ex.exact_join_size::DOUBLE, 6) AS rel_overcount
+FROM est, ex
+"""
+
+QUERIES["sketch_join_size"] = sketch_join_size
+ORACLE["sketch_join_size"] = SKETCH_JOIN_SIZE_SQL

@@ -58,6 +58,7 @@ BNLJ_OK = {
     "itemset_rules",        # 1-row support-floor + basket-count crosses
     "stats_dq_checks",      # crosses of three 1-row metric aggregates
     "text_bigram_ppl",      # 1-row vocabulary-size scalar cross
+    "sketch_join_size",     # cross of two 1-row estimate/exact aggregates
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)

@@ -78,3 +78,12 @@ def test_hll_merge_equals_direct_sketch(spark):
     row = sketch_hll_merge(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.regsum_merged == row.regsum_direct
     assert row.rel_err < 0.2  # p=9 HLL: ~4.6% typical; generous bound
+
+
+def test_cm_join_estimate_is_upper_bound(spark):
+    """CM inner-product never undercounts (hash collisions only ADD)."""
+    from lachesis_spark.plans.sketches import sketch_join_size
+
+    row = sketch_join_size(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.cm_estimate >= row.exact_join_size
+    assert row.rel_overcount >= 0
