@@ -385,6 +385,75 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# 9. OHLC bars — the canonical time-series downsample: per (event_type,
+#    hour) the first / max / min / last value, with (ts, event_id) as the
+#    deterministic intra-bar order.  One shuffle on (type, hour); open and
+#    close come from rank windows over that same partitioning (two
+#    WindowExec passes over sorted runs, no extra exchange), high/low/
+#    volume from the groupBy.  Output is bar-grid-sized.
+def win_ohlc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bar"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wf = Window.partitionBy("event_type", "bar").orderBy("ts", "event_id")
+    wl = Window.partitionBy("event_type", "bar").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "event_type", "bar", "value",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    oc = ranked.groupBy("event_type", "bar").agg(
+        F.max(F.when(F.col("rf") == 1, F.col("value"))).alias("open"),
+        F.max(F.when(F.col("rl") == 1, F.col("value"))).alias("close"),
+    )
+    hl = ev.groupBy("event_type", "bar").agg(
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        hl.join(oc, ["event_type", "bar"])
+        .select(
+            "event_type", "bar", "open", "high", "low", "close", "n_events"
+        )
+        .orderBy("event_type", "bar")
+    )
+
+
+WIN_OHLC_SQL = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar, ts, event_id, value
+  FROM events
+), ranked AS (
+  SELECT event_type, bar, value,
+         row_number() OVER (PARTITION BY event_type, bar ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type, bar ORDER BY ts DESC, event_id DESC) AS rl
+  FROM ev
+), oc AS (
+  SELECT event_type, bar,
+         max(CASE WHEN rf = 1 THEN value END) AS open,
+         max(CASE WHEN rl = 1 THEN value END) AS close
+  FROM ranked GROUP BY event_type, bar
+), hl AS (
+  SELECT event_type, bar, max(value) AS high, min(value) AS low,
+         count(*)::BIGINT AS n_events
+  FROM ev GROUP BY event_type, bar
+)
+SELECT hl.event_type, hl.bar, oc.open, hl.high, hl.low, oc.close, hl.n_events
+FROM hl JOIN oc USING (event_type, bar)
+ORDER BY hl.event_type, hl.bar
+"""
+
+
 QUERIES = {
     "win_tumbling": win_tumbling,
     "win_sliding": win_sliding,
@@ -394,6 +463,7 @@ QUERIES = {
     "win_hier_rollup": win_hier_rollup,
     "win_gapfill": win_gapfill,
     "win_ewma": win_ewma,
+    "win_ohlc": win_ohlc,
 }
 
 ORACLE = {
@@ -405,4 +475,5 @@ ORACLE = {
     "win_hier_rollup": WIN_HIER_ROLLUP_SQL,
     "win_gapfill": WIN_GAPFILL_SQL,
     "win_ewma": WIN_EWMA_SQL,
+    "win_ohlc": WIN_OHLC_SQL,
 }

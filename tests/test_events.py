@@ -132,3 +132,13 @@ def test_seasonality_profile_shape_and_bounds(spark):
     assert (df.n_above_2x <= df.n).all()
     # every (type, hod) slot appears at most once
     assert not df.duplicated(subset=["event_type", "hod"]).any()
+
+
+def test_ohlc_invariants(spark):
+    from lachesis_spark.streaming.windows import win_ohlc
+
+    df = win_ohlc(spark, "/root/testdata/sf0.001").toPandas()
+    assert len(df) > 0
+    assert ((df.low <= df.open) & (df.open <= df.high)).all()
+    assert ((df.low <= df.close) & (df.close <= df.high)).all()
+    assert (df.n_events >= 1).all()
