@@ -440,3 +440,46 @@ ORDER BY p.event_type, p.hod
 
 QUERIES["evt_seasonality"] = evt_seasonality
 ORACLE["evt_seasonality"] = EVT_SEASONALITY_SQL
+
+
+# ---------------------------------------------------------------------------
+# 7. Top-k 3-step journey paths — the order-2 sequence counts behind a
+#    sankey / next-2-action model (evt_markov's higher-order sibling).
+#    Same single user_id shuffle; two lags over the shared sort, then a
+#    groupBy on the ≤|types|³ path space — output model-sized, ordering
+#    fully deterministic (count desc, then path).
+PATH_TOPK = 15
+
+
+def evt_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t3 = ev.select(
+        F.lag("event_type", 2).over(w).alias("s1"),
+        F.lag("event_type", 1).over(w).alias("s2"),
+        F.col("event_type").alias("s3"),
+    ).filter(F.col("s1").isNotNull())
+    return (
+        t3.groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), "s1", "s2", "s3")
+        .limit(PATH_TOPK)
+    )
+
+
+EVT_PATHS_SQL = f"""
+WITH t3 AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT s1, s2, s3, count(*)::BIGINT AS n
+FROM t3 WHERE s1 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n DESC, s1, s2, s3 LIMIT {PATH_TOPK}
+"""
+
+QUERIES["evt_paths"] = evt_paths
+ORACLE["evt_paths"] = EVT_PATHS_SQL

@@ -142,3 +142,12 @@ def test_ohlc_invariants(spark):
     assert ((df.low <= df.open) & (df.open <= df.high)).all()
     assert ((df.low <= df.close) & (df.close <= df.high)).all()
     assert (df.n_events >= 1).all()
+
+
+def test_paths_are_model_sized_and_sorted(spark):
+    from lachesis_spark.plans.events import PATH_TOPK, evt_paths
+
+    df = evt_paths(spark, "/root/testdata/sf0.001").toPandas()
+    assert 0 < len(df) <= PATH_TOPK
+    keys = list(zip(-df.n, df.s1, df.s2, df.s3))
+    assert keys == sorted(keys)
