@@ -197,3 +197,54 @@ def test_streaming_append_sink_feeds_incremental_view(spark, tmp_path):
     ingest()
     assert MV.refresh_view(cat, "s", "v") == "incremental"
     assert view_state() == {"a": (2, 4.0), "b": (2, 7.0), "c": (1, 4.0)}
+
+
+def test_incremental_itemset_counts_via_mv(spark, tmp_path):
+    """Basket-pair counts maintained as an MV.  Pair generation is only
+    file-decomposable when every basket is FILE-LOCAL (a file split
+    mid-basket would undercount its cross-file pairs), so the source is
+    laid out one-file-per-orderkey-bucket and the append batch carries
+    complete baskets — then the per-file transform + fold is exact, and
+    the refreshed state equals a full recompute over the union."""
+    from lachesis_spark.plans import matview as MV
+
+    def basket_pairs(df):
+        b = df.select(
+            F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
+        ).distinct()
+        return (
+            b.alias("a")
+            .join(b.alias("c"), "oid")
+            .filter(F.col("a.item") < F.col("c.item"))
+            .select(F.col("a.item").alias("p1"), F.col("c.item").alias("p2"))
+        )
+
+    MV.register_transform("basket_pairs", basket_pairs)
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("sales")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    old = li.filter(F.col("l_orderkey") % 3 != 0)
+    new = li.filter(F.col("l_orderkey") % 3 == 0)
+    # basket-co-located layout: bucket by the basket key
+    cat.write_set(old, "sales", "li", bucket_by=(4, ["l_orderkey"]))
+    MV.create_agg_view(
+        cat, "mv", "pair_counts", "sales", "li",
+        keys=["p1", "p2"], cols=[], transform="basket_pairs",
+    )
+    # append a batch of COMPLETE new baskets (fresh orderkeys)
+    new.repartition(2).write.mode("append").parquet(cat.set_path("sales", "li"))
+    assert MV.refresh_view(cat, "mv", "pair_counts") == "incremental"
+    got = {
+        (r.p1, r.p2, r.mv_count)
+        for r in MV.read_view(cat, "mv", "pair_counts").collect()
+    }
+    want = {
+        (r.p1, r.p2, r.n)
+        for r in basket_pairs(li)
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
