@@ -241,9 +241,12 @@ GROUP BY p.tok, t.exact_n
 #
 #    Bin assignment uses only IEEE-exact ops (subtract, divide, floor), so
 #    DuckDB reproduces every bin — and therefore the estimate — exactly.
-#    B = 4096 gives ≤ (max-min)/4096 absolute error per estimate; the
-#    error columns make the bound observable rather than trusted.
-Q_BINS = 4096
+#    B = 1024 gives ≤ (max-min)/1024 absolute error per estimate (the
+#    error columns make the bound observable rather than trusted); it also
+#    caps the cumulative step's inequality self-join at ~1M cells — B=4096
+#    measured 2.4–7.4 s run-to-run at sf0.1 from that join's 16.7M cells,
+#    B=1024 is stable and the bound is still far below the data's spread.
+Q_BINS = 1024
 Q_PROBES = (0.5, 0.9, 0.99)
 
 
