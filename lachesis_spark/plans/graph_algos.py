@@ -585,3 +585,95 @@ ORACLE = {
     "graph_kcore": GRAPH_KCORE_SQL,
     "graph_sssp": GRAPH_SSSP_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# synchronous label propagation (community detection)
+LPA_ROUNDS = 4  # FIXED round count so the oracle unrolls the identical
+#                 arithmetic; deterministic tie-break (max count, then min
+#                 label) makes every round reproducible cross-engine.
+
+
+def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> DataFrame:
+    """Synchronous LPA: each round every node adopts its neighbors' most
+    frequent label (ties -> smallest label).  Unlike connected components
+    (pure min-propagation, finds CONNECTIVITY), frequency voting finds
+    DENSER substructure inside a component.
+
+    Scale shape: per round ONE co-partitioned edges⋈labels join + one
+    (node, label)-count aggregation + one per-node argmax — all keyed on
+    the node id, label frame checkpointed per round (the kcore/cc loop
+    pattern); rounds are FIXED, not data-dependent."""
+    e = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .repartition(n_parts, "v")
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        e.select(F.col("u").alias("node")).distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            e.join(lab.select(F.col("node").alias("v"), "lbl"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count desc, label asc): max(struct(c, -lbl))
+        lab = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("s"))
+            .select("node", (-F.col("s.neg")).alias("lbl"))
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=True)
+        )
+    return lab
+
+
+def graph_lpa(spark, sf_dir):
+    """Community-size distribution after LPA_ROUNDS of label propagation:
+    (community_size, n_communities) — the model-sized summary a community
+    dashboard renders (per-node labels stay engine-side)."""
+    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = lpa_labels(und)
+    sizes = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("csize"))
+    return (
+        sizes.groupBy("csize")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+        .orderBy("csize")
+    )
+
+
+def _lpa_oracle_sql(rounds: int = LPA_ROUNDS) -> str:
+    ctes = [
+        "e AS MATERIALIZED (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und)",
+        "lab0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"lab{r} AS MATERIALIZED (\n"
+            f"  SELECT node, lbl FROM (\n"
+            f"    SELECT e.u AS node, l.lbl, count(*) AS c,\n"
+            f"           row_number() OVER (PARTITION BY e.u\n"
+            f"                              ORDER BY count(*) DESC, l.lbl ASC) AS rn\n"
+            f"    FROM e JOIN lab{r - 1} l ON e.v = l.node\n"
+            f"    GROUP BY e.u, l.lbl)\n"
+            f"  WHERE rn = 1)"
+        )
+    return (
+        f"WITH {_SQL_EDGES},\n" + ",\n".join(ctes)
+        + f"""
+SELECT csize, count(*)::BIGINT AS n_communities FROM (
+  SELECT lbl, count(*)::BIGINT AS csize FROM lab{rounds} GROUP BY lbl
+)
+GROUP BY csize ORDER BY csize"""
+    )
+
+
+GRAPH_LPA_SQL = _lpa_oracle_sql()
+
+QUERIES["graph_lpa"] = graph_lpa
+ORACLE["graph_lpa"] = GRAPH_LPA_SQL

@@ -178,3 +178,25 @@ def test_sssp_neighbors_of_source_are_level_one(spark):
     )
     bad = nbrs.join(d, "node").filter(F.col("dist") != 1).count()
     assert bad == 0
+
+
+def test_lpa_communities_partition_the_nodes(spark):
+    from lachesis_spark.plans.graph_algos import (
+        graph_lpa,
+        lpa_labels,
+        undirected_edges,
+    )
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    und = undirected_edges(spark, sf).localCheckpoint(eager=True)
+    lab = lpa_labels(und)
+    n_nodes = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .distinct()
+        .count()
+    )
+    assert lab.count() == n_nodes  # every node labeled exactly once
+    hist = graph_lpa(spark, sf).toPandas()
+    assert int((hist.csize * hist.n_communities).sum()) == n_nodes
