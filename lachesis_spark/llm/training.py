@@ -78,6 +78,7 @@ TOKEN_BUDGET = 2_000_000
 MIX_WEIGHTS = (("src0", 0.3), ("src5", 0.3), ("src10", 0.2), ("src15", 0.2))
 
 _SQL_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+_KEY_SQL = "CAST(doc_id AS VARCHAR)"
 
 
 def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
@@ -1058,3 +1059,161 @@ FROM scaled
 
 QUERIES["sample_temperature"] = sample_temperature
 ORACLE["sample_temperature"] = SAMPLE_TEMPERATURE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier — the standard learned
+# alternative to the heuristic langid schemes in ``textstats`` (stopword
+# voting, char-ngram profiles).  Train/test split by the shared seeded-hash
+# family, multinomial NB with Laplace smoothing over word tokens, argmax
+# prediction, and the confusion matrix as the query result.  The whole
+# train-predict-evaluate loop is ONE declarative plan: the "model" is just
+# two frames (a vocab×classes log-likelihood table and a classes-sized
+# prior/default table), so training is a groupBy and prediction is a join —
+# no driver-side weights at all, unlike the GD ``quality_classifier``.
+#
+# On the synthetic corpus the token distribution is label-independent, so
+# the confusion matrix shows prior-dominated predictions — exactly what the
+# query is FOR in a data pipeline: a learnability/label-leakage diagnostic
+# (NB accuracy ≈ majority prior ⇒ no text signal for this label).  The
+# learning machinery itself is unit-tested on a constructed corpus with a
+# real per-class vocabulary (tests/test_training.py), and engine parity is
+# strict-oracle-checked like every other query.
+#
+# Scale: the corpus-sized work is two token explodes (train + test) and
+# their reducing aggregations, all map-side combined.  The likelihood frame
+# is vocab×|classes| (dim-sized: ~1e7 rows at 100 TB, KBs per row) and joins
+# the test token stream on (cls, w) — an equi-join AQE can broadcast when
+# the vocab fits, shuffle-hash otherwise.  The classes frame is |languages|
+# rows at ANY corpus size, so its crossJoin into the token stream is a
+# bounded broadcast (plan-guard allowlisted).  The argmax window partitions
+# by doc_id over a docs×|classes| frame — 5 rows per partition, never a
+# corpus-wide sort.
+NB_SEED = 7109
+NB_TRAIN_FRAC = 0.8
+
+
+def nb_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
+    """Train/score multinomial NB over ``docs(doc_id, <label_col>, text)``;
+    return the held-out confusion matrix (lang_true, lang_pred, n_docs)."""
+    from pyspark.sql import Window
+
+    docs = docs.select(
+        "doc_id",
+        F.col(label_col).alias("lang"),
+        F.lower(F.col("text")).alias("text"),
+        H.hash01(F.col("doc_id").cast("string"), NB_SEED).alias("h"),
+    )
+    train = docs.where(F.col("h") < NB_TRAIN_FRAC)
+    test = docs.where(F.col("h") >= NB_TRAIN_FRAC)
+
+    ttoks = train.select("lang", F.explode(TX.tokens("text")).alias("w"))
+    wc = ttoks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))  # |classes| rows
+    vocab = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))  # 1 row
+    priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_train = train.agg(F.count(F.lit(1)).alias("n"))  # 1 row
+
+    classes = (
+        priors.crossJoin(F.broadcast(n_train))
+        .join(tots, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            F.log(F.col("n_docs").cast("double") / F.col("n")).alias("log_prior"),
+            F.log(F.lit(1.0) / (F.col("tot") + F.col("v"))).alias("log_default"),
+        )
+    )
+    loglik = (
+        wc.join(F.broadcast(tots), "lang")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("lang").alias("cls"),
+            "w",
+            F.log((F.col("c") + F.lit(1.0)) / (F.col("tot") + F.col("v"))).alias("log_p"),
+        )
+    )
+
+    stoks = test.select(
+        "doc_id", F.col("lang").alias("lang_true"), F.explode(TX.tokens("text")).alias("w")
+    )
+    scored = (
+        stoks.crossJoin(F.broadcast(classes))
+        .join(loglik, ["cls", "w"], "left")
+        .groupBy("doc_id", "lang_true", "cls")
+        .agg(
+            (
+                F.first("log_prior")
+                + F.sum(F.coalesce(F.col("log_p"), F.col("log_default")))
+            ).alias("score")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cls").asc())
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .groupBy("lang_true", F.col("cls").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def text_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nb_confusion(_docs(spark, sf_dir), label_col="lang")
+
+
+TEXT_NB_LANGID_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS text,
+         {H.sql_hash01(_KEY_SQL, NB_SEED)} AS h
+  FROM documents
+),
+train AS (SELECT * FROM docs WHERE h < {NB_TRAIN_FRAC!r}),
+test  AS (SELECT * FROM docs WHERE h >= {NB_TRAIN_FRAC!r}),
+ttoks AS (
+  SELECT lang, unnest({_SQL_TOKENS}) AS w FROM train
+),
+wc AS (SELECT lang, w, count(*) AS c FROM ttoks GROUP BY lang, w),
+tots AS (SELECT lang, sum(c) AS tot FROM wc GROUP BY lang),
+vocab AS (SELECT count(DISTINCT w) AS v FROM wc),
+priors AS (SELECT lang, count(*) AS n_docs FROM train GROUP BY lang),
+n_train AS (SELECT count(*) AS n FROM train),
+classes AS (
+  SELECT p.lang AS cls,
+         ln(CAST(p.n_docs AS DOUBLE) / n.n) AS log_prior,
+         ln(1.0 / (t.tot + v.v)) AS log_default
+  FROM priors p, n_train n, vocab v
+  JOIN tots t ON t.lang = p.lang
+),
+loglik AS (
+  SELECT wc.lang AS cls, wc.w,
+         ln((wc.c + 1.0) / (t.tot + v.v)) AS log_p
+  FROM wc JOIN tots t ON wc.lang = t.lang, vocab v
+),
+stoks AS (
+  SELECT doc_id, lang AS lang_true, unnest({_SQL_TOKENS}) AS w FROM test
+),
+scored AS (
+  SELECT s.doc_id, s.lang_true, c.cls,
+         any_value(c.log_prior)
+           + sum(coalesce(l.log_p, c.log_default)) AS score
+  FROM stoks s
+  CROSS JOIN classes c
+  LEFT JOIN loglik l ON l.cls = c.cls AND l.w = s.w
+  GROUP BY s.doc_id, s.lang_true, c.cls
+),
+pred AS (
+  SELECT doc_id, lang_true, cls,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cls ASC) AS rn
+  FROM scored
+)
+SELECT lang_true, cls AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY lang_true, cls
+"""
+
+QUERIES["text_nb_langid"] = text_nb_langid
+ORACLE["text_nb_langid"] = TEXT_NB_LANGID_SQL

@@ -59,6 +59,7 @@ BNLJ_OK = {
     "stats_dq_checks",      # crosses of three 1-row metric aggregates
     "text_bigram_ppl",      # 1-row vocabulary-size scalar cross
     "sketch_join_size",     # cross of two 1-row estimate/exact aggregates
+    "text_nb_langid",       # |languages|-row class table + 1-row vocab/train scalars
 }
 
 # streaming replays spin up the engine per call; their batch twins (win_*)

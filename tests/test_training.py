@@ -297,3 +297,43 @@ def test_select_noninteracting_defers_conflicts():
     assert got == [("e r", "er", 100), ("t h", "th", 80), ("o n", "on", 50)]
     # batch size cap respected
     assert len(TR.select_noninteracting(ranked, 2)) == 2
+
+
+def test_nb_learns_separable_vocabularies(spark):
+    # constructed corpus with a real per-class vocabulary: NB must classify
+    # every held-out doc correctly (the synthetic testdata corpus has no
+    # lang<->token signal, so learnability is proved here and the registry
+    # query doubles as a learnability diagnostic — see training.py notes)
+    vocab = {"aa": "red green blue", "bb": "cat dog fox", "cc": "one two three"}
+    rows = [
+        (f"{cls}{i}", cls, f"{words} {words} shared")
+        for cls, words in vocab.items()
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, text string")
+    out = TR.nb_confusion(docs).collect()
+    assert out, "no held-out docs scored"
+    assert all(r.lang_true == r.lang_pred for r in out), f"off-diagonal: {out}"
+    assert {r.lang_true for r in out} == set(vocab)
+
+
+def test_nb_langid_is_prior_dominated_on_signal_free_corpus(spark):
+    # on the synthetic corpus (token distribution independent of lang) the
+    # diagnostic must NOT hallucinate signal: accuracy stays near the
+    # majority prior, and every predicted class is one of the true classes
+    rows = TR.text_nb_langid(spark, SF_SMOKE).collect()
+    totals = sum(r.n_docs for r in rows)
+    correct = sum(r.n_docs for r in rows if r.lang_true == r.lang_pred)
+    assert totals > 0
+    assert correct / totals < 0.6, "suspicious accuracy on signal-free labels"
+
+
+def test_nb_langid_split_is_disjoint_and_seeded(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    from lachesis_spark.functions import hashing as H
+
+    h = docs.select(H.hash01(F.col("doc_id").cast("string"), TR.NB_SEED).alias("h"))
+    n_train = h.where(F.col("h") < TR.NB_TRAIN_FRAC).count()
+    n_test = h.where(F.col("h") >= TR.NB_TRAIN_FRAC).count()
+    assert n_train + n_test == docs.count()
+    assert n_train > 0 and n_test > 0
