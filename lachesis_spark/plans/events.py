@@ -483,3 +483,96 @@ ORDER BY n DESC, s1, s2, s3 LIMIT {PATH_TOPK}
 
 QUERIES["evt_paths"] = evt_paths
 ORACLE["evt_paths"] = EVT_PATHS_SQL
+
+
+# ---------------------------------------------------------------------------
+# 8. Multi-touch attribution: every purchase distributes conversion credit
+#    over the same user's touchpoint events (view/click/signup) in the 24 h
+#    before it — last-touch, first-touch, and linear (1/n) models computed
+#    side by side, reported per touch type.  The marketing-analytics
+#    counterpart of evt_funnel: the funnel asks "did the chain complete",
+#    attribution asks "which touch gets the credit".
+#
+#    Scale: ONE equi-join on user_id with a time-range residue — purchases
+#    and touches co-partition on the same user_id exchange every other
+#    event query pays, and the residue bounds each pair set to a user's
+#    24 h activity.  The per-purchase rank windows partition by the
+#    purchase's event_id (rows = that purchase's touches, never a
+#    corpus-wide sort), and the report collapses to |touch types| rows.
+#    At 100 TB the same plan holds; if user activity is heavy-tailed the
+#    join inherits AQE skew splitting on the user_id key.
+ATTR_LOOKBACK_H = 24
+ATTR_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = ev.where(F.col("event_type").isin(*ATTR_TOUCH_TYPES)).select(
+        "user_id", F.col("event_type").alias("touch"), F.col("ts").alias("t_ts")
+    )
+    lb = F.expr(f"INTERVAL {ATTR_LOOKBACK_H} HOURS")
+    pairs = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - lb),
+    )
+    w = Window.partitionBy("p_id")
+    ranked = pairs.select(
+        "p_id",
+        "touch",
+        F.row_number()
+        .over(w.orderBy(F.desc("t_ts"), F.desc("touch")))
+        .alias("rn_last"),
+        F.row_number().over(w.orderBy("t_ts", "touch")).alias("rn_first"),
+        F.count(F.lit(1)).over(w).alias("n_touches"),
+    )
+    return (
+        ranked.groupBy("touch")
+        .agg(
+            F.sum(F.when(F.col("rn_last") == 1, 1.0).otherwise(0.0)).alias("last_touch"),
+            F.sum(F.when(F.col("rn_first") == 1, 1.0).otherwise(0.0)).alias("first_touch"),
+            F.sum(F.lit(1.0) / F.col("n_touches")).alias("linear"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+        .orderBy("touch")
+    )
+
+
+EVT_ATTRIBUTION_SQL = f"""
+WITH pairs AS (
+  SELECT p.event_id AS p_id, t.event_type AS touch, t.ts AS t_ts
+  FROM events p
+  JOIN events t
+    ON t.user_id = p.user_id
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL {ATTR_LOOKBACK_H} HOUR
+  WHERE p.event_type = 'purchase'
+    AND t.event_type IN {ATTR_TOUCH_TYPES!r}
+),
+ranked AS (
+  SELECT p_id, touch,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts DESC, touch DESC) AS rn_last,
+         row_number() OVER (PARTITION BY p_id
+                            ORDER BY t_ts ASC, touch ASC) AS rn_first,
+         count(*) OVER (PARTITION BY p_id) AS n_touches
+  FROM pairs
+)
+SELECT touch,
+       CAST(sum(CASE WHEN rn_last = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS last_touch,
+       CAST(sum(CASE WHEN rn_first = 1 THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS first_touch,
+       CAST(sum(1.0 / n_touches) AS DOUBLE) AS linear,
+       count(*)::BIGINT AS n_pairs
+FROM ranked
+GROUP BY touch
+ORDER BY touch
+"""
+
+QUERIES["evt_attribution"] = evt_attribution
+ORACLE["evt_attribution"] = EVT_ATTRIBUTION_SQL

@@ -151,3 +151,43 @@ def test_paths_are_model_sized_and_sorted(spark):
     assert 0 < len(df) <= PATH_TOPK
     keys = list(zip(-df.n, df.s1, df.s2, df.s3))
     assert keys == sorted(keys)
+
+
+def test_attribution_credit_conservation(spark):
+    # every attribution model hands out exactly one unit of credit per
+    # purchase-with-touches, however it is split across touch types
+    from lachesis_spark.plans.events import evt_attribution
+
+    rows = evt_attribution(spark, SF_SMOKE).collect()
+    assert rows, "no attributed purchases"
+    last = sum(r.last_touch for r in rows)
+    first = sum(r.first_touch for r in rows)
+    linear = sum(r.linear for r in rows)
+    assert last == first  # both count attributed purchases once each
+    assert abs(linear - last) < 1e-6  # linear splits the same unit
+    assert all(r.n_pairs >= r.last_touch for r in rows)
+
+
+def test_attribution_models_on_known_journey(spark):
+    # one purchase, three touches: view(t1) click(t2) signup(t3) purchase(t4)
+    from lachesis_spark.plans import events as EV
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "view", 0.0, "{}"),
+        (2, "2024-01-01 11:00:00", 7, "click", 0.0, "{}"),
+        (3, "2024-01-01 12:00:00", 7, "signup", 0.0, "{}"),
+        (4, "2024-01-01 13:00:00", 7, "purchase", 0.0, "{}"),
+        (5, "2023-12-30 13:00:00", 7, "view", 0.0, "{}"),  # outside lookback
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    import os, tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        got = {r.touch: r for r in EV.evt_attribution(spark, d).collect()}
+    assert got["signup"].last_touch == 1.0 and got["signup"].first_touch == 0.0
+    assert got["view"].first_touch == 1.0 and got["view"].last_touch == 0.0
+    assert all(abs(r.linear - 1 / 3) < 1e-9 for r in got.values())
+    assert sum(r.n_pairs for r in got.values()) == 3  # stale view excluded
