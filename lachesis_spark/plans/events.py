@@ -576,3 +576,121 @@ ORDER BY touch
 
 QUERIES["evt_attribution"] = evt_attribution
 ORACLE["evt_attribution"] = EVT_ATTRIBUTION_SQL
+
+
+
+# ---------------------------------------------------------------------------
+# 9. A/B experiment analysis: users hash-assigned to two variants (the same
+#    seeded md5 family as the corpus splits, so assignment is deterministic,
+#    engine-independent, and stable under re-runs and cluster resizes), the
+#    experiment metric is each user's total purchase value, and the readout
+#    is per-variant n / mean / variance plus the Welch z statistic — the
+#    significance test an experimentation pipeline runs on every metric.
+#    Variance uses explicit sum / sum-of-squares (the evt_anomaly pattern)
+#    so both engines reproduce the doubles; a binary conversion rate is
+#    deliberately NOT the statistic here because on this corpus every user
+#    purchases (p_pool = 1 degenerates the two-proportion test to 0/0).
+#
+#    Scale: one map-side-combined groupBy on user_id (the exchange every
+#    event query pays), a 2-row variant agg, and the z-score is a window
+#    over the 2-row frame.
+AB_SEED = 4217
+
+
+def evt_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lachesis_spark.functions import hashing as H
+
+    ev = read_events(spark, sf_dir)
+    users = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                    0.0
+                )
+            ).alias("metric")
+        )
+        .select(
+            F.when(H.hash01(F.col("user_id").cast("string"), AB_SEED) < 0.5, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "metric",
+        )
+    )
+    per = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("metric").alias("s"),
+        F.sum(F.col("metric") * F.col("metric")).alias("ss"),
+    )
+    per = per.select(
+        "variant",
+        "n_users",
+        (F.col("s") / F.col("n_users")).alias("mean"),
+        (
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n_users"))
+            / (F.col("n_users") - 1)
+        ).alias("var"),
+    )
+    w = Window.partitionBy()  # 2-row frame: the unpartitioned window is safe
+    other = per.select(
+        "variant",
+        "n_users",
+        "mean",
+        "var",
+        (F.sum("mean").over(w) - F.col("mean")).alias("mean_o"),
+        (F.sum("var").over(w) - F.col("var")).alias("var_o"),
+        (F.sum("n_users").over(w) - F.col("n_users")).alias("n_o"),
+    )
+    return other.select(
+        "variant",
+        "n_users",
+        F.round("mean", 6).alias("mean_value"),
+        F.round(
+            (F.col("mean") - F.col("mean_o"))
+            / F.sqrt(F.col("var") / F.col("n_users") + F.col("var_o") / F.col("n_o")),
+            6,
+        ).alias("welch_z"),
+    ).orderBy("variant")
+
+
+EVT_ABTEST_SQL = """
+WITH users AS (
+  SELECT CASE WHEN {h} < 0.5 THEN 'A' ELSE 'B' END AS variant,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS metric
+  FROM events
+  GROUP BY user_id
+),
+per AS (
+  SELECT variant, count(*)::BIGINT AS n_users,
+         sum(metric) AS s, sum(metric * metric) AS ss
+  FROM users GROUP BY variant
+),
+m AS (
+  SELECT variant, n_users,
+         s / n_users AS mean,
+         (ss - s * s / n_users) / (n_users - 1) AS var
+  FROM per
+),
+o AS (
+  SELECT variant, n_users, mean, var,
+         sum(mean) OVER () - mean AS mean_o,
+         sum(var) OVER () - var AS var_o,
+         sum(n_users) OVER () - n_users AS n_o
+  FROM m
+)
+SELECT variant, n_users,
+       round(mean, 6) AS mean_value,
+       round((mean - mean_o) / sqrt(var / n_users + var_o / n_o), 6) AS welch_z
+FROM o
+ORDER BY variant
+"""
+
+
+def _abtest_sql() -> str:
+    from lachesis_spark.functions import hashing as H
+
+    return EVT_ABTEST_SQL.format(h=H.sql_hash01("CAST(user_id AS VARCHAR)", AB_SEED))
+
+
+QUERIES["evt_abtest"] = evt_abtest
+ORACLE["evt_abtest"] = _abtest_sql()

@@ -191,3 +191,15 @@ def test_attribution_models_on_known_journey(spark):
     assert got["view"].first_touch == 1.0 and got["view"].last_touch == 0.0
     assert all(abs(r.linear - 1 / 3) < 1e-9 for r in got.values())
     assert sum(r.n_pairs for r in got.values()) == 3  # stale view excluded
+
+
+def test_abtest_symmetry_and_partition(spark):
+    from lachesis_spark.plans.events import evt_abtest
+
+    rows = {r.variant: r for r in evt_abtest(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"A", "B"}
+    # the two z-scores are the same test from either side
+    assert abs(rows["A"].welch_z + rows["B"].welch_z) < 1e-6
+    # hash assignment partitions the full user set
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert rows["A"].n_users + rows["B"].n_users == ev.select("user_id").distinct().count()
