@@ -1142,9 +1142,13 @@ def nb_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
         .join(loglik, ["cls", "w"], "left")
         .groupBy("doc_id", "lang_true", "cls")
         .agg(
-            (
+            # rounded to 1e-9 before the argmax: the score is a sum of
+            # log-probs whose cross-engine summation order differs, and a
+            # near-tie between classes must not flip the row_number pick.
+            F.round(
                 F.first("log_prior")
-                + F.sum(F.coalesce(F.col("log_p"), F.col("log_default")))
+                + F.sum(F.coalesce(F.col("log_p"), F.col("log_default"))),
+                9,
             ).alias("score")
         )
     )
@@ -1197,8 +1201,8 @@ stoks AS (
 ),
 scored AS (
   SELECT s.doc_id, s.lang_true, c.cls,
-         any_value(c.log_prior)
-           + sum(coalesce(l.log_p, c.log_default)) AS score
+         round(any_value(c.log_prior)
+               + sum(coalesce(l.log_p, c.log_default)), 9) AS score
   FROM stoks s
   CROSS JOIN classes c
   LEFT JOIN loglik l ON l.cls = c.cls AND l.w = s.w

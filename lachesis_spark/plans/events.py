@@ -396,9 +396,12 @@ def evt_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir).select(
         "event_type", F.hour("ts").alias("hod"), "value"
     ).localCheckpoint(eager=False)
+    # mean is rounded BEFORE the 2x comparison: Spark and DuckDB sum
+    # doubles in different orders, so a raw avg can differ in the last ulp
+    # and flip a value sitting exactly at the 2x boundary between engines.
     prof = ev.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("value").alias("mean_raw"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
     )
     dev = (
         ev.join(F.broadcast(prof), ["event_type", "hod"])
@@ -413,7 +416,7 @@ def evt_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         prof.join(dev, ["event_type", "hod"])
         .select(
             "event_type", "hod", "n",
-            F.round("mean_raw", 6).alias("mean_value"),
+            F.col("mean_raw").alias("mean_value"),
             "n_above_2x",
         )
         .orderBy("event_type", "hod")
@@ -424,7 +427,8 @@ EVT_SEASONALITY_SQL = """
 WITH ev AS (
   SELECT event_type, CAST(extract(hour FROM ts) AS INT) AS hod, value FROM events
 ), prof AS (
-  SELECT event_type, hod, count(*)::BIGINT AS n, avg(value) AS mean_raw
+  SELECT event_type, hod, count(*)::BIGINT AS n,
+         round(avg(value), 6) AS mean_raw
   FROM ev GROUP BY event_type, hod
 ), dev AS (
   SELECT ev.event_type, ev.hod,
@@ -433,7 +437,7 @@ WITH ev AS (
   FROM ev JOIN prof USING (event_type, hod)
   GROUP BY ev.event_type, ev.hod
 )
-SELECT p.event_type, p.hod, p.n, round(p.mean_raw, 6) AS mean_value, d.n_above_2x
+SELECT p.event_type, p.hod, p.n, p.mean_raw AS mean_value, d.n_above_2x
 FROM prof p JOIN dev d USING (event_type, hod)
 ORDER BY p.event_type, p.hod
 """

@@ -312,8 +312,11 @@ def _common_neighbors_dense(adj: DataFrame, k: int) -> DataFrame:
         rows = top.collect()  # k rows, bounded
         kth = rows[-1]["n_common"] if len(rows) == k else -1
         # every unscored pair has one endpoint outside the pool, so its
-        # count is bounded by that endpoint's degree
-        if kth >= int(deg[pool_order[D]]):
+        # count is bounded by that endpoint's degree.  Strict inequality:
+        # an unscored pair tying the kth count could still outrank it
+        # under the (n_common desc, x asc, y asc) tiebreak, so on equality
+        # we must keep growing the pool.
+        if kth > int(deg[pool_order[D]]):
             return top
         D *= 4
 
