@@ -306,6 +306,29 @@ def inverse_newton(
     return x
 
 
+# k-by-k matrices at or under this dimension are inverted with the
+# reference's Eigen-style driver-dense gather; anything larger takes the
+# distributed Newton-Schulz path.  32x32 = 8 KB dense — unambiguously a
+# scalar-sized internal at any corpus scale.
+DENSE_INVERSE_MAX_DIM = 32
+
+
+def inverse_auto(a: DataFrame, n: int | None = None) -> DataFrame:
+    """Size-gated inverse dispatcher — the DSL ``inverse()`` keyword's
+    entry point (LAPostfixExpressionNode.h:30-32).  The reference always
+    gathers + Eigen-inverts; here only genuinely scalar-sized matrices
+    (n <= DENSE_INVERSE_MAX_DIM) do, and everything else runs the fully
+    distributed :func:`inverse_newton` iteration, so a ``.pdml`` script
+    inverting a corpus-derived Gram/covariance never plans a full
+    collect.  The dimension probe is a 1-row max aggregation."""
+    if n is None:
+        mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
+        n = int(max(mx["mi"], mx["mj"])) + 1
+    if n <= DENSE_INVERSE_MAX_DIM:
+        return inverse(a)
+    return inverse_newton(a, n=n)
+
+
 def duplicate_row(row_vec: DataFrame, n: int) -> DataFrame:
     """duplicateRow (LAEvaluateFunctions.cc:256-341): broadcast a 1×m row
     vector to n×m.  Implemented as explode of a range literal — no shuffle."""

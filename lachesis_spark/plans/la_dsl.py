@@ -17,7 +17,7 @@ algebra over COO DataFrames (lachesis_spark.plans.la).  Statements::
     R = rowSum(C)                # rowMax/rowMin/colMax/colMin/colSum likewise
     M = maxElement(A)            # minElement likewise
     G = duplicateRow(R, 10)      # duplicateCol likewise
-    I = inverse(C)               # driver-side dense inverse (small matrices)
+    I = inverse(C)               # size-gated: dense k-by-k, Newton-Schulz above
 
 ``run(spark, sf_dir, script)`` returns the DataFrame bound by the last
 statement.  Same operator set as the reference's grammar; everything lowers
@@ -181,7 +181,7 @@ class LAInterpreter:
         self._expect("op", ")")
         mat = self._as_matrix(arg)
         simple = {
-            "transpose": la.transpose, "inverse": la.inverse,
+            "transpose": la.transpose, "inverse": la.inverse_auto,
             "rowSum": la.row_sum, "colSum": la.col_sum,
             "rowMax": la.row_max, "rowMin": la.row_min,
             "colMax": la.col_max, "colMin": la.col_min,
@@ -234,5 +234,40 @@ scaled AS (
 SELECT i, sum(v) AS v FROM scaled GROUP BY i
 """
 
-QUERIES = {"la_dsl_gram_rowsum": la_dsl_gram_rowsum}
-ORACLE = {"la_dsl_gram_rowsum": LA_DSL_SQL}
+# ---------------------------------------------------------------------------
+# Registry query: inverse() THROUGH THE DSL TEXT FRONT-END.  The 64x64
+# Gram sits above DENSE_INVERSE_MAX_DIM, so the keyword dispatches to the
+# fully distributed Newton-Schulz path (la.inverse_auto) — a user writing
+# .pdml gets the same 100 TB-safe plan as the registry's
+# la_inverse_identity (test-locked: the driver-dense helper is
+# monkeypatch-poisoned in tests/test_la_dsl.py).  Tolerance-oracle as
+# there: round(1e-6) + filter-nonzero turns inverse(G) %*% G into literal
+# I, which DuckDB can predict without inverting anything.
+_SCRIPT_INV = """
+A = load(embeddings)        # n x 64
+G = A '* A                  # Gram: 64 x 64
+P = inverse(G) %*% G        # ~= I, via the distributed inverse
+"""
+
+
+def la_dsl_inverse(spark, sf_dir):
+    prod = run(spark, sf_dir, _SCRIPT_INV)
+    return prod.select(
+        "i", "j", F.round(F.col("v"), 6).alias("v")
+    ).filter(F.col("v") != 0.0)
+
+
+LA_DSL_INVERSE_SQL = """
+SELECT CAST(i AS BIGINT) AS i, CAST(i AS BIGINT) AS j,
+       CAST(1.0 AS DOUBLE) AS v
+FROM range(64) t(i)
+"""
+
+QUERIES = {
+    "la_dsl_gram_rowsum": la_dsl_gram_rowsum,
+    "la_dsl_inverse": la_dsl_inverse,
+}
+ORACLE = {
+    "la_dsl_gram_rowsum": LA_DSL_SQL,
+    "la_dsl_inverse": LA_DSL_INVERSE_SQL,
+}

@@ -37,6 +37,39 @@ def test_dsl_identity_matmul(spark):
     assert got.filter(F.col("v") != 0.0).count() == 0
 
 
+def test_dsl_inverse_dispatch(spark, monkeypatch):
+    """The DSL inverse() keyword is size-gated: above DENSE_INVERSE_MAX_DIM
+    it must run the distributed Newton-Schulz path and NEVER the
+    driver-dense gather (poisoned here); at or below the gate the dense
+    helper is the reference-faithful choice and must be taken."""
+    # 64x64 Gram > gate: poison the dense helper — must not be called
+    monkeypatch.setattr(
+        la, "inverse",
+        lambda *_a, **_k: (_ for _ in ()).throw(
+            AssertionError("driver-dense inverse used above the size gate")),
+    )
+    out = la_dsl.run(
+        spark, SF_SMOKE,
+        "A = load(embeddings)\nG = A '* A\nP = inverse(G) %*% G\n",
+    )
+    rows = out.select(
+        "i", "j", F.round(F.col("v"), 6).alias("v")
+    ).filter(F.col("v") != 0.0).collect()
+    assert len(rows) == 64
+    assert all(r["i"] == r["j"] and abs(r["v"] - 1.0) < 1e-5 for r in rows)
+    # small identity <= gate: the dense path must be taken (monkeypatch a
+    # marker instead of the poison)
+    called = {}
+
+    def marker(a, *_a, **_k):
+        called["dense"] = True
+        return a  # identity is its own inverse
+
+    monkeypatch.setattr(la, "inverse", marker)
+    small = la_dsl.run(spark, SF_SMOKE, "I = identity(8)\nJ = inverse(I)\n")
+    assert small.count() == 8 and called.get("dense")
+
+
 def test_dsl_errors(spark):
     with pytest.raises(SyntaxError):
         la_dsl.run(spark, SF_SMOKE, "A = load(embeddings)\nB = A * A\n")
