@@ -465,7 +465,14 @@ SELECT i AS vec_id, CAST(cls AS INTEGER) AS pred_class, score FROM (
 # four gates carried as parallel aggregate columns (one join computes all
 # gate pre-activations), md5-derived weights as in ff_inference.
 LSTM_HID = 8
-LSTM_T = 2
+# Sequence depth.  The reference's LSTM workload processes full sequences
+# (src/LSTM/headers/); round 7 unrolled only 2 steps — shape parity without
+# depth parity.  T=8 runs the real recurrence with per-step lineage
+# checkpointing (_maybe_checkpoint, every=2), so per-step cost stays flat:
+# each step is one broadcast-U join + one (i, h) aggregation regardless of
+# how many steps preceded it.
+LSTM_T = 8
+LSTM_CHECKPOINT_EVERY = 2
 
 
 def _lstm_weights(spark: SparkSession):
@@ -508,6 +515,9 @@ def lstm_inference(spark, sf_dir):
         coo.join(F.broadcast(W), "j")
         .groupBy("i", "h")
         .agg(*[F.sum(F.col("v") * F.col(f"w{gt}")).alias(f"x{gt}") for gt in "ifog"])
+        # referenced by every timestep: materialize once (n x LSTM_HID rows,
+        # distributed) instead of re-deriving the embedding scan T times
+        .localCheckpoint(eager=True)
     )
 
     state = None  # (i, h, c, hh)
@@ -545,7 +555,10 @@ def lstm_inference(spark, sf_dir):
         else:
             c = gf * F.col("c") + gi * gg
             pre = pre.join(state.select("i", "h", "c"), ["i", "h"])
-        state = pre.select("i", "h", c.alias("c"), (go * F.tanh(c)).alias("hh"))
+        state = _maybe_checkpoint(
+            pre.select("i", "h", c.alias("c"), (go * F.tanh(c)).alias("hh")),
+            _t, LSTM_T, every=LSTM_CHECKPOINT_EVERY,
+        )
     return state.select(F.col("i").alias("vec_id"), "h", F.col("hh").alias("hv"))
 
 
