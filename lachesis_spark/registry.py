@@ -50,8 +50,12 @@ _PRIORITY = [
     # deterministic-sketch subsystem, and op_percentiles out (exact
     # percentile semantics stay gate-exercised through text_quality_filter's
     # percentile threshold and sweep-checked in op_percentiles) for the
-    # event-sequence subsystem.
-    "op_cube", "op_outer_join", "sketch_hll",
+    # event-sequence subsystem.  Round 8 rotated the sketch seat from
+    # sketch_hll to sketch_quantile (the mergeable-sketch family's most
+    # plan-interesting member: per-partition KLL-style compactors merged as
+    # partial aggregation; sketch_hll stays oracle-checked in the strict
+    # sweep).
+    "op_cube", "op_outer_join", "sketch_quantile",
     # Round 7 rotated op_range_window out (op_window_analytics keeps the
     # window-function seat; range frames stay oracle-checked in the strict
     # sweep) to seat the materialized-view subsystem.
@@ -77,8 +81,14 @@ _PRIORITY = [
     # depth / 2-round forms stay oracle-checked in the strict sweep.
     "dedup_exact", "dedup_minhash_lsh", "dedup_components_conv", "dedup_chunks",
     "tok_bpe_merges",
-    "ann_bruteforce", "ann_ivf",
-    "text_stats", "text_quality_filter", "text_langid_ngram",
+    # Round 8 rotated ann_ivf out (ann_bruteforce keeps the ANN seat; the
+    # IVF path stays oracle-checked in the strict sweep and recall-measured
+    # by ann_recall) to seat the round-7 data-quality-check production form.
+    "ann_bruteforce", "stats_dq_checks",
+    # Round 8 rotated text_stats out (text_quality_filter and
+    # text_langid_ngram keep two text seats) to seat the round-7
+    # multi-touch-attribution production form.
+    "evt_attribution", "text_quality_filter", "text_langid_ngram",
     # event-time + structured streaming.  Round 7 rotated win_asof out
     # (windows keeps win_tumbling; win_asof stays oracle-checked in the
     # strict sweep) to seat the new search subsystem's BM25 representative.
