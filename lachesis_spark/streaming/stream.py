@@ -554,6 +554,142 @@ def stream_ewma_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Late-data semantics under a real multi-microbatch replay (round-8 verdict
+# task 8).  Every other stream query replays the whole table in effectively
+# one batch, so the watermark never actually drops anything; this one feeds
+# THREE files through maxFilesPerTrigger=1 so a watermark established early
+# in the replay genuinely filters the final batch:
+#
+#   file 0 (early): all events with ts <  Jan 25, plus a '_sentinel' row at
+#                   Jan 24 23:59:59 pinning the post-batch-0 watermark into
+#                   [Jan 24 22:59:59, Jan 24 23:00:00).
+#   file 1 (mid):   on-time events with ts in [Jan 25, Jan 28).  Needed
+#                   because Spark applies the late-event filter with the
+#                   PREVIOUS batch's watermark (the SPARK-40925 split:
+#                   lateEvents wm lags eviction wm by one batch) — measured
+#                   here: a late row arriving in batch N is judged against
+#                   the watermark displayed at batch N-1.  The mid batch
+#                   also evicts every window ending <= Jan 24 22:59:59.
+#   file 2 (late):  on-time events with ts >= Jan 28, plus two replay bands
+#                   re-delivering rows already sent in file 0:
+#                     KEPT:    ts in [Jan 24 23:00, Jan 25), event_id%5=0 —
+#                              out-of-order but ABOVE the active watermark,
+#                              window still open -> counted twice;
+#                     DROPPED: ts in [Jan 20, Jan 21), event_id%5=0 — far
+#                              below the watermark, windows long evicted ->
+#                              counted once (the replay is discarded).
+#                   A final '_sentinel' at Jan 31 01:00:01 pushes the
+#                   closing watermark past every real window end so append
+#                   mode emits all of them.
+#
+# Both bands clear every boundary by >= 1 minute, so the result is identical
+# whether Spark filters on event-time or window-end, < or <=, and whether
+# the drop rule is watermark-lag or state-eviction based.  The oracle is
+# batch SQL over the EFFECTIVE input (original rows once + kept band twice),
+# which DuckDB computes without any streaming machinery.
+LATE_WATERMARK = "1 hour"
+LATE_SPLIT = "2024-01-25 00:00:00"
+LATE_MID_SPLIT = "2024-01-28 00:00:00"
+LATE_KEEP_LO = "2024-01-24 23:00:00"
+LATE_DROP_LO = "2024-01-20 00:00:00"
+LATE_DROP_HI = "2024-01-21 00:00:00"
+LATE_MOD = 5
+_SENTINEL = "_sentinel"
+
+
+def _late_data_source_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-file out-of-order source; returns the directory.
+    File order is forced early-then-late via names + mtimes (the file source
+    lists oldest-first)."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from lachesis_spark.sources.readers import read_events
+
+    d = os.path.join(
+        tempfile.gettempdir(), "lachesis_stream_late",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    ev = read_events(spark, sf_dir, ltz=True).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    sent = "CAST('{}' AS TIMESTAMP) AS ts, '{}' AS event_type".format
+    early = ev.filter(F.col("ts") < F.lit(LATE_SPLIT)).unionByName(
+        spark.sql(f"SELECT -1 AS event_id, {sent('2024-01-24 23:59:59', _SENTINEL)}, 0.0 AS value")
+    )
+    mid = ev.filter(
+        (F.col("ts") >= F.lit(LATE_SPLIT)) & (F.col("ts") < F.lit(LATE_MID_SPLIT))
+    )
+    replay = F.col("event_id") % LATE_MOD == 0
+    late = (
+        ev.filter(F.col("ts") >= F.lit(LATE_MID_SPLIT))
+        .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_KEEP_LO)) & (F.col("ts") < F.lit(LATE_SPLIT))))
+        .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_DROP_LO)) & (F.col("ts") < F.lit(LATE_DROP_HI))))
+        .unionByName(
+            spark.sql(f"SELECT -2 AS event_id, {sent('2024-01-31 01:00:01', _SENTINEL)}, 0.0 AS value")
+        )
+    )
+    now = time.time()
+    for age, (name, df) in enumerate((("02_late", late), ("01_mid", mid), ("00_early", early))):
+        stage = os.path.join(d, f".stage_{name}")
+        df.drop("event_id").coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (now - 100 * age, now - 100 * age))
+    return d
+
+
+def stream_late_data_counts(events: DataFrame) -> DataFrame:
+    """Watermarked tumbling counts in APPEND mode — emitted only once the
+    watermark passes the window, which is what makes late-row dropping
+    observable (complete mode would re-emit everything every batch)."""
+    return (
+        events.withWatermark("ts", LATE_WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def stream_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _late_data_source_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    with _state_partitions(spark):
+        run_to_memory(stream_late_data_counts(ev), "q_stream_late", "append")
+    return spark.table("q_stream_late").filter(F.col("event_type") != _SENTINEL)
+
+
+STREAM_LATE_SQL = f"""
+WITH eff AS (
+  SELECT ts, event_type, value FROM events
+  UNION ALL
+  SELECT ts, event_type, value FROM events
+  WHERE event_id % {LATE_MOD} = 0
+    AND ts >= TIMESTAMP '{LATE_KEEP_LO}' AND ts < TIMESTAMP '{LATE_SPLIT}'
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS win_end,
+       event_type, count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM eff GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "stream_tumbling": stream_tumbling_query,
     "stream_session": stream_session_query,
@@ -562,6 +698,7 @@ QUERIES = {
     "stream_dedup": stream_dedup_query,
     "stream_enrich": stream_enrich_query,
     "stream_ewma": stream_ewma_query,
+    "stream_late_data": stream_late_data_query,
 }
 
 ORACLE = {
@@ -572,6 +709,7 @@ ORACLE = {
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enrich": STREAM_ENRICH_SQL,
     "stream_ewma": WIN_EWMA_SQL,
+    "stream_late_data": STREAM_LATE_SQL,
 }
 
 

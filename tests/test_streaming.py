@@ -399,3 +399,48 @@ def test_stream_ewma_equals_batch_under_multibatch_replay(spark):
     )
     assert diff.count() == 0
     assert got.count() == want.count()
+
+
+def test_stream_late_data_drop_keep_boundary(spark):
+    """Pins the watermark drop/keep boundary: replays below the watermark
+    are discarded (drop band counted once), replays above it are merged
+    (keep band counted twice), measured against the static batch counts.
+    sf0.01, not SF_SMOKE: the 1-hour keep band is empty at sf0.001 and the
+    keep half of the boundary would be vacuous (both sides asserted
+    non-empty below)."""
+    from lachesis_spark.sources.readers import read_events
+
+    sf = "/root/testdata/sf0.01"
+    got = S.stream_late_data_query(spark, sf)
+    ev = read_events(spark, sf, ltz=True)
+    replay = F.col("event_id") % S.LATE_MOD == 0
+
+    def band_counts(df, lo, hi):
+        return (
+            df.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+            .count()
+        )
+
+    # DROP band: streamed counts equal the plain batch counts — the replayed
+    # copies were discarded even though they were fed to the engine.
+    drop_got = got.filter(
+        (F.col("win_start") >= F.lit(S.LATE_DROP_LO))
+        & (F.col("win_start") < F.lit(S.LATE_DROP_HI))
+    ).agg(F.sum("n_events")).first()[0]
+    drop_want = band_counts(ev, S.LATE_DROP_LO, S.LATE_DROP_HI)
+    n_drop_replays = band_counts(
+        ev.filter(replay), S.LATE_DROP_LO, S.LATE_DROP_HI
+    )
+    assert n_drop_replays > 0, "drop band empty — boundary test is vacuous"
+    assert drop_got == drop_want
+
+    # KEEP band: streamed counts equal batch + replays — the out-of-order
+    # copies arrived above the watermark and were merged.
+    keep_got = got.filter(
+        (F.col("win_start") >= F.lit(S.LATE_KEEP_LO))
+        & (F.col("win_start") < F.lit(S.LATE_SPLIT))
+    ).agg(F.sum("n_events")).first()[0]
+    keep_base = band_counts(ev, S.LATE_KEEP_LO, S.LATE_SPLIT)
+    keep_replays = band_counts(ev.filter(replay), S.LATE_KEEP_LO, S.LATE_SPLIT)
+    assert keep_replays > 0, "keep band empty — boundary test is vacuous"
+    assert keep_got == keep_base + keep_replays
