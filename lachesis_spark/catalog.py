@@ -366,27 +366,39 @@ class Catalog:
     def read_set_pruned(
         self, db: str, name: str, col: str, lo=None, hi=None
     ) -> DataFrame:
-        """Zone-map file skipping: return the set filtered to
-        ``lo <= col <= hi`` (either bound may be None = open), reading ONLY
-        the files whose recorded [min, max] for ``col`` overlaps the range.
+        """Zone-map file skipping on one column — see
+        :meth:`read_set_pruned_multi` for the semantics."""
+        return self.read_set_pruned_multi(db, name, {col: (lo, hi)})
 
-        Correctness never depends on the sidecar: the residual range filter
-        is always applied, files without stats (no sidecar, column not
-        mapped, new files a rewrite added, all-null stats) are always read,
-        and a missing sidecar degrades to a plain filtered read_set.  The
-        pruning itself happens before Spark lists or opens the skipped
-        files — at 100 TB with date-range queries over a date-clustered
-        set, that is the difference between touching 3 files and 30 000.
+    def read_set_pruned_multi(
+        self, db: str, name: str, ranges: dict
+    ) -> DataFrame:
+        """Zone-map file skipping: return the set filtered to
+        ``lo <= col <= hi`` for every ``col: (lo, hi)`` in ``ranges``
+        (either bound may be None = open), reading ONLY the files whose
+        recorded [min, max] overlaps EVERY range — the read path that pays
+        off a Z-ordered layout, where a multi-dimensional box prunes on all
+        clustered columns at once instead of just a leading sort key.
+
+        Correctness never depends on the sidecar: the residual range
+        filters are always applied, files without stats (no sidecar,
+        column not mapped, new files a rewrite added, all-null stats) are
+        always read, and a missing sidecar degrades to a plain filtered
+        read_set.  The pruning itself happens before Spark lists or opens
+        the skipped files — at 100 TB with date-range queries over a
+        date-clustered set, that is the difference between touching 3
+        files and 30 000.
         """
         import json
 
         from pyspark.sql import functions as F
 
         def residual(df: DataFrame) -> DataFrame:
-            if lo is not None:
-                df = df.filter(F.col(col) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(col) <= F.lit(hi))
+            for col, (lo, hi) in ranges.items():
+                if lo is not None:
+                    df = df.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(col) <= F.lit(hi))
             return df
 
         path = self.set_path(db, name)
@@ -395,19 +407,24 @@ class Catalog:
             return residual(self.read_set(db, name))
         with open(zmp) as fh:
             zm = json.load(fh)
-        stats = zm.get("files", {}) if col in zm.get("cols", []) else {}
-        nlo = _zonemap_safe(lo)
-        nhi = _zonemap_safe(hi)
+        mapped = set(zm.get("cols", []))
+        bounds = {
+            col: (_zonemap_safe(lo), _zonemap_safe(hi))
+            for col, (lo, hi) in ranges.items()
+            if col in mapped
+        }
+        files_stats = zm.get("files", {})
 
         def keep(fname: str) -> bool:
-            st = stats.get(fname, {}).get(col)
-            if not st or st[0] is None or st[1] is None:
-                return True  # fail-safe: no usable stats -> read it
-            fmin, fmax = st
-            if nlo is not None and fmax < nlo:
-                return False
-            if nhi is not None and fmin > nhi:
-                return False
+            for col, (nlo, nhi) in bounds.items():
+                st = files_stats.get(fname, {}).get(col)
+                if not st or st[0] is None or st[1] is None:
+                    continue  # fail-safe: no usable stats -> can't skip
+                fmin, fmax = st
+                if nlo is not None and fmax < nlo:
+                    return False
+                if nhi is not None and fmin > nhi:
+                    return False
             return True
 
         data_files = [

@@ -873,3 +873,39 @@ def test_profile_table_matches_hand_stats(spark):
     assert rows["s"]["n_nulls"] == 1 and rows["s"]["n_distinct"] == 2
     assert rows["s"]["min_num"] is None  # non-numeric column
     assert rows["x"]["n_nulls"] == 1 and rows["x"]["min_num"] == 0.5
+
+
+def test_read_set_pruned_multi_prunes_both_dimensions(spark, tmp_path):
+    """A z-ordered set read through a 2-D box prunes files on BOTH
+    clustered columns and still returns exactly the filtered rows; the
+    2-D prune reads no more files than either single-column prune."""
+    import os
+
+    from lachesis_spark.advisor.apply import rewrite_layout
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    cat.write_set(orders.repartition(8), "db", "odz")
+    rewrite_layout(cat, "db", "odz", "zorder", ["o_custkey", "o_totalprice"])
+
+    lo_c, hi_c = 10, 40
+    lo_p, hi_p = 50_000.0, 150_000.0
+    box = {"o_custkey": (lo_c, hi_c), "o_totalprice": (lo_p, hi_p)}
+    pruned = cat.read_set_pruned_multi("db", "odz", box)
+    path = cat.set_path("db", "odz")
+    n_total = len([f for f in os.listdir(path) if f.startswith("part-")])
+    n_box = len(pruned.inputFiles())
+    n_cust = len(
+        cat.read_set_pruned("db", "odz", "o_custkey", lo_c, hi_c).inputFiles()
+    )
+    n_price = len(
+        cat.read_set_pruned("db", "odz", "o_totalprice", lo_p, hi_p).inputFiles()
+    )
+    assert 0 < n_box <= min(n_cust, n_price) < n_total
+
+    expect = orders.filter(
+        F.col("o_custkey").between(lo_c, hi_c)
+        & F.col("o_totalprice").between(lo_p, hi_p)
+    ).count()
+    assert pruned.count() == expect

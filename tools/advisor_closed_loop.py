@@ -90,6 +90,36 @@ def skew_workload(cat, fact, dim):
 
 RANGE_LO, RANGE_HI = 1000, 4000
 
+# 2-D selection box for the Z-order dimension: ~10% selective in each of
+# two INDEPENDENT columns.  A single-column range clustering can prune only
+# one of them; the Z-curve keeps per-file spans bounded in both, so the
+# box touches O(sqrt(files)) instead of all of them.
+Z_CUST_LO, Z_CUST_HI = 1000, 2500
+Z_PRICE_LO, Z_PRICE_HI = 150_000, 200_000
+
+
+def zorder_workload(cat):
+    """Two-dimensional box scan through the multi-column pruning entry
+    point: before the advisor acts the set is unclustered (full scan +
+    filters); after apply_all's zorder rewrite the same call skips files
+    on BOTH dimensions at planning time."""
+    pruned = cat.read_set_pruned_multi(
+        "db", "od_zorder",
+        {"o_custkey": (Z_CUST_LO, Z_CUST_HI),
+         "o_totalprice": (Z_PRICE_LO, Z_PRICE_HI)},
+    )
+    return pruned.groupBy("o_orderstatus").agg(F.sum("o_totalprice").alias("s"))
+
+
+def zorder_files_read(cat) -> int:
+    return len(
+        cat.read_set_pruned_multi(
+            "db", "od_zorder",
+            {"o_custkey": (Z_CUST_LO, Z_CUST_HI),
+             "o_totalprice": (Z_PRICE_LO, Z_PRICE_HI)},
+        ).inputFiles()
+    )
+
 
 def range_workload(cat):
     """Key-range scan through the pruning entry point: before the advisor
@@ -144,6 +174,9 @@ def main():
     # spans the whole key range — zone maps would prune nothing until the
     # advisor's range_zonemap rewrite re-clusters it
     cat.write_set(od.repartition(32), "db", "od_range")
+    # 2-D-scanned set, same unclustered start; the TWO filter columns in
+    # its history make recommend_layout pick zorder instead of range
+    cat.write_set(od.repartition(32), "db", "od_zorder")
     dim = spark.range(N_KEYS).select(
         F.col("id").alias("k"), (F.col("id") % 97).alias("w")
     ).cache()
@@ -184,6 +217,19 @@ def main():
             f"range_run{i}", time.perf_counter() - t0,
             capture_usages_from_plan(rq),
         )
+    # 2-D-filter history: two pushed predicates on the same scan — the
+    # combined-weight signal the zorder rule fires on
+    for i in range(3):
+        zq = cat.read_set("db", "od_zorder").where(
+            F.col("o_custkey").between(Z_CUST_LO, Z_CUST_HI)
+            & F.col("o_totalprice").between(Z_PRICE_LO, Z_PRICE_HI)
+        )
+        t0 = time.perf_counter()
+        zq.count()
+        h.record_job(
+            f"zorder_run{i}", time.perf_counter() - t0,
+            capture_usages_from_plan(zq),
+        )
 
     before = {
         "join_sec": run_timed(join_workload(a, b)),
@@ -193,6 +239,8 @@ def main():
         "skew_sec": run_timed(skew_workload(cat, sk, dim)),
         "range_sec": run_timed(range_workload(cat)),
         "range_files": range_files_read(cat),
+        "zorder_sec": run_timed(zorder_workload(cat)),
+        "zorder_files": zorder_files_read(cat),
     }
 
     # ----- phase 2+3: ADVISE + APPLY (the one call under test)
@@ -208,6 +256,7 @@ def main():
             "db.frag": ("db", "frag"),
             "db.skewfact": ("db", "skewfact"),
             "od_range": ("db", "od_range"),
+            "od_zorder": ("db", "od_zorder"),
         },
         n_buckets=N_BUCKETS,
     )
@@ -225,6 +274,8 @@ def main():
         "skew_sec": run_timed(skew_workload(cat, sk2, dim)),
         "range_sec": run_timed(range_workload(cat)),
         "range_files": range_files_read(cat),
+        "zorder_sec": run_timed(zorder_workload(cat)),
+        "zorder_files": zorder_files_read(cat),
     }
 
     out = {
@@ -240,6 +291,7 @@ def main():
         "scan_speedup": round(before["scan_sec"] / after["scan_sec"], 2),
         "skew_speedup": round(before["skew_sec"] / after["skew_sec"], 2),
         "range_speedup": round(before["range_sec"] / after["range_sec"], 2),
+        "zorder_speedup": round(before["zorder_sec"] / after["zorder_sec"], 2),
     }
     print(json.dumps(out), flush=True)
 
@@ -266,6 +318,7 @@ Applied: {actions}
 | fragmented scan+agg | {out['before']['scan_sec']} s ({out['before']['scan_files']} files) | {out['after']['scan_sec']} s ({out['after']['scan_files']} files) | {out['scan_speedup']}× |
 | skewed fact⋈dim (hint-salted) | {out['before']['skew_sec']} s | {out['after']['skew_sec']} s | {out['skew_speedup']}× |
 | key-range scan (range_zonemap) | {out['before']['range_sec']} s ({out['before']['range_files']} files read) | {out['after']['range_sec']} s ({out['after']['range_files']} files read) | {out['range_speedup']}× |
+| 2-D box scan (zorder) | {out['before']['zorder_sec']} s ({out['before']['zorder_files']} files read) | {out['after']['zorder_sec']} s ({out['after']['zorder_files']} files read) | {out['zorder_speedup']}× |
 """)
 
 
