@@ -250,6 +250,127 @@ Q_BINS = 1024
 Q_PROBES = (0.5, 0.9, 0.99)
 
 
+def _exact_quantiles_refined(spark: SparkSession, x: DataFrame, probes) -> DataFrame:
+    """EXACT quantile_cont(p) of column ``x`` as a fully distributed
+    histogram-refinement selection — the scale-safe replacement for
+    Spark's ``percentile`` aggregate, which buffers every value of the
+    group in executor memory (OOM'd the ×100 probe at 60 M rows; at
+    100 TB it is not even a conversation).
+
+    Three bounded passes, no value ever sorted globally:
+
+      1. B-bin histogram (map-side combined, ≤ B rows shuffled) collected
+         to the driver (≤ B rows) locates the level-1 bin of every needed
+         order statistic;
+      2. one filtered pass re-bins ONLY those ≤ 2·|probes| bins into B
+         sub-bins each (≤ 2·|probes|·B rows, collected) — each target
+         rank now sits in a leaf holding ~n/B² of the data;
+      3. one filtered pass over the ≤ 2·|probes| leaves ranks rows inside
+         each leaf (window partitioned per leaf — n/B² rows per
+         partition, ~1 M rows at n = 10¹²) and keeps the target
+         positions.
+
+    Bin-membership expressions are REUSED verbatim between the counting
+    and selection passes, so FP boundary rounding cannot leak a row
+    between bins.  quantile_cont semantics (linear interpolation at rank
+    1 + p·(n−1)) match DuckDB's, which keeps SKETCH_QUANTILE_SQL a
+    binding oracle.  Returns a (p, exact) DataFrame."""
+    import math as _math
+
+    from pyspark.sql import Window
+
+    mm_row = x.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
+    lo, hi = float(mm_row["lo"]), float(mm_row["hi"])
+    n = x.count()
+    if n == 0:
+        return spark.createDataFrame([], "p double, exact double")
+    if hi == lo:
+        return spark.createDataFrame(
+            [(float(p), round(lo, 6)) for p in probes], "p double, exact double"
+        )
+    # needed 1-indexed order statistics: floor/ceil of rank 1 + p(n-1)
+    need: dict[int, None] = {}
+    rk = {}
+    for p in probes:
+        r = 1.0 + float(p) * (n - 1)
+        rk[float(p)] = r
+        need[int(_math.floor(r))] = None
+        need[min(n, int(_math.floor(r)) + 1)] = None
+    ranks = sorted(need)
+
+    w1 = (hi - lo) / Q_BINS
+    bin1 = F.least(F.lit(Q_BINS - 1), F.floor((F.col("x") - F.lit(lo)) / F.lit(w1))).cast("long")
+    h1 = sorted(
+        x.select(bin1.alias("b1")).groupBy("b1").count().collect(),
+        key=lambda r: r["b1"],
+    )
+    # locate each rank's level-1 bin + count of rows before that bin
+    loc1: dict[int, tuple[int, int]] = {}
+    cum = 0
+    hi_iter = iter(h1)
+    cur = next(hi_iter)
+    for r in ranks:
+        while cum + cur["count"] < r:
+            cum += cur["count"]
+            cur = next(hi_iter)
+        loc1[r] = (int(cur["b1"]), cum)
+    bins1 = sorted({b for b, _ in loc1.values()})
+
+    w2 = w1 / Q_BINS
+    sub = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(Q_BINS - 1),
+            F.floor((F.col("x") - F.lit(lo) - F.col("b1") * F.lit(w1)) / F.lit(w2)),
+        ),
+    ).cast("long")
+    lvl2 = (
+        x.select("x", bin1.alias("b1"))
+        .filter(F.col("b1").isin(bins1))
+        .select("x", "b1", sub.alias("b2"))
+    )
+    h2: dict[int, list] = {}
+    for row in lvl2.groupBy("b1", "b2").count().collect():
+        h2.setdefault(int(row["b1"]), []).append(row)
+    loc2: dict[int, tuple[int, int, int]] = {}  # rank -> (b1, b2, before)
+    for r, (b1v, before1) in loc1.items():
+        cum2 = before1
+        for row in sorted(h2[b1v], key=lambda q: q["b2"]):
+            if cum2 + row["count"] >= r:
+                loc2[r] = (b1v, int(row["b2"]), cum2)
+                break
+            cum2 += row["count"]
+    leaves = sorted({(b1v, b2v) for b1v, b2v, _ in loc2.values()})
+    targets = [  # (b1, b2, k_local, rank)
+        (b1v, b2v, r - before, r) for r, (b1v, b2v, before) in loc2.items()
+    ]
+
+    leaf_pred = None
+    for a, b in leaves:
+        cond = (F.col("b1") == F.lit(a)) & (F.col("b2") == F.lit(b))
+        leaf_pred = cond if leaf_pred is None else (leaf_pred | cond)
+    leaf_rows = lvl2.filter(leaf_pred)
+    wleaf = Window.partitionBy("b1", "b2").orderBy("x")
+    ranked = leaf_rows.withColumn("k", F.row_number().over(wleaf))
+    tgt = spark.createDataFrame(
+        [(a, b, int(k), int(r)) for a, b, k, r in targets],
+        "b1 long, b2 long, k int, rank long",
+    )
+    vals = {
+        int(row["rank"]): float(row["x"])
+        for row in ranked.join(F.broadcast(tgt), ["b1", "b2", "k"]).collect()
+    }
+    out = []
+    for p in probes:
+        r = rk[float(p)]
+        k0 = int(_math.floor(r))
+        k1 = min(n, k0 + 1)
+        frac = r - k0
+        v = vals[k0] * (1.0 - frac) + vals[k1] * frac
+        out.append((float(p), round(v, 6)))
+    return spark.createDataFrame(out, "p double, exact double")
+
+
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     x = li.select(F.col("l_extendedprice").alias("x"))
@@ -293,21 +414,7 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("estimate"),
         )
     )
-    exact = li.agg(
-        *[
-            F.expr(f"percentile(l_extendedprice, {p})").alias(f"e{i}")
-            for i, p in enumerate(Q_PROBES)
-        ]
-    ).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(p).alias("p"), F.col(f"e{i}").alias("exact"))
-                    for i, p in enumerate(Q_PROBES)
-                ]
-            )
-        ).alias("s")
-    ).select("s.p", F.round("s.exact", 6).alias("exact"))
+    exact = _exact_quantiles_refined(spark, x, Q_PROBES)
     return (
         est.join(exact, "p")
         .select("p", "estimate", "exact", F.round(F.abs(F.col("estimate") - F.col("exact")), 6).alias("abs_err"))

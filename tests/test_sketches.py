@@ -87,3 +87,27 @@ def test_cm_join_estimate_is_upper_bound(spark):
     row = sketch_join_size(spark, "/root/testdata/sf0.001").collect()[0]
     assert row.cm_estimate >= row.exact_join_size
     assert row.rel_overcount >= 0
+
+
+def test_exact_quantiles_refined_matches_percentile(spark):
+    """The distributed histogram-refinement order statistic equals
+    Spark's in-memory percentile aggregate (the thing it replaced after
+    the x100 OOM), including the degenerate constant-column case."""
+    import pyspark.sql.functions as F
+
+    from lachesis_spark.plans.sketches import Q_PROBES, _exact_quantiles_refined
+
+    x = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_extendedprice").alias("x"))
+    )
+    got = {r["p"]: r["exact"] for r in _exact_quantiles_refined(spark, x, Q_PROBES).collect()}
+    want = x.agg(
+        *[F.expr(f"percentile(x, {p})").alias(str(p)) for p in Q_PROBES]
+    ).first()
+    for p in Q_PROBES:
+        assert abs(got[float(p)] - round(float(want[str(p)]), 6)) < 1e-6
+
+    const = spark.range(100).select(F.lit(7.5).alias("x"))
+    got_c = {r["p"]: r["exact"] for r in _exact_quantiles_refined(spark, const, Q_PROBES).collect()}
+    assert all(v == 7.5 for v in got_c.values())
