@@ -416,7 +416,7 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = _exact_quantiles_refined(spark, x, Q_PROBES)
     return (
-        est.join(exact, "p")
+        est.join(F.broadcast(exact), "p")
         .select("p", "estimate", "exact", F.round(F.abs(F.col("estimate") - F.col("exact")), 6).alias("abs_err"))
         .orderBy("p")
     )
