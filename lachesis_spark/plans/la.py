@@ -209,6 +209,15 @@ def inverse_newton(
     matrix-width matmuls.
     """
     spark = a.sparkSession
+    # A is referenced by EVERY sweep's A·X matmul (plus the norm/dimension
+    # probes): materialize it once or its lineage — for a DSL input this is
+    # the whole corpus Gram pass — re-executes per sweep (measured: the
+    # ×10 probe's 0.43 exponent on la_dsl_inverse was ~11 corpus re-scans,
+    # not the scale-free sweeps).  A is always reduced-dim here (k×k —
+    # inverse of the data matrix itself is never the operation), so the
+    # checkpoint is model-sized; for an already-trivial input (identity)
+    # it costs one no-op job.
+    a = a.localCheckpoint(eager=True)
     if n is None:
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
@@ -322,6 +331,10 @@ def inverse_auto(a: DataFrame, n: int | None = None) -> DataFrame:
     inverting a corpus-derived Gram/covariance never plans a full
     collect.  The dimension probe is a 1-row max aggregation."""
     if n is None:
+        # materialize before probing: the probe job plus the dense gather
+        # or every Newton sweep would otherwise each re-execute the input's
+        # lineage (for a .pdml Gram, a full corpus pass per reference)
+        a = a.localCheckpoint(eager=True)
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
     if n <= DENSE_INVERSE_MAX_DIM:
