@@ -638,6 +638,51 @@ FROM orders WHERE o_orderkey BETWEEN 1000 AND 4000
 GROUP BY o_orderstatus
 """
 
+def ds_zonemap_box(spark, sf_dir: str):
+    """Multi-dimensional file skipping (round 8): orders is written
+    Z-ORDERED on (o_custkey, o_totalprice) with zone maps on both columns,
+    then a 2-D box query plans through ``read_set_pruned_multi`` — file
+    [min,max] must overlap the box in EVERY dimension to be read, which is
+    the read path a Z-curve layout exists for (a single-column range
+    clustering can prune only its leading key).  Pruning is asserted
+    separately in tests/test_advisor.py; the oracle runs the same box
+    filter over the raw table — identical rows prove skipping never drops
+    data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_zbox_"))
+    cat.create_database("zb")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cat.write_set(
+        orders, "zb", "orders",
+        zorder_by=["o_custkey", "o_totalprice"],
+        zonemap_by=["o_custkey", "o_totalprice"],
+    )
+    box = {"o_custkey": (100, 700), "o_totalprice": (50000.0, 150000.0)}
+    pruned = cat.read_set_pruned_multi("zb", "orders", box)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+    )
+
+
+DS_ZONEMAP_BOX_SQL = """
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 700
+  AND o_totalprice BETWEEN 50000.0 AND 150000.0
+GROUP BY o_orderstatus
+"""
+
+
 def ds_cdc_apply(spark, sf_dir: str):
     """CDC apply through the catalog (Catalog.apply_cdc): a base set built
     from orders receives one Debezium-shaped change batch — upserts at a
@@ -698,12 +743,14 @@ QUERIES = {
     "ds_scan_pushdown": ds_scan_pushdown,
     "ds_stream_tail": ds_stream_tail,
     "ds_zonemap_prune": ds_zonemap_prune,
+    "ds_zonemap_box": ds_zonemap_box,
     "ds_cdc_apply": ds_cdc_apply,
 }
 ORACLE = {
     "ds_scan_pushdown": DS_SCAN_PUSHDOWN_SQL,
     "ds_stream_tail": DS_STREAM_TAIL_SQL,
     "ds_zonemap_prune": DS_ZONEMAP_PRUNE_SQL,
+    "ds_zonemap_box": DS_ZONEMAP_BOX_SQL,
     "ds_cdc_apply": DS_CDC_APPLY_SQL,
 }
 
