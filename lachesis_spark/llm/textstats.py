@@ -815,8 +815,12 @@ def text_bigram_ppl(spark, sf_dir):
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = bg.agg(F.countDistinct("w2").cast("double").alias("V"))
+    # the LM frames are DATA-sized (distinct bigrams/unigrams grow with the
+    # corpus): pin their joins to sort-merge so a runtime size-estimate
+    # undershoot can never attempt a vocab-sized broadcast build (the ×100
+    # probe hit exactly that).  The 1-row vocab scalar stays broadcast.
     lm = (
-        c2.join(c1, "w1")
+        c2.join(c1.hint("merge"), "w1")
         .join(F.broadcast(vocab))
         .select(
             "w1", "w2",
@@ -824,7 +828,7 @@ def text_bigram_ppl(spark, sf_dir):
         )
     )
     scored = (
-        bg.join(lm, ["w1", "w2"])
+        bg.join(lm.hint("merge"), ["w1", "w2"])
         .groupBy("doc_id", "source")
         .agg(F.avg(F.log("p")).alias("lp"))
     )
