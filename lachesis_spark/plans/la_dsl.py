@@ -240,7 +240,8 @@ SELECT i, sum(v) AS v FROM scaled GROUP BY i
 # fully distributed Newton-Schulz path (la.inverse_auto) — a user writing
 # .pdml gets the same 100 TB-safe plan as the registry's
 # la_inverse_identity (test-locked: the driver-dense helper is
-# monkeypatch-poisoned in tests/test_la_dsl.py).  Tolerance-oracle as
+# monkeypatch-poisoned in tests/test_la.py::test_dsl_inverse_dispatch).
+# Tolerance-oracle as
 # there: round(1e-6) + filter-nonzero turns inverse(G) %*% G into literal
 # I, which DuckDB can predict without inverting anything.
 _SCRIPT_INV = """

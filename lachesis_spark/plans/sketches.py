@@ -279,6 +279,10 @@ def _exact_quantiles_refined(spark: SparkSession, x: DataFrame, probes) -> DataF
 
     from pyspark.sql import Window
 
+    # quantile_cont / percentile ignore NULLs; without this the rank base
+    # n would count null rows the histogram groupBy drops, shifting every
+    # order statistic (and a None bin would break the sorted() below).
+    x = x.filter(F.col("x").isNotNull())
     mm_row = x.agg(F.min("x").alias("lo"), F.max("x").alias("hi")).first()
     lo, hi = float(mm_row["lo"]), float(mm_row["hi"])
     n = x.count()

@@ -599,9 +599,12 @@ _SENTINEL = "_sentinel"
 
 
 def _late_data_source_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the two-file out-of-order source; returns the directory.
-    File order is forced early-then-late via names + mtimes (the file source
-    lists oldest-first)."""
+    """Materialize the three-file out-of-order source (early/mid/late);
+    returns the directory.  File order is forced via names + mtimes (the
+    file source lists oldest-first).  The mid file is load-bearing: Spark
+    judges batch-N late rows against the batch-N−1 watermark (SPARK-40925
+    one-batch lag), so a watermark-setting batch must sit BETWEEN the
+    early rows and the late-arriving ones for the drop to be observable."""
     import glob
     import shutil
     import tempfile

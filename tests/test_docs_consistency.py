@@ -45,7 +45,12 @@ def test_coverage_header_names_a_matching_sweep_artifact():
     assert m, "COVERAGE.md header must name its STRICT_SWEEP artifact"
     sweep = REPO / m.group(1)
     assert sweep.exists(), f"{m.group(1)} named in COVERAGE.md is not committed"
-    summaries = re.findall(r"(\d+)/(\d+) strict-pass", sweep.read_text())
+    # anchor to line start so prose notes mentioning "k/k strict-pass"
+    # mid-sentence (round 8's post-sweep re-check note) don't count as
+    # sweep summaries
+    summaries = re.findall(
+        r"^(\d+)/(\d+) strict-pass", sweep.read_text(), re.MULTILINE
+    )
     # one summary per scale factor; the header claims BOTH pass
     assert len(summaries) >= 2, f"{m.group(1)} must contain both-SF summaries"
     n = str(len(R.QUERIES))
