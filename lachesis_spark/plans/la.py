@@ -174,9 +174,15 @@ def identity_coo(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+# Observability for the chunked scheduler: inverse_newton overwrites this
+# with its executed step/action counts so tests can pin the fixed-cost
+# budget (jobs per call) without parsing the Spark UI.
+LAST_INVERSE_STATS: dict[str, int] = {}
+
+
 def inverse_newton(
     a: DataFrame, n: int | None = None, iters: int = 25, tol: float = 1e-9,
-    spd: bool = False,
+    spd: bool = False, chunk: int = 2,
 ) -> DataFrame:
     """Fully DISTRIBUTED inverse via Newton–Schulz iteration:
 
@@ -190,33 +196,39 @@ def inverse_newton(
     This is the 100 TB-scale counterpart of :func:`inverse` (driver-side
     dense, the reference's Eigen-gather design, kept only for k×k
     internals): the registry's ``la_inverse_identity`` runs through THIS
-    path.  Each iteration is algebraically two matmuls, fused to exactly
-    TWO matrix-width shuffles: M = A·X (one contraction group-sum), then
-    X′ = 2X − X·M with the product terms unioned straight into the 2X rows
-    and group-summed once (the sum is associative, so matmul's own
-    aggregation is redundant work under the outer add).
-    ``localCheckpoint`` EVERY sweep truncates lineage the way every
-    iterative Spark job must — measured cheaper than a 3-sweep cadence,
-    whose checkpoint/residual jobs each re-executed the 3-deep lineage
-    (nested broadcast builds included) and whose exit granularity of 3
-    overshot convergence by up to 2 sweeps (12 executed vs 10 needed on
-    the 64×64 Gram).  The materialization order makes the convergence
-    check nearly free: the checkpoint job populates M's cache as a side
-    effect (the update reads M), so the residual I − A·X = I − M — no
-    extra matmul — is then one micro-aggregation over cached blocks.  At
-    distributed scale the same trade holds: one extra write of X per sweep
-    buys per-sweep exit checks, and each sweep skipped saves two
-    matrix-width matmuls.
+    path.  The loop runs in M-SPACE (M = A·X, Q = the running product of
+    the per-step polynomials P = 2cI − c²M, so X = X₀·Q): each step
+    advances M and Q together via ONE join + ONE group-sum over a tagged
+    pair frame — algebraically the step's two matmuls, with each matmul's
+    own aggregation fused into the outer add's group-sum (the sum is
+    associative) and the two right-multiplications by the same P sharing
+    one physical join.
+
+    Steps execute in CHUNKS of ``chunk`` with one residual probe and one
+    LAZY ``localCheckpoint`` per chunk (≈1 Spark action per chunk; the
+    probe's job materializes the previous chunk's checkpoint): the scaled
+    iteration's residual recursion is deterministic given a probed
+    residual, so the intra-chunk re-centering scalars are derived
+    analytically and the chunk runs lazily in a single plan.
+    Convergence is still only ever declared from a PROBED residual — a
+    drifted prediction merely costs a couple of extra scheduled steps.
+    The earlier per-step cadence (probe + eager checkpoint every step)
+    measured 8.3 s vs 5.7 s for the full sf0.1 Gram query: the work is
+    scalar-sized, so job-launch and stage overhead dominated.  A 3-step
+    cadence WITHOUT scheduling was also tried and rejected earlier
+    (round 7) — its checkpoint/residual jobs re-executed 3-deep lineage;
+    the fix is the analytic schedule in M-space, not a shorter cadence.
     """
     spark = a.sparkSession
-    # A is referenced by EVERY sweep's A·X matmul (plus the norm/dimension
-    # probes): materialize it once or its lineage — for a DSL input this is
-    # the whole corpus Gram pass — re-executes per sweep (measured: the
-    # ×10 probe's 0.43 exponent on la_dsl_inverse was ~11 corpus re-scans,
-    # not the scale-free sweeps).  A is always reduced-dim here (k×k —
-    # inverse of the data matrix itself is never the operation), so the
-    # checkpoint is model-sized; for an already-trivial input (identity)
-    # it costs one no-op job.
+    # A is referenced by the norm/dimension probes plus M₀ (and the
+    # closing Aᵀ·Q matmul on the generic path): materialize it once or its
+    # lineage — for a DSL input this is the whole corpus Gram pass —
+    # re-executes per reference (measured in round 8: the ×10 probe's 0.43
+    # exponent on la_dsl_inverse was ~11 corpus re-scans under the old
+    # per-sweep A·X form, not the scale-free sweeps).  A is always
+    # reduced-dim here (k×k — inverse of the data matrix itself is never
+    # the operation), so the checkpoint is model-sized; for an
+    # already-trivial input (identity) it costs one no-op job.
     a = a.localCheckpoint(eager=True)
     if n is None:
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
@@ -229,18 +241,17 @@ def inverse_newton(
     norm_inf = (
         norms.groupBy("i").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
     )
-    if spd:
-        # symmetric positive-definite init: X₀ = I/‖A‖∞.  Valid because for
-        # symmetric A the spectral norm is bounded by the row-sum norm, so
-        # every eigenvalue of A/‖A‖∞ lies in (0, 1] and ρ(I − A·X₀) < 1.
-        # Tighter than the generic product-norm scaling — measured 15 → 11
-        # sweeps on the 64×64 embedding Gram — and X₀ costs no matmul.
-        x = scale_mult(identity_coo(spark, n), 1.0 / float(norm_inf))
-    else:
+    # Init scaling.  SPD: X₀ = I/‖A‖∞ — valid because for symmetric A the
+    # spectral norm is bounded by the row-sum norm, so every eigenvalue of
+    # A/‖A‖∞ lies in (0, 1] and ρ(I − A·X₀) < 1; tighter than the generic
+    # product-norm scaling (measured 15 → 11 steps on the 64×64 embedding
+    # Gram) and X₀ costs no matmul.  Generic: X₀ = Aᵀ/(‖A‖₁·‖A‖∞)
+    # (Pan & Schreiber's classic ‖I − A·X₀‖₂ < 1 init).
+    norm_1 = None
+    if not spd:
         norm_1 = (
             norms.groupBy("j").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
         )
-        x = scale_mult(transpose(a), 1.0 / (float(norm_1) * float(norm_inf)))
     # Shuffle width is scoped to the matrix via explicit per-frame
     # repartition (never the session-global spark.sql.shuffle.partitions,
     # which would leak into concurrently planned queries in a shared
@@ -252,67 +263,179 @@ def inverse_newton(
     # a reduced-dim iterate (n² COO rows ≲ 8 MB) is broadcast-joined —
     # exchange-free build per sweep; a distributed-scale matrix shuffles.
     small = (n * n) <= (1 << 18)
-    for it in range(iters):
-        m = matmul(a, x, n_parts, hint_broadcast=small).cache()  # M = A·X_k
-        # convergence check AND acceleration input, free of extra matmuls:
-        # the residual I − A·X_k is exactly I − M.  ONE aggregation job
-        # (which also materializes M into its cache for the update) yields
-        # the entrywise max — a LOWER bound on the symmetric spectral
-        # radius, so it serves as the exit criterion AND a scaling driver
-        # that only ever UNDER-scales (the ∞-norm upper bound was tried
-        # and rejected: early row sums exceed 1, and over-scaling moves
-        # the top of the spectrum past the symmetric point, which can
-        # regress a sweep; under-scaling merely leaves a little
-        # acceleration on the table).
-        res = (
-            subtract(identity_coo(spark, n), m)
-            .agg(F.max(F.abs(F.col("v"))).alias("res"))
-            .first()["res"]
+    def fused_step(mq: DataFrame, c: float) -> DataFrame:
+        # One scaled-Newton step applied to the TAGGED PAIR frame
+        # (t = 0 → M_k rows, t = 1 → Q_k rows): both recurrences are the
+        # same right-multiplication by P = 2cI − c²M_k,
+        #     M' = 2c·M − c²·M·M,   Q' = 2c·Q − c²·Q·M,
+        # so one join of the whole pair frame against the M rows plus one
+        # group-sum on (t, i, j) advances BOTH matrices — a single shuffle
+        # stage and a single broadcast build per step instead of two of
+        # each (the step cost on a reduced-dim matrix is stage/codegen
+        # overhead, not FLOPs — measured, not guessed).
+        m_side = mq.filter(F.col("t") == 0).select(
+            F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv")
         )
-        # res < tol means X_k is converged on the A·X side; one more
-        # (plain, c ≈ 1) update is still applied before returning so the
-        # X·A-side residual — up to cond(A)× the A·X one for
-        # non-symmetric A — lands far below tol too (quadratic step:
-        # res² ≪ tol).
-        converged = res is not None and float(res) < tol
-        # SCALED Newton–Schulz: under both inits A·X₀ is symmetric with
-        # real eigenvalues in (0, 1] (generic init gives A·Aᵀ-scaled; SPD
-        # init gives A/‖A‖∞), and every Newton step maps eigenvalue µ to
-        # 1 − (1 − µ)², so the spectrum stays real in the ONE-SIDED
-        # interval [1 − r, 1].  Re-centering with the scalar c = 2/(2 − r)
-        # before stepping makes the interval symmetric and contracts the
-        # residual to (r/(2 − r))² per sweep instead of r² — measured 11
-        # unscaled sweeps → 9 on the 64×64 embedding Gram.  c < 2 always,
-        # keeping every eigenvalue of c·A·X inside (0, 2), the Newton
-        # basin, so the scaling can never diverge.
-        c = 2.0 / (2.0 - min(float(res), 1.0 - 1e-12)) if res is not None else 1.0
-        # X' = cX(2I − c·M) = 2cX − c²·X·M, fused into ONE group-sum: the
-        # product terms −c²·X_ik·M_kj union directly with the 2cX entries
-        # (sum is associative, so the inner matmul's own aggregation is
-        # redundant under the outer add — saves one shuffle per sweep).
-        m_side = m.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
         if small:
+            # hinted broadcast join: checkpointed leaves carry no static
+            # stats, so without the hint Catalyst plans sort-merge with
+            # exchanges on both sides — measured ~35% slower end-to-end
+            # than the one build job per step the hint costs.
             m_side = F.broadcast(m_side)
         prod_terms = (
-            x.select(F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
+            mq.select("t", F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
             .join(m_side, F.col("k") == F.col("k2"))
-            .select(F.col("ai").alias("i"), F.col("bj").alias("j"),
+            .select("t", F.col("ai").alias("i"), F.col("bj").alias("j"),
                     (-c * c * F.col("av") * F.col("bv")).alias("v"))
         )
-        x = (
-            scale_mult(x, 2.0 * c)
-            .unionByName(prod_terms)
-            .repartition(n_parts, "i", "j")
-            .groupBy("i", "j")
-            .agg(F.sum("v").alias("v"))
-            # eager checkpoint truncates this sweep's lineage (reads M from
-            # its populated cache)
-            .localCheckpoint(eager=True)
+        u = mq.withColumn("v", F.col("v") * (2.0 * c)).unionByName(prod_terms)
+        if small:
+            # single-partition frames satisfy any clustered distribution,
+            # so the group-sum plans NO exchange: every step of the chunk
+            # runs inside one narrow stage chain instead of paying a
+            # shuffle stage (plus an AQE re-plan) per step.  coalesce is
+            # itself narrow; reduced-dim means ≤ 2n² + n rows per task.
+            u = u.coalesce(1)
+        else:
+            u = u.repartition(n_parts, "i", "j")
+        return u.groupBy("t", "i", "j").agg(F.sum("v").alias("v"))
+
+    # CHUNKED, SCHEDULED, M-SPACE iteration (round-9: the two inverse
+    # queries' cost is job-COUNT-bound fixed overhead, not FLOPs — the
+    # per-step probe + checkpoint pair was 2 Spark actions × ~10 steps on
+    # a reduced-dim matrix).  Three structural moves:
+    #
+    #   1. M-space recurrence: with P_k = 2c_kI − c_k²M_k, the next
+    #      product is M_{k+1} = A·X_{k+1} = M_k·P_k and the iterate itself
+    #      is X_k = X₀·Q_k with Q_k = P₀·P₁⋯P_{k−1} — so after M₀ the loop
+    #      never references A (for a DSL input, A's lineage is the corpus
+    #      Gram), and X materializes once at the end (X₀ is I/‖A‖∞ for the
+    #      SPD init — a scalar — so X = Q/‖A‖∞ is a projection).
+    #   2. Analytic c-schedule: the scaled iteration's residual recursion
+    #      ρ′ = (ρ/(2−ρ))² is deterministic given a probed residual, so
+    #      one probe per chunk of `chunk` steps supplies every re-centering
+    #      scalar in the chunk.  Convergence is never assumed from the
+    #      schedule — the loop only exits on a PROBED residual < tol (the
+    #      entrywise max under-estimates the spectral residual, so a
+    #      drifted prediction costs at worst a couple of extra steps, and
+    #      probe-derived c's only ever under-scale, which is safe: the
+    #      ∞-norm upper bound was tried and rejected because over-scaling
+    #      past the symmetric point can regress a step).
+    #   3. Fused materialization: M_{k+chunk} and Q_{k+chunk} checkpoint
+    #      together as ONE tagged union (one Spark action), and the next
+    #      probe is a plain aggregation over the checkpointed M — no
+    #      matmul in the probe at all.
+    #
+    # Net: ONE action per `chunk` steps (the probe; checkpoints are lazy
+    # and materialize inside the next probe's job), with the probe itself
+    # join- and exchange-free.  Measured on la_inverse_identity's full
+    # 64×64 embedding-Gram query at sf0.1: 8.3 s → ~5.7 s steady-state
+    # (the remainder is the corpus Gram pass + irreducible job launch).
+    #
+    # SCALED Newton–Schulz background (unchanged): under both inits A·X₀
+    # is symmetric with real eigenvalues in (0, 1], and every Newton step
+    # maps eigenvalue µ to 1 − (1 − µ)², keeping the spectrum in the
+    # ONE-SIDED interval [1 − r, 1]; re-centering with c = 2/(2 − r)
+    # makes the interval symmetric and contracts the residual to
+    # (r/(2 − r))² per step instead of r².  c < 2 always, so every
+    # eigenvalue of c·A·X stays inside (0, 2), the Newton basin —
+    # scheduled c's can slow convergence but never diverge.
+    stats = {"steps": 0, "probes": 0, "checkpoints": 0}
+    if spd:
+        m0 = scale_mult(a, 1.0 / float(norm_inf))  # M₀ = A·(I/‖A‖∞)
+    else:
+        m0 = matmul(
+            a, transpose(a), n_parts, hint_broadcast=small
+        ).withColumn("v", F.col("v") / (float(norm_1) * float(norm_inf)))
+    # the tagged pair frame: M rows under t = 0, Q rows (Q₀ = I) under
+    # t = 1 — the uniform Q-recurrence Q₁ = 2cI − c²·I·M₀ = P₀ needs no
+    # special casing when Q starts as explicit identity rows.
+    mq = m0.select(F.lit(0).alias("t"), "i", "j", "v").unionByName(
+        identity_coo(spark, n).select(F.lit(1).alias("t"), "i", "j", "v")
+    )
+    # reduced-dim: land the pair frame on ONE partition up front so every
+    # fused_step group-sum is exchange-free (see fused_step).
+    # LAZY checkpoint: the next probe's aggregation materializes it, so
+    # checkpointing costs no job of its own (same below, per chunk).
+    mq = (mq.coalesce(1) if small else mq).localCheckpoint(eager=False)
+    stats["checkpoints"] += 1
+    plain_applied = False  # did the last executed step use c == 1.0?
+    while stats["steps"] < iters:
+        # probe: residual I − A·X_k is exactly I − M_k, and M_k sits in the
+        # already-checkpointed pair frame — ONE exchange-free aggregation
+        # (no identity join: diagonal entries contribute |v−1|, off-
+        # diagonals |v|, and any ABSENT diagonal entry means a residual of
+        # exactly 1, covered by the presence count).
+        pr = (
+            mq.filter(F.col("t") == 0)
+            .agg(
+                F.max(
+                    F.abs(
+                        F.when(F.col("i") == F.col("j"), F.col("v") - 1.0)
+                        .otherwise(F.col("v"))
+                    )
+                ).alias("mx"),
+                F.count(F.when(F.col("i") == F.col("j"), 1)).alias("ndiag"),
+            )
+            .first()
         )
-        m.unpersist()
+        res = pr["mx"]
+        if res is not None and int(pr["ndiag"]) < n:
+            res = max(float(res), 1.0)
+        stats["probes"] += 1
+        converged = res is not None and float(res) < tol
+        if converged and plain_applied:
+            # the previous chunk already ended with the trailing plain
+            # (c = 1) update that drives the X·A-side residual — up to
+            # cond(A)× the A·X one for non-symmetric A — to res² ≪ tol.
+            break
+        if converged:
+            # converged without a trailing plain step (e.g. X₀ was already
+            # the inverse): apply one, exactly as the per-step form did.
+            cs = [1.0]
+        else:
+            # analytic c-schedule for the next `chunk` steps from the
+            # probed residual; if the predicted residual crosses tol
+            # mid-chunk, end the chunk there with the trailing plain step.
+            # (Scheduling ALL remaining steps from one probe was measured
+            # SLOWER: the probe under-estimates the spectral residual, so
+            # a long prediction drifts and the confirm probe schedules
+            # whole extra rounds; re-probing every `chunk` steps corrects
+            # course while the probe job doubles as the chunk's executor.)
+            r_hat = min(float(res), 1.0 - 1e-12) if res is not None else 1.0 - 1e-12
+            cs = []
+            while stats["steps"] + len(cs) < iters and len(cs) < max(1, chunk):
+                if r_hat < tol:
+                    cs.append(1.0)
+                    break
+                cs.append(2.0 / (2.0 - r_hat))
+                rho = r_hat / (2.0 - r_hat)
+                r_hat = rho * rho
+            if not cs:
+                break  # iteration budget exhausted
+        for c in cs:
+            mq = fused_step(mq, c)
+        # ONE lazy checkpoint per chunk: the next probe (or the caller's
+        # first action) executes it, so the chunk costs a single action;
+        # the checkpoint still bounds plan-tree size (the fused step
+        # references mq 3×, so an unchunked tree would grow 3^steps) and
+        # truncates lineage as it materializes.
+        mq = mq.localCheckpoint(eager=False)
+        stats["steps"] += len(cs)
+        stats["checkpoints"] += 1
+        plain_applied = cs[-1] == 1.0
         if converged:
             break
-    return x
+    LAST_INVERSE_STATS.clear()
+    LAST_INVERSE_STATS.update(stats)
+    q = mq.filter(F.col("t") == 1).drop("t")
+    # X = X₀·Q — for the SPD init X₀ = I/‖A‖∞ this is a projection; the
+    # generic init pays its one closing matmul with Aᵀ.
+    if spd:
+        return scale_mult(q, 1.0 / float(norm_inf))
+    return matmul(transpose(a), q, n_parts, hint_broadcast=small).withColumn(
+        "v", F.col("v") / (float(norm_1) * float(norm_inf))
+    )
 
 
 # k-by-k matrices at or under this dimension are inverted with the

@@ -163,6 +163,44 @@ def test_inverse_newton_early_termination_on_convergence(spark):
     # 500 un-terminated sweeps of spark jobs would take minutes; converged
     # runs finish in a handful of checkpoint rounds
     assert wall < 60, wall
+    # round-9 fixed-cost budget (the two inverse registry queries are
+    # pure job-count overhead): the chunked scheduler must stay within
+    # ~2 Spark-action-producing constructs per chunk of steps — a
+    # regression back to per-step probing/checkpointing trips this.
+    st = la.LAST_INVERSE_STATS
+    assert 0 < st["steps"] <= 20, st
+    chunks = -(-st["steps"] // 2)  # ceil(steps / default chunk)
+    assert st["probes"] <= chunks + 2, st
+    assert st["checkpoints"] <= chunks + 2, st
+
+
+def test_inverse_newton_action_budget_on_gram(spark):
+    """The 64×64 embedding-Gram shape (what la_inverse_identity and
+    la_dsl_inverse run): the scheduler must converge in a bounded number
+    of steps AND keep the probe/checkpoint action count chunk-bounded —
+    this is the measured 8.3 s → ~4 s steady-state shave; letting it
+    regress to per-step actions doubles both bench queries."""
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    g = la.gram(la.coo_from_embeddings(spark, sf, limit=200)).localCheckpoint(
+        eager=True
+    )
+    x = la.inverse_newton(g, n=64, spd=True)
+    st = dict(la.LAST_INVERSE_STATS)
+    # X·G ≈ I to the query's rounding tolerance
+    prod = la.matmul(x, g, n_parts=2, hint_broadcast=True)
+    import pyspark.sql.functions as F
+
+    nz = prod.select(F.round(F.col("v"), 6).alias("v")).filter(
+        F.col("v") != 0.0
+    )
+    rows = nz.collect()
+    assert len(rows) == 64 and all(abs(r["v"] - 1.0) < 1e-6 for r in rows), st
+    assert st["steps"] <= 14, st
+    chunks = -(-st["steps"] // 2)
+    assert st["probes"] <= chunks + 2, st
+    assert st["checkpoints"] <= chunks + 2, st
 
 
 def test_power_iteration_matches_numpy_replication(spark):
