@@ -444,3 +444,68 @@ def test_stream_late_data_drop_keep_boundary(spark):
     keep_replays = band_counts(ev.filter(replay), S.LATE_KEEP_LO, S.LATE_SPLIT)
     assert keep_replays > 0, "keep band empty — boundary test is vacuous"
     assert keep_got == keep_base + keep_replays
+
+
+def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Round-9 verdict task 5: kill the late-data replay after its first
+    microbatch, restart from the DURABLE checkpoint, and finish — the
+    recovered run's sink must be row-identical to the uninterrupted
+    replay.  This exercises the one production property the memory-sink
+    replays never touch: offset-log dedup (batch 1 is not reprocessed),
+    state-store recovery (batch 1's open windows finalize correctly after
+    restart), and watermark persistence (the late-row drop still happens
+    relative to the pre-crash watermark)."""
+    import glob
+    import os
+    import shutil
+
+    # uninterrupted reference: the registry query itself (memory sink)
+    ref = S.stream_late_data_query(spark, SF_SMOKE)
+    expected = sorted(tuple(r) for r in ref.collect())
+    out_schema = spark.table("q_stream_late").schema
+
+    # the same three source files, staged into a fresh dir incrementally
+    full_src = S._late_data_source_dir(spark, SF_SMOKE)
+    files = sorted(glob.glob(os.path.join(full_src, "*.parquet")))
+    assert len(files) == 3, files
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    in_schema = spark.read.parquet(full_src).schema
+
+    def stage(path, order):
+        dst = str(src / os.path.basename(path))
+        shutil.copy(path, dst)
+        os.utime(dst, (1000000000 + order * 3600,) * 2)
+
+    def run_available():
+        ev = (
+            spark.readStream.schema(in_schema).format("parquet")
+            .option("maxFilesPerTrigger", 1).load(str(src))
+        )
+        q = (
+            S.stream_late_data_counts(ev).writeStream
+            .format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    with S._state_partitions(spark):
+        # phase 1: only the early file is visible; the run terminates with
+        # offsets + window state + watermark committed to the checkpoint
+        # (this IS the crash point — nothing after batch 1 exists yet)
+        stage(files[0], 0)
+        run_available()
+        # phase 2: the rest of the stream arrives; restart from checkpoint
+        stage(files[1], 1)
+        stage(files[2], 2)
+        run_available()
+
+    got_df = spark.read.schema(out_schema).parquet(out)
+    got = sorted(
+        tuple(r)
+        for r in got_df.filter(F.col("event_type") != S._SENTINEL).collect()
+    )
+    assert got == expected and got, (len(got), len(expected))
