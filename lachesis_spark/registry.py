@@ -65,12 +65,21 @@ _PRIORITY = [
     # rotated mm_features -> mm_features_png: the gate seat now exercises
     # the REAL codec path (chunk walk + zlib inflate + 5-filter
     # unfiltering) instead of the deterministic stub.
-    "pii_scrub", "mm_features_png", "ds_scan_pushdown",
+    # Round 9 rotated ds_scan_pushdown out (every gated query scans parquet
+    # sets, and the pushdown plan shape stays oracle-checked in the strict
+    # sweep + plan-asserted in tests) to seat ds_zonemap_box — the
+    # round-8 multi-dimensional Z-order/zonemap pruning production form.
+    "pii_scrub", "mm_features_png", "ds_zonemap_box",
     # linear-algebra DSL (§2.6).  Round 7 (cont.) rotated
     # la_transpose_rowsum out (la_dsl_gram_rowsum exercises transpose+rowSum
     # through the DSL front-end; the direct form stays sweep-checked) to
     # seat the profiler subsystem's one-scan correlation matrix.
-    "la_gram", "stats_corr_matrix", "la_dsl_gram_rowsum",
+    # Round 9 rotated la_dsl_gram_rowsum out (la_gram keeps the Gram plan
+    # seat and the DSL front-end stays gate-exercised by la_dsl_inverse;
+    # the gram_rowsum script stays oracle-checked in the strict sweep) to
+    # seat la_dsl_inverse — the distributed size-gated inverse() THROUGH
+    # the .pdml text front-end, the round-7/8 fidelity fix.
+    "la_gram", "stats_corr_matrix", "la_dsl_inverse",
     # LLM-corpus engine additions (round 4 added the training-corpus ops,
     # displacing la_matmul (la_gram covers the matmul plan shape) and
     # op_topk_grouped (op_topk covers the TopKQueue dataflow)).  Round 6
@@ -96,8 +105,12 @@ _PRIORITY = [
     # Round 7 rotated stream_running_totals out (stream keeps
     # stream_tumbling; the totals query stays oracle-checked in the strict
     # sweep) to seat the graph-analytics subsystem's oriented-triangle
-    # representative.
-    "stream_tumbling", "graph_triangles",
+    # representative.  Round 9 rotated stream_tumbling -> stream_late_data:
+    # win_tumbling keeps the tumbling-window seat, and the stream seat now
+    # exercises real WATERMARK semantics (3-file out-of-order replay with a
+    # drop band) instead of an in-order replay; stream_tumbling stays
+    # oracle-checked in the strict sweep.
+    "stream_late_data", "graph_triangles",
     # iterative / workload-level
     "pagerank", "reddit_pipeline",
     # sampling / scrubbing

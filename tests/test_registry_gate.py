@@ -6,6 +6,17 @@ oracle-gated representative of EVERY subsystem, so a growing registry can
 never silently exile a subsystem from the driver's check.  This test
 enforces it module-by-module — a new module with queries() entries must
 claim a gate seat (or consciously amend this test saying why not).
+
+Round-9 rotation rationale (verdict task 6): the round-8 production forms
+took gate seats from entries whose subsystem keeps another representative —
+`la_dsl_inverse` in for `la_dsl_gram_rowsum` (la_gram keeps the Gram plan;
+the DSL front-end is still gate-exercised, now through its hardest op),
+`stream_late_data` in for `stream_tumbling` (win_tumbling keeps the
+tumbling-window seat; the stream seat now exercises real watermark
+drop/keep semantics), and `ds_zonemap_box` in for `ds_scan_pushdown`
+(every gated query scans parquet; multi-dim Z-order pruning is the
+layout feature worth gating).  All rotated-out entries stay in the
+strict sweep.
 """
 
 from __future__ import annotations
