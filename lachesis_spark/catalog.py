@@ -353,8 +353,12 @@ class Catalog:
             .agg(*aggs)
             .collect()
         )
+        # keys are paths RELATIVE to the set root, not basenames: a
+        # partitioned write emits the SAME part-file basename into every
+        # partition directory one task touches, so basename keys collide
+        # across partitions and entries silently overwrite each other.
         files = {
-            os.path.basename(unquote(urlparse(r["file"]).path)): {
+            os.path.relpath(unquote(urlparse(r["file"]).path), path): {
                 c: [_zonemap_safe(r[f"min__{c}"]), _zonemap_safe(r[f"max__{c}"])]
                 for c in cols
             }
@@ -416,8 +420,13 @@ class Catalog:
         files_stats = zm.get("files", {})
 
         def keep(fname: str) -> bool:
+            # sidecar keys are set-root-relative paths (basename fallback
+            # accepted for sidecars written before round 9)
+            stats = files_stats.get(fname)
+            if stats is None:
+                stats = files_stats.get(os.path.basename(fname), {})
             for col, (nlo, nhi) in bounds.items():
-                st = files_stats.get(fname, {}).get(col)
+                st = stats.get(col)
                 if not st or st[0] is None or st[1] is None:
                     continue  # fail-safe: no usable stats -> can't skip
                 fmin, fmax = st
@@ -427,17 +436,23 @@ class Catalog:
                     return False
             return True
 
+        # recursive listing so partitioned sets (files under
+        # partition_col=value dirs, e.g. after a partition-scoped
+        # merge_set) prune too; `basePath` keeps their partition columns.
         data_files = [
-            f
-            for f in os.listdir(path)
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
             if f.startswith("part-") and not f.endswith(".crc")
         ]
-        kept = [os.path.join(path, f) for f in data_files if keep(f)]
+        kept = [p for p in data_files if keep(os.path.relpath(p, path))]
         if not kept:
             # nothing can match: an empty frame with the set's schema
             return residual(self.spark.read.parquet(path).limit(0))
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return residual(self.spark.read.parquet(*kept))
+        return residual(
+            self.spark.read.option("basePath", path).parquet(*kept)
+        )
 
     def merge_set(
         self,
@@ -498,7 +513,11 @@ class Catalog:
             finally:
                 self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
             if zm_cols:
-                self._write_zonemap(db, name, zm_cols)
+                # incremental sidecar upkeep: O(touched partitions), not
+                # O(corpus) — see _update_zonemap_partitions
+                self._update_zonemap_partitions(
+                    db, name, zm_cols, partition_col, touched
+                )
             return
         merged = existing.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti"
@@ -510,6 +529,76 @@ class Catalog:
         os.rename(tmp, path)
         if zm_cols:
             self._write_zonemap(db, name, zm_cols)
+
+    def _update_zonemap_partitions(
+        self, db: str, name: str, cols: list[str],
+        partition_col: str, touched: list,
+    ) -> None:
+        """INCREMENTAL zonemap maintenance for a partition-scoped merge
+        (round-9: the full `_write_zonemap` rebuild re-scans the whole set,
+        so a daily merge into a 100 TB corpus paid O(corpus) for sidecar
+        upkeep even though only O(touched partitions) of data changed —
+        measured superlinear in tools/layout_write_probe.py).  This
+        re-scans ONLY the touched partition directories, replaces their
+        files' stat entries, and drops entries for files the dynamic
+        overwrite deleted; untouched partitions keep their recorded stats
+        verbatim.  Cost: one column-pruned scan of the touched partitions
+        plus an O(#files) filesystem walk (metadata only).
+
+        Falls back to the full rebuild when the sidecar is missing or its
+        stat columns changed, or when a stat column IS the partition
+        column (its values never appear inside the files)."""
+        import json
+
+        from pyspark.sql import functions as F
+
+        path = self.set_path(db, name)
+        zmp = os.path.join(path, ZONEMAP_FILE)
+        if not os.path.isfile(zmp) or partition_col in cols:
+            self._write_zonemap(db, name, cols)
+            return
+        with open(zmp) as fh:
+            zm = json.load(fh)
+        if sorted(zm.get("cols", [])) != sorted(cols):
+            self._write_zonemap(db, name, cols)
+            return
+        live = set()  # every data file (set-root-relative) currently present
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith("part-") and not f.endswith(".crc"):
+                    live.add(os.path.relpath(os.path.join(root, f), path))
+        tdirs = [
+            d
+            for v in touched
+            if os.path.isdir(d := os.path.join(path, f"{partition_col}={v}"))
+        ]
+        fresh: dict[str, dict] = {}
+        if tdirs:
+            from urllib.parse import unquote, urlparse
+
+            aggs = []
+            for c in cols:
+                aggs.append(F.min(c).alias(f"min__{c}"))
+                aggs.append(F.max(c).alias(f"max__{c}"))
+            rows = (
+                self.spark.read.option("basePath", path).parquet(*tdirs)
+                .groupBy(F.input_file_name().alias("file"))
+                .agg(*aggs)
+                .collect()
+            )
+            fresh = {
+                os.path.relpath(unquote(urlparse(r["file"]).path), path): {
+                    c: [_zonemap_safe(r[f"min__{c}"]), _zonemap_safe(r[f"max__{c}"])]
+                    for c in cols
+                }
+                for r in rows
+            }
+        kept = {
+            f: st for f, st in zm.get("files", {}).items()
+            if f in live and f not in fresh
+        }
+        with open(zmp, "w") as fh:
+            json.dump({"cols": list(cols), "files": kept | fresh}, fh)
 
     def _zonemap_cols(self, db: str, name: str) -> list[str] | None:
         """The stat columns of an existing zonemap sidecar, if any — rewrite

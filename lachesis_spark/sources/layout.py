@@ -49,15 +49,30 @@ def z_value(norm_cols: list[Column], bits: int) -> Column:
     return z
 
 
+def _as_numeric(df: DataFrame, col: str) -> Column:
+    """A double-valued expression for any orderable column: timestamps and
+    dates go through an epoch-seconds cast (the advisor recommends
+    Z-ordering on whatever the workload filters on — date columns chief
+    among them for TPC-H-shaped scans), everything else casts directly."""
+    dt = df.schema[col].dataType.simpleString()
+    c = F.col(col)
+    if dt.startswith("timestamp_ntz"):
+        c = c.cast("timestamp")
+    if dt.startswith(("timestamp", "date")):
+        return c.cast("timestamp").cast("double")
+    return c.cast("double")
+
+
 def zorder(df: DataFrame, cols: list[str], bits: int = 8, n_files: int = 16) -> DataFrame:
     """Return ``df`` re-arranged along the Z-curve of ``cols``; write the
     result to get row groups that prune on every clustered column."""
+    nums = {c: _as_numeric(df, c) for c in cols}
     row = df.agg(
-        *[F.min(c).alias(f"lo{i}") for i, c in enumerate(cols)],
-        *[F.max(c).alias(f"hi{i}") for i, c in enumerate(cols)],
+        *[F.min(nums[c]).alias(f"lo{i}") for i, c in enumerate(cols)],
+        *[F.max(nums[c]).alias(f"hi{i}") for i, c in enumerate(cols)],
     ).first()
     norms = [
-        _normalize(F.col(c), float(row[f"lo{i}"]), float(row[f"hi{i}"]), bits)
+        _normalize(nums[c], float(row[f"lo{i}"]), float(row[f"hi{i}"]), bits)
         for i, c in enumerate(cols)
     ]
     zed = df.withColumn("__z", z_value(norms, bits))

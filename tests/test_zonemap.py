@@ -178,3 +178,115 @@ def test_cdc_refreshes_zonemap(spark, tmp_path):
         .count()
     )
     assert pruned.count() == expect
+
+
+def _sidecar(cat, db, name):
+    with open(os.path.join(cat.set_path(db, name), ZONEMAP_FILE)) as fh:
+        return json.load(fh)
+
+
+def test_partitioned_merge_updates_zonemap_incrementally(spark, tmp_path):
+    """Round-9: a partition-scoped merge maintains the sidecar by
+    re-scanning ONLY the touched partitions (O(touched), not O(corpus)) —
+    untouched partitions keep their stat entries verbatim, deleted files'
+    entries vanish, and the result is byte-identical to a full rebuild."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("zm")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    base = orders.withColumn("pb", (F.col("o_orderkey") % 4).cast("int"))
+    cat.write_set(
+        base.repartitionByRange(8, "o_orderkey"),
+        "zm", "ordp",
+        partition_by=["pb"],
+        zonemap_by=["o_orderkey"],
+    )
+    before = _sidecar(cat, "zm", "ordp")
+    path = cat.set_path("zm", "ordp")
+    untouched_files = {
+        f"pb={pb}/{f}"
+        for pb in (0, 2, 3)
+        for f in os.listdir(os.path.join(path, f"pb={pb}"))
+        if f.startswith("part-")
+    }
+
+    updates = base.filter(F.col("pb") == 1).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    cat.merge_set(updates, "zm", "ordp", ["o_orderkey"], partition_col="pb")
+
+    after = _sidecar(cat, "zm", "ordp")
+    live = {
+        os.path.relpath(os.path.join(root, f), path)
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.startswith("part-") and not f.endswith(".crc")
+    }
+    # every current file carries stats; no stale entries survive
+    assert set(after["files"]) == live
+    # untouched partitions' entries carried over VERBATIM
+    for f in untouched_files & live:
+        assert after["files"][f] == before["files"][f]
+    # incremental result == full rebuild
+    cat._write_zonemap("zm", "ordp", ["o_orderkey"])
+    assert _sidecar(cat, "zm", "ordp") == after
+
+
+def test_pruned_read_works_on_partitioned_set(spark, tmp_path):
+    """read_set_pruned_multi lists partitioned sets recursively and keeps
+    the partition column (basePath), so partition-scoped merged corpora
+    prune like flat ones."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("zm")
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    base = orders.withColumn("pb", (F.col("o_orderkey") % 4).cast("int"))
+    cat.write_set(
+        base.repartitionByRange(8, "o_orderkey"),
+        "zm", "ordp2",
+        partition_by=["pb"],
+        zonemap_by=["o_orderkey"],
+    )
+    path = cat.set_path("zm", "ordp2")
+    total = sum(
+        1
+        for root, _d, files in os.walk(path)
+        for f in files
+        if f.startswith("part-") and not f.endswith(".crc")
+    )
+    pruned = cat.read_set_pruned_multi("zm", "ordp2", {"o_orderkey": (100, 800)})
+    assert "pb" in pruned.columns  # partition column survives basePath read
+    assert 0 < len(pruned.inputFiles()) < total
+    expect = (
+        cat.read_set("zm", "ordp2")
+        .filter(F.col("o_orderkey").between(100, 800))
+        .count()
+    )
+    assert pruned.count() == expect and expect > 0
+
+
+def test_zorder_on_timestamp_column(spark, tmp_path):
+    """Round-9: the advisor's real-workload run recommended Z-ordering
+    lineitem on its filter columns — one of which is a timestamp — and the
+    zorder writer only handled numerics.  Timestamps/dates now normalize
+    via an epoch cast; the layout must preserve rows exactly and make the
+    time dimension prunable."""
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("zm")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    cat.write_set(
+        li, "zm", "li_z",
+        zorder_by=["l_shipdate", "l_quantity"],
+        zonemap_by=["l_shipdate", "l_quantity"],
+    )
+    total = len(cat.read_set("zm", "li_z").inputFiles())
+    assert cat.read_set("zm", "li_z").count() == li.count()
+    pruned = cat.read_set_pruned_multi(
+        "zm", "li_z", {"l_shipdate": ("1996-01-01", "1996-04-01")}
+    )
+    assert 0 < len(pruned.inputFiles()) < total
+    expect = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1996-04-01")
+    ).count()
+    assert pruned.count() == expect and expect > 0
