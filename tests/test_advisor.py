@@ -909,3 +909,30 @@ def test_read_set_pruned_multi_prunes_both_dimensions(spark, tmp_path):
         & F.col("o_totalprice").between(lo_p, hi_p)
     ).count()
     assert pruned.count() == expect
+
+
+def test_record_registry_captures_real_workload_history(spark):
+    """Round-9: the advisor's history can be populated from the REAL
+    registry workload (tools/advisor_from_bench.py) — job rows carry
+    runtimes, plan-captured usages name the base tables (never part-file
+    paths), and advise() produces a recommendation from nothing but that
+    recorded history."""
+    from tools.advisor_from_bench import record_registry
+
+    from lachesis_spark.advisor import HistoryDB, advise
+
+    h = HistoryDB(":memory:")
+    # three registry queries that shuffle/filter on lineitem and orders
+    timings = record_registry(
+        h, spark, SF_SMOKE, names=["tpch_q12", "tpch_q04", "tpch_q06"]
+    )
+    assert set(timings) == {"tpch_q12", "tpch_q04", "tpch_q06"}
+    n_jobs = h.con.execute("SELECT count(*) FROM jobs").fetchone()[0]
+    assert n_jobs == 4  # 3 queries + the load_base_tables scan-shape job
+    datasets = set(h.datasets())
+    assert "lineitem" in datasets
+    assert not any(d.startswith("part-") for d in datasets)
+    # the recorded scan filters (l_shipdate pushdowns) and shuffle keys
+    # are enough for a layout decision on lineitem
+    rep = advise(h, "lineitem")
+    assert rep.layout is not None and rep.layout.key_cols
