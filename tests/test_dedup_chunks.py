@@ -223,3 +223,44 @@ def test_containment_is_asymmetric_and_bounded(spark):
     assert ((df.containment > 0) & (df.containment <= 1.0)).all()
     # directions are distinct rows
     assert not df.duplicated(subset=["src_id", "dst_id"]).any()
+
+
+def test_containment_prefix_topk_equals_allpairs_topk(spark):
+    """The prefix-filter registry plan is EXACT: its top-k must be row-
+    identical (values and order) to the all-pairs inverted-index top-k,
+    both at the first-threshold early exit (k=20 terminates at t=0.875
+    on this corpus) and through the full threshold descent to the t=0
+    backstop (k large enough that no threshold holds k pairs)."""
+    from lachesis_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    for k in (20, 500):
+        pref = [tuple(r) for r in dedup.containment_topk_prefix(spark, sf, k=k).collect()]
+        full = [tuple(r) for r in dedup.containment_pairs(spark, sf, k=k).collect()]
+        assert pref == full and pref
+
+
+def test_containment_prefix_finds_asymmetric_pair_bands_miss(spark, tmp_path):
+    """The reason the prefix plan holds the registry seat: an extreme-
+    asymmetry pair (tiny src fully contained in a huge dst) has
+    containment 1.0 but near-zero Jaccard, so the MinHash band scheme —
+    which recalls by Jaccard — misses it, while the prefix bound (a
+    counting argument on the src side alone) cannot."""
+    from lachesis_spark.llm import dedup
+
+    small = "alpha bravo charlie delta echo"
+    filler = " ".join(f"w{i:04d} w{i:04d}x" for i in range(400))
+    big = small + " " + filler
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here only")],
+        "doc_id bigint, text string",
+    )
+    sf = str(tmp_path / "asym")
+    docs.write.parquet(f"{sf}/documents.parquet")
+
+    # the band scheme misses the pair on this (deterministic) corpus ...
+    lsh = {tuple(r) for r in dedup.dedup_minhash_lsh(spark, sf).collect()}
+    assert (1, 2) not in lsh
+    # ... the exact prefix plan finds it, at full containment, first row
+    top = dedup.containment_topk_prefix(spark, sf, k=1).collect()
+    assert [tuple(r) for r in top] == [(1, 2, 1.0)]
