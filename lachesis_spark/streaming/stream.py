@@ -351,6 +351,146 @@ def stream_interval_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- left-outer stream-stream interval join -------------------------------
+# The outer variant is the semantically hard one: a matched pair can emit as
+# soon as both rows meet in state, but the NULL-padded row for an unmatched
+# click may only emit once the watermark proves no partner can still arrive
+# (watermark > c_ts + join window) — i.e. null emission is driven by state
+# EVICTION, not by data.  Clicks are pre-filtered to < OUTER_CUTOFF so that
+# every retained click is provably resolvable before the replay ends
+# (cutoff + 30 min + watermark delay << max event ts), making the batch
+# left-join a binding oracle; without the cutoff, clicks near the end of
+# the stream would sit in state forever-unresolved at termination and the
+# streaming result would be a strict subset of the batch one.
+OUTER_CUTOFF = "2024-01-28 00:00:00"
+OUTER_SPLITS = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
+
+
+def _ordered_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Three time-ordered parquet files (file order forced via names +
+    mtimes) so the replay is genuinely multi-microbatch with the watermark
+    advancing BETWEEN batches — chunk-1 unmatched clicks null-emit while
+    chunk 3 is still streaming, exercising mid-stream eviction, and the
+    final no-data batch (availableNow's cleanup batch) flushes the rest."""
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from lachesis_spark.sources.readers import read_events
+
+    d = os.path.join(
+        tempfile.gettempdir(), "lachesis_stream_chunks",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    ev = read_events(spark, sf_dir, ltz=True).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    lo, hi = OUTER_SPLITS
+    chunks = (
+        ("00_a", ev.filter(F.col("ts") < F.lit(lo))),
+        ("01_b", ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))),
+        ("02_c", ev.filter(F.col("ts") >= F.lit(hi))),
+    )
+    now = time.time()
+    for age, (name, df) in enumerate(reversed(chunks)):
+        stage = os.path.join(d, f".stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"{name}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (now - 100 * age, now - 100 * age))
+    return d
+
+
+def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
+    """Left-outer twin of ``stream_click_purchase_join``: every click below
+    the cutoff appears in the output — matched clicks once per purchase
+    within [c_ts, c_ts+30min], unmatched clicks exactly once with NULL
+    amount, emitted only when the watermark passes c_ts + 30 min (state
+    eviction).  Both sides watermarked so join state stays bounded."""
+    # watermark BEFORE the cutoff filter — the global watermark is the MIN
+    # across sides, and a watermark node below the filter would freeze at
+    # (last retained click − delay), permanently below the last clicks'
+    # eviction point (c_ts + 30 min): the final pre-cutoff clicks would
+    # never null-emit.  Tracking the unfiltered click stream lets the
+    # click-side watermark advance to the end of the replay.
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+        .filter(F.col("c_ts") < F.lit(OUTER_CUTOFF))
+    )
+    buys = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("b_ts", WATERMARK)
+    )
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "amount")
+
+
+def stream_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form: ordered 3-chunk replay (one file per microbatch)
+    through the left-outer interval join in append mode, then per-user
+    attribution counts distinguishing matched from null-padded rows.
+    Oracle = the equivalent batch LEFT JOIN — binding because the cutoff
+    guarantees every retained click resolves (match or eviction-null)
+    before the replay terminates."""
+    src = _ordered_chunk_dir(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    with _state_partitions(spark):
+        run_to_memory(
+            stream_click_purchase_left_join(ev), "q_stream_osj", "append"
+        )
+    return (
+        spark.table("q_stream_osj")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("amount").alias("n_matched"),
+            F.round(F.sum("amount"), 6).alias("attributed_value"),
+        )
+    )
+
+
+STREAM_OUTER_SQL = f"""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '{OUTER_CUTOFF}'
+), p AS (
+  SELECT user_id AS p_user, ts AS b_ts, value AS amount FROM events
+  WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, c.click_id, p.amount
+  FROM c LEFT JOIN p
+    ON c.user_id = p.p_user
+   AND p.b_ts >= c.c_ts AND p.b_ts <= c.c_ts + INTERVAL '30 minutes'
+)
+SELECT user_id, count(*) AS n_rows, count(amount) AS n_matched,
+       round(sum(amount), 6) AS attributed_value
+FROM j GROUP BY user_id
+"""
+
+
 def stream_dedup_events(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
     """Exactly-once deduplication over an at-least-once source: the two
     inputs are the SAME events delivered twice (an at-least-once bus
@@ -698,6 +838,7 @@ QUERIES = {
     "stream_session": stream_session_query,
     "stream_running_totals": stream_running_totals_query,
     "stream_interval_join": stream_interval_join_query,
+    "stream_outer_join": stream_outer_join_query,
     "stream_dedup": stream_dedup_query,
     "stream_enrich": stream_enrich_query,
     "stream_ewma": stream_ewma_query,
@@ -709,6 +850,7 @@ ORACLE = {
     "stream_session": WIN_SESSION_SQL,
     "stream_running_totals": STREAM_TOTALS_SQL,
     "stream_interval_join": WIN_CORRELATION_SQL,
+    "stream_outer_join": STREAM_OUTER_SQL,
     "stream_dedup": STREAM_DEDUP_SQL,
     "stream_enrich": STREAM_ENRICH_SQL,
     "stream_ewma": WIN_EWMA_SQL,

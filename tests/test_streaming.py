@@ -509,3 +509,72 @@ def test_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
         for r in got_df.filter(F.col("event_type") != S._SENTINEL).collect()
     )
     assert got == expected and got, (len(got), len(expected))
+
+
+def test_stream_outer_join_rowlevel_equals_batch_left_join(spark):
+    """The left-outer interval join's full row-level output (not just the
+    registry aggregate) must equal the batch LEFT JOIN: matched clicks once
+    per in-window purchase, unmatched clicks exactly once with NULL amount.
+    The NULL rows only exist if watermark-driven state eviction fired, so
+    their presence is asserted too — and the replay must have been genuinely
+    multi-microbatch (3 chunk files + availableNow's cleanup batch)."""
+    src = S._ordered_chunk_dir(spark, SF_SMOKE)
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    with S._state_partitions(spark):
+        q = S.run_to_memory(
+            S.stream_click_purchase_left_join(ev), "t_osj_rows", "append"
+        )
+    n_batches = len(S._progress_dicts(q))
+    assert n_batches >= 4, n_batches  # 3 data batches + >=1 eviction batch
+
+    got = spark.table("t_osj_rows")
+    assert got.filter(F.col("amount").isNull()).count() > 0  # eviction rows
+
+    bev = spark.read.parquet(src)
+    c = bev.filter(
+        (F.col("event_type") == "click") & (F.col("ts") < F.lit(S.OUTER_CUTOFF))
+    ).select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = bev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"),
+        F.col("value").alias("amount"),
+    )
+    exp = c.join(
+        p,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("c_ts"))
+        & (F.col("b_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(F.col("c_user").alias("user_id"), "click_id", "amount")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_stream_outer_join_watermark_placement_is_loadbearing(spark):
+    """Regression lock for the watermark-before-filter subtlety: the global
+    watermark is the min across sides, so a click-side watermark computed
+    AFTER the cutoff filter freezes at (last retained click - delay) and
+    the final pre-cutoff clicks can never null-emit.  Guard the plan shape:
+    the shipped pipeline's last data batch must advance the watermark past
+    OUTER_CUTOFF (only possible if the watermark tracks post-cutoff
+    clicks)."""
+    src = S._ordered_chunk_dir(spark, SF_SMOKE)
+    schema = spark.read.parquet(src).schema
+    ev = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", 1).load(src)
+    )
+    with S._state_partitions(spark):
+        q = S.run_to_memory(
+            S.stream_click_purchase_left_join(ev), "t_osj_wm", "append"
+        )
+    wm = max(
+        p.get("eventTime", {}).get("watermark", "")
+        for p in S._progress_dicts(q)
+    )
+    assert wm > "2024-01-28T00:00:00", wm
