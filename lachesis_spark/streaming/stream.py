@@ -366,6 +366,36 @@ OUTER_CUTOFF = "2024-01-28 00:00:00"
 OUTER_SPLITS = ("2024-01-10 00:00:00", "2024-01-20 00:00:00")
 
 
+def _reuse_or_build_dir(d: str, src_file: str, tag: str, build) -> str:
+    """Reuse a staged replay dir when its source file is unchanged.
+
+    The staged early/mid/late splits are pure deterministic functions of
+    the (read-only) source table, yet they were rebuilt — a full re-write
+    of the events table — on EVERY query call, so the bench measured
+    staging I/O twice per rep on top of the streaming engine.  A stamp
+    file records (builder tag, source path, size, mtime); any mismatch
+    rebuilds from scratch.  The stamp's leading underscore keeps it out
+    of Spark/Hadoop file listings, and file mtimes (the replay ordering
+    channel) persist on disk, so a reused dir replays identically."""
+    import shutil
+
+    stamp = os.path.join(d, "_source.stamp")
+    st = os.stat(src_file)
+    want = f"{tag}|{src_file}|{st.st_size}|{st.st_mtime_ns}"
+    try:
+        with open(stamp) as f:
+            if f.read() == want:
+                return d
+    except OSError:
+        pass
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    build(d)
+    with open(stamp, "w") as f:
+        f.write(want)
+    return d
+
+
 def _ordered_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
     """Three time-ordered parquet files (file order forced via names +
     mtimes) so the replay is genuinely multi-microbatch with the watermark
@@ -383,27 +413,30 @@ def _ordered_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "lachesis_stream_chunks",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    ev = read_events(spark, sf_dir, ltz=True).select(
-        "event_id", "user_id", "ts", "event_type", "value"
+
+    def build(d: str) -> None:
+        ev = read_events(spark, sf_dir, ltz=True).select(
+            "event_id", "user_id", "ts", "event_type", "value"
+        )
+        lo, hi = OUTER_SPLITS
+        chunks = (
+            ("00_a", ev.filter(F.col("ts") < F.lit(lo))),
+            ("01_b", ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))),
+            ("02_c", ev.filter(F.col("ts") >= F.lit(hi))),
+        )
+        now = time.time()
+        for age, (name, df) in enumerate(reversed(chunks)):
+            stage = os.path.join(d, f".stage_{name}")
+            df.coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{name}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now - 100 * age, now - 100 * age))
+
+    return _reuse_or_build_dir(
+        d, os.path.join(sf_dir, "events.parquet"), "outer_chunks_v1", build
     )
-    lo, hi = OUTER_SPLITS
-    chunks = (
-        ("00_a", ev.filter(F.col("ts") < F.lit(lo))),
-        ("01_b", ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))),
-        ("02_c", ev.filter(F.col("ts") >= F.lit(hi))),
-    )
-    now = time.time()
-    for age, (name, df) in enumerate(reversed(chunks)):
-        stage = os.path.join(d, f".stage_{name}")
-        df.coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(d, f"{name}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (now - 100 * age, now - 100 * age))
-    return d
 
 
 def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
@@ -756,37 +789,39 @@ def _late_data_source_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "lachesis_stream_late",
         os.path.basename(os.path.normpath(sf_dir)),
     )
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    ev = read_events(spark, sf_dir, ltz=True).select(
-        "event_id", "ts", "event_type", "value"
-    )
-    sent = "CAST('{}' AS TIMESTAMP) AS ts, '{}' AS event_type".format
-    early = ev.filter(F.col("ts") < F.lit(LATE_SPLIT)).unionByName(
-        spark.sql(f"SELECT -1 AS event_id, {sent('2024-01-24 23:59:59', _SENTINEL)}, 0.0 AS value")
-    )
-    mid = ev.filter(
-        (F.col("ts") >= F.lit(LATE_SPLIT)) & (F.col("ts") < F.lit(LATE_MID_SPLIT))
-    )
-    replay = F.col("event_id") % LATE_MOD == 0
-    late = (
-        ev.filter(F.col("ts") >= F.lit(LATE_MID_SPLIT))
-        .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_KEEP_LO)) & (F.col("ts") < F.lit(LATE_SPLIT))))
-        .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_DROP_LO)) & (F.col("ts") < F.lit(LATE_DROP_HI))))
-        .unionByName(
-            spark.sql(f"SELECT -2 AS event_id, {sent('2024-01-31 01:00:01', _SENTINEL)}, 0.0 AS value")
+    def build(d: str) -> None:
+        ev = read_events(spark, sf_dir, ltz=True).select(
+            "event_id", "ts", "event_type", "value"
         )
+        sent = "CAST('{}' AS TIMESTAMP) AS ts, '{}' AS event_type".format
+        early = ev.filter(F.col("ts") < F.lit(LATE_SPLIT)).unionByName(
+            spark.sql(f"SELECT -1 AS event_id, {sent('2024-01-24 23:59:59', _SENTINEL)}, 0.0 AS value")
+        )
+        mid = ev.filter(
+            (F.col("ts") >= F.lit(LATE_SPLIT)) & (F.col("ts") < F.lit(LATE_MID_SPLIT))
+        )
+        replay = F.col("event_id") % LATE_MOD == 0
+        late = (
+            ev.filter(F.col("ts") >= F.lit(LATE_MID_SPLIT))
+            .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_KEEP_LO)) & (F.col("ts") < F.lit(LATE_SPLIT))))
+            .unionByName(ev.filter(replay & (F.col("ts") >= F.lit(LATE_DROP_LO)) & (F.col("ts") < F.lit(LATE_DROP_HI))))
+            .unionByName(
+                spark.sql(f"SELECT -2 AS event_id, {sent('2024-01-31 01:00:01', _SENTINEL)}, 0.0 AS value")
+            )
+        )
+        now = time.time()
+        for age, (name, df) in enumerate((("02_late", late), ("01_mid", mid), ("00_early", early))):
+            stage = os.path.join(d, f".stage_{name}")
+            df.drop("event_id").coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"{name}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now - 100 * age, now - 100 * age))
+
+    return _reuse_or_build_dir(
+        d, os.path.join(sf_dir, "events.parquet"), "late_data_v1", build
     )
-    now = time.time()
-    for age, (name, df) in enumerate((("02_late", late), ("01_mid", mid), ("00_early", early))):
-        stage = os.path.join(d, f".stage_{name}")
-        df.drop("event_id").coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(d, f"{name}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (now - 100 * age, now - 100 * age))
-    return d
 
 
 def stream_late_data_counts(events: DataFrame) -> DataFrame:

@@ -578,3 +578,25 @@ def test_stream_outer_join_watermark_placement_is_loadbearing(spark):
         for p in S._progress_dicts(q)
     )
     assert wm > "2024-01-28T00:00:00", wm
+
+
+def test_staged_replay_dirs_are_reused_not_rebuilt(spark):
+    """The staged early/mid/late splits are deterministic functions of the
+    read-only source table; a second call must reuse the dir (same file
+    inodes/mtimes — the replay-order channel), and a stamp mismatch must
+    rebuild."""
+    import glob as g
+    import os
+
+    d1 = S._ordered_chunk_dir(spark, SF_SMOKE)
+    sig1 = {f: os.stat(f).st_mtime_ns for f in g.glob(os.path.join(d1, "*.parquet"))}
+    d2 = S._ordered_chunk_dir(spark, SF_SMOKE)
+    sig2 = {f: os.stat(f).st_mtime_ns for f in g.glob(os.path.join(d2, "*.parquet"))}
+    assert d1 == d2 and sig1 == sig2 and len(sig1) == 3
+
+    with open(os.path.join(d1, "_source.stamp"), "w") as f:
+        f.write("poisoned")
+    d3 = S._ordered_chunk_dir(spark, SF_SMOKE)
+    sig3 = {f: os.stat(f).st_mtime_ns for f in g.glob(os.path.join(d3, "*.parquet"))}
+    assert set(map(os.path.basename, sig3)) == set(map(os.path.basename, sig1))
+    assert sig3 != sig1  # rebuilt files, fresh mtimes
