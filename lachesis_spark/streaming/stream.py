@@ -373,11 +373,18 @@ def _reuse_or_build_dir(d: str, src_file: str, tag: str, build) -> str:
     the (read-only) source table, yet they were rebuilt — a full re-write
     of the events table — on EVERY query call, so the bench measured
     staging I/O twice per rep on top of the streaming engine.  A stamp
-    file records (builder tag, source path, size, mtime); any mismatch
-    rebuilds from scratch.  The stamp's leading underscore keeps it out
-    of Spark/Hadoop file listings, and file mtimes (the replay ordering
-    channel) persist on disk, so a reused dir replays identically."""
+    file records (builder tag — which must fold in every constant the
+    builder closure reads, so a constant edit invalidates the cache
+    without a manual version bump — plus source path, size, mtime); any
+    mismatch rebuilds from scratch.  The rebuild stages into a temp
+    sibling and os.rename()s into place so a concurrent process never
+    observes (or replays) a half-built dir, and a crashed build leaves
+    the previous dir untouched.  The stamp's leading underscore keeps it
+    out of Spark/Hadoop file listings, and file mtimes (the replay
+    ordering channel) persist on disk, so a reused dir replays
+    identically."""
     import shutil
+    import uuid
 
     stamp = os.path.join(d, "_source.stamp")
     st = os.stat(src_file)
@@ -388,11 +395,16 @@ def _reuse_or_build_dir(d: str, src_file: str, tag: str, build) -> str:
                 return d
     except OSError:
         pass
-    shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(d)
-    build(d)
-    with open(stamp, "w") as f:
-        f.write(want)
+    tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    os.makedirs(tmp, exist_ok=True)
+    try:
+        build(tmp)
+        with open(os.path.join(tmp, "_source.stamp"), "w") as f:
+            f.write(want)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return d
 
 
@@ -434,8 +446,11 @@ def _ordered_chunk_dir(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(stage)
             os.utime(dst, (now - 100 * age, now - 100 * age))
 
+    # Fold the split constants into the tag: editing OUTER_SPLITS must
+    # invalidate the staged chunks without a manual version bump.
+    tag = f"outer_chunks_v1|{OUTER_SPLITS}"
     return _reuse_or_build_dir(
-        d, os.path.join(sf_dir, "events.parquet"), "outer_chunks_v1", build
+        d, os.path.join(sf_dir, "events.parquet"), tag, build
     )
 
 
@@ -819,8 +834,15 @@ def _late_data_source_dir(spark: SparkSession, sf_dir: str) -> str:
             shutil.rmtree(stage)
             os.utime(dst, (now - 100 * age, now - 100 * age))
 
+    # Every LATE_* constant the builder reads participates in the stamp so
+    # a cutoff/modulus edit rebuilds the staged splits automatically.
+    tag = (
+        "late_data_v1|"
+        f"{LATE_SPLIT}|{LATE_MID_SPLIT}|{LATE_KEEP_LO}|"
+        f"{LATE_DROP_LO}|{LATE_DROP_HI}|{LATE_MOD}"
+    )
     return _reuse_or_build_dir(
-        d, os.path.join(sf_dir, "events.parquet"), "late_data_v1", build
+        d, os.path.join(sf_dir, "events.parquet"), tag, build
     )
 
 

@@ -264,3 +264,20 @@ def test_containment_prefix_finds_asymmetric_pair_bands_miss(spark, tmp_path):
     # ... the exact prefix plan finds it, at full containment, first row
     top = dedup.containment_topk_prefix(spark, sf, k=1).collect()
     assert [tuple(r) for r in top] == [(1, 2, 1.0)]
+
+
+def test_containment_descent_custom_thresholds_always_returns_df(spark):
+    """A caller-supplied threshold schedule that omits the t=0.0 backstop
+    (e.g. a single t=1.0 pass) used to fall off the descent loop and
+    return None when no pass accumulated k pairs; the descent now appends
+    the backstop, so every call path yields the exact global top-k."""
+    from lachesis_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    # k=500 exceeds the pairs at every t>0 on this corpus, so a (1.0,)-only
+    # schedule reaches the appended backstop; result must equal all-pairs.
+    got = dedup.containment_topk_prefix(spark, sf, k=500, thresholds=(1.0,))
+    assert got is not None
+    pref = [tuple(r) for r in got.collect()]
+    full = [tuple(r) for r in dedup.containment_pairs(spark, sf, k=500).collect()]
+    assert pref == full and pref

@@ -600,3 +600,37 @@ def test_staged_replay_dirs_are_reused_not_rebuilt(spark):
     sig3 = {f: os.stat(f).st_mtime_ns for f in g.glob(os.path.join(d3, "*.parquet"))}
     assert set(map(os.path.basename, sig3)) == set(map(os.path.basename, sig1))
     assert sig3 != sig1  # rebuilt files, fresh mtimes
+
+
+def test_staged_replay_stamp_folds_builder_constants(spark, tmp_path):
+    """A builder-constant edit must invalidate the staged cache without a
+    manual version bump — the call sites fold OUTER_SPLITS / LATE_* into
+    the stamp tag.  Exercised directly: same dir + source, different tag
+    → rebuild; same tag → reuse.  The rebuild stages into a temp sibling
+    and renames into place, so the stamp lands atomically with the data."""
+    import os
+
+    src = tmp_path / "src.txt"
+    src.write_text("payload")
+    d = str(tmp_path / "staged")
+    builds = []
+
+    def build(target):
+        builds.append(target)
+        with open(os.path.join(target, "data.txt"), "w") as f:
+            f.write("built")
+
+    S._reuse_or_build_dir(d, str(src), "tag|A", build)
+    assert len(builds) == 1 and os.path.exists(os.path.join(d, "data.txt"))
+    assert builds[0] != d  # staged into a temp sibling, renamed into place
+    S._reuse_or_build_dir(d, str(src), "tag|A", build)
+    assert len(builds) == 1  # unchanged tag + source → reused
+    S._reuse_or_build_dir(d, str(src), "tag|B", build)
+    assert len(builds) == 2  # constant folded into tag → rebuilt
+    import inspect
+
+    # both call sites carry their builder constants inside the tag string
+    caller_src = inspect.getsource(S._ordered_chunk_dir) + inspect.getsource(
+        S._late_data_source_dir
+    )
+    assert "OUTER_SPLITS" in caller_src and "LATE_MOD" in caller_src

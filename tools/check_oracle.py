@@ -26,6 +26,8 @@ def canon(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm(v):
+        if v is None:
+            return "<null>"
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
@@ -36,7 +38,12 @@ def canon(rows, colnames):
             return v
         return str(v)
 
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    # key=repr: a nullable numeric column yields tuples mixing "<null>"
+    # (str) with floats at the same position, which plain tuple sort
+    # cannot order; repr is total and both sides are normed identically.
+    return sorted(
+        (tuple(norm(r[i]) for i in order) for r in rows), key=repr
+    )
 
 
 def main():
