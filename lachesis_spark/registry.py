@@ -101,7 +101,14 @@ _PRIORITY = [
     # event-time + structured streaming.  Round 7 rotated win_asof out
     # (windows keeps win_tumbling; win_asof stays oracle-checked in the
     # strict sweep) to seat the new search subsystem's BM25 representative.
-    "win_tumbling", "search_bm25_topk",
+    # Round 10 rotated win_tumbling -> stream_outer_join: tumbling-window
+    # event-time semantics stay gate-exercised twice over (stream_late_data
+    # IS watermarked tumbling counts; evt_funnel holds the event-time
+    # sequence seat), while the round-9 left-outer stream-stream interval
+    # join — eviction-driven NULL emission, the hardest stateful-streaming
+    # semantics in the repo — had no gate seat.  win_tumbling stays
+    # oracle-checked in the strict sweep.
+    "stream_outer_join", "search_bm25_topk",
     # Round 7 rotated stream_running_totals out (stream keeps
     # stream_tumbling; the totals query stays oracle-checked in the strict
     # sweep) to seat the graph-analytics subsystem's oriented-triangle

@@ -82,12 +82,31 @@ def test_gate_window_is_first_50_in_insertion_order():
     assert list(R.QUERIES)[:50] == R._PRIORITY
 
 
+# Round-10 rotation rationale (verdict task 3): `stream_outer_join` in for
+# `win_tumbling`.  The left-outer stream-stream interval join (round 9's
+# newest stateful-streaming semantics — NULL emission driven by state
+# EVICTION, not data) had no gate seat; tumbling-window EVENT-TIME semantics
+# remain gate-exercised twice over without win_tumbling's seat:
+# `stream_late_data` is itself watermarked TUMBLING counts (same window
+# grouping, plus watermark drop/keep), and `evt_funnel` holds the event-time
+# sequence seat.  win_tumbling stays oracle-checked in the strict sweep.
+# The per-module invariant below encodes this as an explicit PROXY: a module
+# may cede its seat only to a named gate entry that exercises the same
+# semantics — never silently.
+GATE_PROXIES = {
+    # module -> gate entries that exercise its core semantics
+    "windows": {"stream_late_data", "evt_funnel"},
+}
+
+
 def test_every_subsystem_keeps_a_gate_representative():
     gate = set(R._PRIORITY)
     missing = {
         name
         for name, mod in MODULES.items()
-        if mod.QUERIES and not (set(mod.QUERIES) & gate)
+        if mod.QUERIES
+        and not (set(mod.QUERIES) & gate)
+        and not (GATE_PROXIES.get(name, set()) & gate)
     }
     assert not missing, (
         f"subsystems with no gate representative: {sorted(missing)} — "
