@@ -284,6 +284,47 @@ class _state_partitions:
         self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
 
 
+HDFS_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+class _state_store_provider:
+    """Scope the state-store provider for a streaming replay.
+
+    The default HDFSBackedStateStoreProvider keeps every key of every
+    state-store version in an executor-heap hash map — fine for the
+    replay-harness volumes here, but at 100 TB a stream-stream join's
+    buffered state (every unmatched row inside the interval, per key)
+    outgrows the heap.  RocksDBStateStoreProvider (public Spark ≥ 3.2,
+    bundled JNI) keeps state off-heap in an LSM tree with block-cache +
+    disk, bounding heap residency regardless of keyed-state size — the
+    scale path.  Provider choice is a per-query config resolved at stream
+    START and sticky in the checkpoint thereafter, so scoping it around a
+    replay mirrors the real one-time deployment decision (same pattern as
+    _state_partitions).  Output must be provider-invariant; the streaming
+    test suite asserts row identity across both providers for every
+    stateful family (session windows, interval join, outer join) and
+    crash/restart recovery under RocksDB."""
+
+    def __init__(self, spark: SparkSession, provider: str):
+        self.spark, self.provider = spark, provider
+        self.key = "spark.sql.streaming.stateStore.providerClass"
+
+    def __enter__(self):
+        self.old = self.spark.conf.get(self.key, None)
+        self.spark.conf.set(self.key, self.provider)
+
+    def __exit__(self, *exc):
+        if self.old is None:
+            self.spark.conf.unset(self.key)
+        else:
+            self.spark.conf.set(self.key, self.old)
+
+
 def stream_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing form of the tumbling-window stream: replay the events
     file through the streaming engine (availableNow) into a memory sink and
