@@ -28,6 +28,8 @@ from lachesis_spark.advisor.bandit import (  # noqa: F401
     BanditPlacementOptimizer,
     LinUCBPlacementOptimizer,
     PlacementContext,
+    arbitrate_by_reward,
+    candidate_id,
     measure_key_cardinality,
 )
 from lachesis_spark.advisor.history import (  # noqa: F401
@@ -47,6 +49,7 @@ from lachesis_spark.advisor.recommender import (  # noqa: F401
     capture_usages,
     capture_usages_from_plan,
     key_stat_for,
+    layout_candidates,
     recommend,
     recommend_all,
     recommend_file_size,

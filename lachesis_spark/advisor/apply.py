@@ -46,7 +46,15 @@ class AppliedAction:
     detail: str
 
 
-def rewrite_layout(cat, db: str, name: str, kind: str, key_cols, n_buckets: int = 32):
+N_GRID_RANGES = 4  # range slices per bucket_range_grid rewrite: files per
+# table = n_buckets × this, so keep it small at bench scale; at 100 TB size
+# it to total_bytes / target_file_bytes / n_buckets instead.
+
+
+def rewrite_layout(
+    cat, db: str, name: str, kind: str, key_cols, n_buckets: int = 32,
+    range_cols=(),
+):
     """Rewrite ``db.name`` under the recommended layout via temp-set +
     directory swap (never overwriting files being read), then re-register
     the layout table from the durable sidecar so bucket-key joins plan
@@ -57,6 +65,20 @@ def rewrite_layout(cat, db: str, name: str, kind: str, key_cols, n_buckets: int 
     df = cat.read_set(db, name)
     if kind == "bucket_by":
         cat.write_set(df, db, tmp, bucket_by=(n_buckets, list(key_cols)))
+    elif kind == "bucket_range_grid":
+        # hybrid: each range-slice task writes one file per bucket it
+        # holds, so files are (filter-range × join-bucket) cells — the
+        # zonemap prunes them in the filter dimension, the bucket spec
+        # keeps the join exchange-free (multi-file buckets re-sort at
+        # read; the measured arbitration decided that trade was worth it)
+        cat.write_set(
+            df.repartitionByRange(N_GRID_RANGES, *range_cols),
+            db,
+            tmp,
+            bucket_by=(n_buckets, list(key_cols)),
+            zonemap_by=list(range_cols),
+            bucket_pre_partitioned=True,
+        )
     elif kind == "zorder":
         # a z-ordered set gets zone maps on its z-columns for free: the
         # clustering is exactly what makes per-file ranges prunable
@@ -154,14 +176,14 @@ def apply_report(
     actions: list[AppliedAction] = []
     if report.layout is not None:
         rewrite_layout(
-            cat, db, name, report.layout.kind, report.layout.key_cols, n_buckets
+            cat, db, name, report.layout.kind, report.layout.key_cols, n_buckets,
+            range_cols=report.layout.range_cols,
         )
+        detail = ",".join(report.layout.key_cols)
+        if report.layout.range_cols:
+            detail += f" × range({','.join(report.layout.range_cols)})"
         actions.append(
-            AppliedAction(
-                report.dataset,
-                report.layout.kind,
-                ",".join(report.layout.key_cols),
-            )
+            AppliedAction(report.dataset, report.layout.kind, detail)
         )
     elif report.file_size is not None:
         n_after = cat.compact_set(

@@ -230,3 +230,43 @@ class LinUCBPlacementOptimizer:
         key = max(sorted(contexts), key=lambda k: (self.ucb(contexts[k]), k))
         weight = self.history.key_weights(dataset).get(key, 0.0)
         return Recommendation(dataset, tuple(key.split(",")), weight, n_buckets)
+
+
+def candidate_id(cand) -> str:
+    """Stable identity of a layout candidate for context keying: two
+    candidates can share key_cols (bucket_by vs bucket_range_grid on the
+    same join key), so the kind participates."""
+    rng = f";range={','.join(cand.range_cols)}" if cand.range_cols else ""
+    return f"{cand.kind}:{','.join(cand.key_cols)}{rng}"
+
+
+def arbitrate_by_reward(
+    linucb: "LinUCBPlacementOptimizer",
+    dataset: str,
+    candidates: list,
+    contexts: dict[str, PlacementContext],
+    measure,
+):
+    """Measured-payoff arbitration of CONTESTED layout candidates — the
+    reference's DRL-optimizer decision surface
+    (DRLBasedDataPlacementOptimizerForLoadJob.h: choose the placement by
+    modeled payoff, not by a fixed rule precedence), in the deterministic
+    LinUCB form.
+
+    For each candidate, ``measure(cand) -> (workload_sec_before,
+    workload_sec_after)`` runs the recorded workload's representative
+    queries against a copy of the dataset placed under that candidate
+    (before = the unplaced copy).  Each outcome is observed into the
+    shared LinUCB value model — reward = relative runtime improvement,
+    credited to the candidate's FEATURE vector so the lesson transfers to
+    unseen datasets — and the choice is the model's UCB-max over the
+    measured candidates.  Returns the winning candidate."""
+    by_id = {candidate_id(c): c for c in candidates}
+    missing = sorted(set(by_id) - set(contexts))
+    if missing:
+        raise ValueError(f"no context for candidates: {missing}")
+    for cid in sorted(by_id):
+        before, after = measure(by_id[cid])
+        linucb.observe(dataset, by_id[cid].key_cols, contexts[cid], before, after)
+    best = max(sorted(by_id), key=lambda cid: linucb.ucb(contexts[cid]))
+    return by_id[best]

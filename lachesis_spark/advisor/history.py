@@ -209,6 +209,33 @@ class HistoryDB:
         ).fetchone()[0]
         return (int(row[0]), int(row[1]), float(weight))
 
+    def co_shuffle_partners(
+        self, dataset: str, key_text: str
+    ) -> list[tuple[str, str, float]]:
+        """Datasets that shuffled in the SAME jobs as (dataset, key) — the
+        join-partner signal.  Two shuffle usages sharing a job_id is how a
+        recorded equi-join looks in this schema (each side's Exchange is
+        attributed to its own source table), so the runtime-weighted top
+        partner is the table a co-partitioning layout must be applied to
+        for the bucket join to plan exchange-free.  Returns
+        [(partner_dataset, partner_key_text, total_runtime_sec)] sorted by
+        weight descending."""
+        rows = self.con.execute(
+            """
+            SELECT p.dataset, p.key_cols, sum(j.runtime_sec)
+            FROM key_usage u
+            JOIN key_usage p ON p.job_id = u.job_id
+            JOIN jobs j ON j.id = u.job_id
+            WHERE u.dataset = ? AND u.key_cols = ?
+              AND u.op = 'shuffle' AND p.op = 'shuffle'
+              AND p.dataset != u.dataset
+            GROUP BY p.dataset, p.key_cols
+            ORDER BY sum(j.runtime_sec) DESC, p.dataset
+            """,
+            (dataset, key_text),
+        ).fetchall()
+        return [(d, k, float(w)) for d, k, w in rows]
+
     def datasets(self) -> list[str]:
         return [
             r[0]

@@ -198,12 +198,20 @@ def recommend_all(history: HistoryDB, n_buckets: int = 32) -> list[Recommendatio
 
 @dataclass(frozen=True)
 class LayoutRecommendation:
-    """A full physical-layout decision for one dataset."""
+    """A full physical-layout decision for one dataset.
+
+    ``range_cols`` is only set for the hybrid ``bucket_range_grid`` kind:
+    hash-bucket on ``key_cols`` (the join/shuffle dimension) while each
+    write task holds one range slice of ``range_cols`` (the filter
+    dimension), so every output file is simultaneously a joinable bucket
+    AND tight in the filter column — one layout serving both sides of a
+    contested workload."""
 
     dataset: str
-    kind: str  # 'bucket_by' | 'zorder' | 'range_zonemap'
+    kind: str  # 'bucket_by' | 'zorder' | 'range_zonemap' | 'bucket_range_grid'
     key_cols: tuple[str, ...]
     weight: float
+    range_cols: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -392,11 +400,27 @@ def advise(
     n_buckets: int = 32,
     cores: int = 32,
     shuffle_partitions: int = 32,
+    arbiter=None,
 ) -> PlacementReport:
-    """One-call placement report for a dataset from its recorded history."""
+    """One-call placement report for a dataset from its recorded history.
+
+    ``arbiter`` (optional) is a callable ``(dataset, candidates) ->
+    LayoutRecommendation | None`` consulted ONLY when
+    :func:`layout_candidates` finds the layout contested (material runtime
+    on both the filter and shuffle dimensions).  It is expected to measure
+    the candidates on real data and answer with the payoff-maximizing one
+    (see ``bandit.arbitrate_by_reward``); ``None`` means "can't measure
+    this dataset here" and keeps the rule's choice."""
+    layout = recommend_layout(history, dataset, n_buckets)
+    if arbiter is not None:
+        cands = layout_candidates(history, dataset, n_buckets)
+        if len(cands) > 1:
+            chosen = arbiter(dataset, cands)
+            if chosen is not None:
+                layout = chosen
     return PlacementReport(
         dataset,
-        recommend_layout(history, dataset, n_buckets),
+        layout,
         recommend_file_size(history, dataset, cores),
         recommend_salting(history, dataset, shuffle_partitions),
     )
@@ -404,7 +428,8 @@ def advise(
 
 def advise_all(history: HistoryDB, **kw) -> list[PlacementReport]:
     """Reports for every dataset the history has observed (key usages or
-    frequency profiles), non-empty ones only."""
+    frequency profiles), non-empty ones only.  Accepts ``arbiter=`` (see
+    :func:`advise`) for measured-reward arbitration of contested layouts."""
     seen = set(history.datasets())
     seen.update(
         r[0]
@@ -464,6 +489,71 @@ def recommend_layout(
     if rec is None:
         return None
     return LayoutRecommendation(dataset, "bucket_by", rec.key_cols, rec.weight)
+
+
+CONTEST_RATIO = 0.5
+
+
+def layout_candidates(
+    history: HistoryDB, dataset: str, n_buckets: int = 32
+) -> list[LayoutRecommendation]:
+    """The rule's choice, plus the alternates when the history CONTESTS it.
+
+    A dataset is contested when the workload puts material runtime behind
+    BOTH layout dimensions — the filter side (data skipping wants
+    range/Z-order clustering) and the shuffle side (joins/aggs want a
+    bucket key) — ``min(filter_w, shuffle_w) >= CONTEST_RATIO *
+    max(...)``.  The static rule must then pick one dimension blind; the
+    reference resolves exactly this with its payoff-modeled optimizer
+    (DRLBasedDataPlacementOptimizerForLoadJob.h) — choose by MEASURED
+    reward, not by a fixed precedence.  Returned candidates (rule's choice
+    first) feed :func:`lachesis_spark.advisor.bandit.arbitrate_by_reward`:
+
+    - the rule's own pick (filter-favoring on a filter-heavy history);
+    - ``bucket_by`` on the dominant shuffle key (join-favoring);
+    - ``bucket_range_grid``: hash-bucket the shuffle key while each write
+      task holds one range slice of the dominant filter column — files
+      are joinable buckets AND tight in the filter dimension, at the cost
+      of multi-file buckets (the read-side per-bucket sort is no longer
+      elided; whether that trade pays is precisely what the measured
+      arbitration decides).
+
+    Uncontested datasets return just the rule's choice (or [] with no
+    history) — the arbiter never runs, no measurement cost."""
+    rule = recommend_layout(history, dataset, n_buckets)
+    if rule is None:
+        return []
+    shuffle = history.key_weights(dataset)
+    filters = history.filter_weights(dataset)
+    if not shuffle or not filters:
+        return [rule]
+    best_shuffle = max(shuffle.values())
+    filter_total = sum(
+        w for _, w in sorted(filters.items(), key=lambda kv: -kv[1])[:2]
+    )
+    if min(best_shuffle, filter_total) < CONTEST_RATIO * max(
+        best_shuffle, filter_total
+    ):
+        return [rule]
+    bucket = recommend(history, dataset, n_buckets)
+    top_filter = max(filters.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    cands = [rule]
+    if bucket is not None and rule.kind != "bucket_by":
+        cands.append(
+            LayoutRecommendation(
+                dataset, "bucket_by", bucket.key_cols, bucket.weight
+            )
+        )
+        cands.append(
+            LayoutRecommendation(
+                dataset,
+                "bucket_range_grid",
+                bucket.key_cols,
+                bucket.weight + filters[top_filter],
+                range_cols=tuple(top_filter.split(",")),
+            )
+        )
+    return cands
 
 
 @dataclass(frozen=True)

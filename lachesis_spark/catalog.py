@@ -89,10 +89,30 @@ def ensure_layout_table(spark: SparkSession, root: str, db: str, name: str) -> b
     import json
 
     tbl = f"{db}_{name}"
-    if spark.catalog.tableExists(tbl):
-        return True
     path = os.path.join(root, db, name)
     meta_path = os.path.join(path, LAYOUT_FILE)
+    if spark.catalog.tableExists(tbl):
+        loc = next(
+            (
+                r["data_type"]
+                for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+                if r["col_name"] == "Location"
+            ),
+            None,
+        )
+        if loc is not None and _same_location(loc, path):
+            return True
+        # Table names are session-global but Catalog roots are not: a
+        # Catalog rooted elsewhere may have registered this name over ITS
+        # files.  If THIS root carries a layout sidecar, the stale
+        # registration would silently shadow it (read_set's location check
+        # falls back to a plain scan and the bucket layout is lost), so
+        # drop the stale EXTERNAL table (metadata only — its data files
+        # stay) and re-register from our sidecar; the other catalog's own
+        # read_set re-registers from its sidecar the same way.
+        if not os.path.isfile(meta_path):
+            return False
+        spark.sql(f"DROP TABLE {tbl}")
     if not os.path.isfile(meta_path):
         return False
     with open(meta_path) as fh:
@@ -256,6 +276,7 @@ class Catalog:
         bucket_by: tuple[int, list[str]] | None = None,
         zorder_by: list[str] | None = None,
         zonemap_by: list[str] | None = None,
+        bucket_pre_partitioned: bool = False,
     ) -> None:
         """WriteUserSet analog (reference
         src/builtInPDBObjects/headers/WriteUserSet.h:18).
@@ -296,7 +317,16 @@ class Catalog:
             # bucket and every later sort-merge join must re-sort the
             # bucket at read time (Spark only elides the Sort for
             # single-file buckets) — silently refunding the layout's win.
-            df = df.repartition(n, *[F.col(c) for c in cols])
+            # ``bucket_pre_partitioned`` opts OUT of that collapse: the
+            # caller's partitioning (e.g. repartitionByRange on a filter
+            # column) is kept, so each of its k tasks writes one file per
+            # bucket it holds — files become (range slice × bucket) cells
+            # that a zonemap sidecar can prune in the range dimension
+            # while the table stays a joinable bucketed layout.  The trade
+            # (multi-file buckets re-sort at read; exchange elision is
+            # untouched) is for the advisor's measured arbitration.
+            if not bucket_pre_partitioned:
+                df = df.repartition(n, *[F.col(c) for c in cols])
             (
                 df.write.mode(mode)
                 .bucketBy(n, *cols)

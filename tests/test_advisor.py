@@ -936,3 +936,150 @@ def test_record_registry_captures_real_workload_history(spark):
     # are enough for a layout decision on lineitem
     rep = advise(h, "lineitem")
     assert rep.layout is not None and rep.layout.key_cols
+
+
+def _contested_history() -> HistoryDB:
+    """lineitem-shaped conflict: the workload puts comparable runtime on a
+    join key (shuffle) and a date column (pushed scan filter)."""
+    h = HistoryDB(":memory:")
+    h.record_job("q_join", 5.0, [
+        KeyUsage("li", "shuffle", ("l_orderkey",)),
+        KeyUsage("od", "shuffle", ("o_orderkey",)),
+    ])
+    h.record_job("q_scan", 4.5, [KeyUsage("li", "filter", ("l_shipdate",))])
+    h.record_job("q_scan2", 1.0, [KeyUsage("li", "filter", ("l_quantity",))])
+    return h
+
+
+def test_layout_candidates_contested_returns_alternates():
+    """Material weight on BOTH dimensions → the rule's pick plus bucket_by
+    and the bucket_range_grid hybrid; one-sided histories return only the
+    rule's choice (no measurement cost for uncontested datasets)."""
+    from lachesis_spark.advisor import layout_candidates
+
+    h = _contested_history()
+    cands = layout_candidates(h, "li", n_buckets=8)
+    assert [c.kind for c in cands] == ["zorder", "bucket_by", "bucket_range_grid"]
+    grid = cands[2]
+    assert grid.key_cols == ("l_orderkey",)
+    assert grid.range_cols == ("l_shipdate",)
+
+    # join partner discoverable from the shared job id
+    partners = h.co_shuffle_partners("li", "l_orderkey")
+    assert partners and partners[0][:2] == ("od", "o_orderkey")
+
+    # filter-only history: uncontested, single rule candidate
+    h2 = HistoryDB(":memory:")
+    h2.record_job("s", 9.0, [KeyUsage("t", "filter", ("d",))])
+    h2.record_job("j", 1.0, [KeyUsage("t", "shuffle", ("k",))])
+    only = layout_candidates(h2, "t")
+    assert len(only) == 1 and only[0].kind == "range_zonemap"
+
+
+def test_bucket_range_grid_serves_join_and_scan(spark, tmp_path):
+    """The hybrid layout end-to-end: after a bucket_range_grid rewrite of
+    both join sides, (a) rows are preserved, (b) the orderkey join plans
+    ZERO shuffle Exchanges through the public read_set router, and (c) the
+    zonemap sidecar prunes a shipdate range read to a strict subset of
+    files with results identical to the plain filtered scan."""
+    from lachesis_spark.advisor import LayoutRecommendation, PlacementReport
+    from lachesis_spark.advisor.apply import apply_report
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+    od = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    cat.write_set(li, "db", "li")
+    cat.write_set(od, "db", "od")
+    n0 = cat.read_set("db", "li").count()
+
+    for name, key, rng in (("li", "l_orderkey", "l_shipdate"),
+                           ("od", "o_orderkey", "o_orderdate")):
+        rep = PlacementReport(
+            name,
+            LayoutRecommendation(name, "bucket_range_grid", (key,), 9.5,
+                                 range_cols=(rng,)),
+            None, None,
+        )
+        acts = apply_report(cat, rep, "db", name, n_buckets=8)
+        assert acts[0].action == "bucket_range_grid"
+
+    a, b = cat.read_set("db", "li"), cat.read_set("db", "od")
+    assert a.count() == n0
+    with_broadcast_off(spark)
+    try:
+        j = (
+            a.join(b, a["l_orderkey"] == b["o_orderkey"])
+            .groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+    finally:
+        with_broadcast_on(spark)
+
+    lo, hi = "1996-01-01", "1996-06-30"
+    pruned = cat.read_set_pruned("db", "li", "l_shipdate", lo, hi)
+    assert 0 < len(pruned.inputFiles()) < len(a.inputFiles())
+    want = sorted(
+        tuple(r)
+        for r in a.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+        .collect()
+    )
+    assert sorted(tuple(r) for r in pruned.collect()) == want and want
+
+
+def test_arbitrate_by_reward_picks_measured_winner():
+    """The bandit arbitration: three contested candidates measured on the
+    (fake) workload; the UCB-max choice is the one with the best measured
+    payoff, the rewards land in the persistent model, and advise() only
+    invokes the arbiter on contested datasets."""
+    from lachesis_spark.advisor import (
+        LinUCBPlacementOptimizer,
+        PlacementContext,
+        advise,
+        arbitrate_by_reward,
+        candidate_id,
+        layout_candidates,
+    )
+
+    h = _contested_history()
+    cands = layout_candidates(h, "li", n_buckets=8)
+    # distinct feature vectors per candidate (cardinality of its key)
+    contexts = {
+        candidate_id(c): PlacementContext(
+            2 * 1024**3, 16, {"zorder": 2500, "bucket_by": 150_000,
+                              "bucket_range_grid": 150_000}[c.kind],
+            c.weight / 10.0,
+        )
+        for c in cands
+    }
+    # measured workload seconds: grid wins (join exchange-free AND pruned
+    # scan), bucket second (join only), zorder last (scan only)
+    after = {"zorder": 9.0, "bucket_by": 7.0, "bucket_range_grid": 5.0}
+    measured = []
+
+    def measure(c):
+        measured.append(c.kind)
+        return 10.0, after[c.kind]
+
+    linucb = LinUCBPlacementOptimizer(h, alpha=0.1)
+    best = arbitrate_by_reward(linucb, "li", cands, contexts, measure)
+    assert best.kind == "bucket_range_grid"
+    assert sorted(measured) == ["bucket_by", "bucket_range_grid", "zorder"]
+    n_obs = h.con.execute("SELECT count(*) FROM layout_ctx_rewards").fetchone()[0]
+    assert n_obs == 3
+
+    # advise() consults the arbiter exactly on the contested dataset ...
+    calls = []
+
+    def arbiter(ds, cs):
+        calls.append(ds)
+        return arbitrate_by_reward(
+            LinUCBPlacementOptimizer(h, alpha=0.1), ds, cs, contexts, measure
+        )
+
+    rep = advise(h, "li", n_buckets=8, arbiter=arbiter)
+    assert calls == ["li"] and rep.layout.kind == "bucket_range_grid"
+    # ... and an arbiter answering None keeps the rule's choice
+    rep2 = advise(h, "li", n_buckets=8, arbiter=lambda ds, cs: None)
+    assert rep2.layout.kind == "zorder"
