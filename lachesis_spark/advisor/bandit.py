@@ -258,15 +258,24 @@ def arbitrate_by_reward(
     queries against a copy of the dataset placed under that candidate
     (before = the unplaced copy).  Each outcome is observed into the
     shared LinUCB value model — reward = relative runtime improvement,
-    credited to the candidate's FEATURE vector so the lesson transfers to
-    unseen datasets — and the choice is the model's UCB-max over the
-    measured candidates.  Returns the winning candidate."""
+    credited to the candidate's FEATURE vector so the lesson TRANSFERS to
+    datasets that will NOT be measured (the model's UCB ranks cold-start
+    candidates elsewhere).  Among candidates that were just measured
+    directly, the choice is the measured-reward argmax: a direct
+    observation of the payoff dominates the 5-feature model's
+    interpolation of it (three near-collinear contexts can rank-invert
+    under ridge shrinkage — observed in the round-10 run, where the model
+    briefly preferred a 0.10-reward arm over the 0.23-reward one).
+    Returns the winning candidate."""
     by_id = {candidate_id(c): c for c in candidates}
     missing = sorted(set(by_id) - set(contexts))
     if missing:
         raise ValueError(f"no context for candidates: {missing}")
+    rewards: dict[str, float] = {}
     for cid in sorted(by_id):
         before, after = measure(by_id[cid])
-        linucb.observe(dataset, by_id[cid].key_cols, contexts[cid], before, after)
-    best = max(sorted(by_id), key=lambda cid: linucb.ucb(contexts[cid]))
+        rewards[cid] = linucb.observe(
+            dataset, by_id[cid].key_cols, contexts[cid], before, after
+        )
+    best = max(sorted(by_id), key=lambda cid: rewards[cid])
     return by_id[best]

@@ -212,14 +212,47 @@ class HistoryDB:
     def co_shuffle_partners(
         self, dataset: str, key_text: str
     ) -> list[tuple[str, str, float]]:
-        """Datasets that shuffled in the SAME jobs as (dataset, key) — the
-        join-partner signal.  Two shuffle usages sharing a job_id is how a
-        recorded equi-join looks in this schema (each side's Exchange is
-        attributed to its own source table), so the runtime-weighted top
-        partner is the table a co-partitioning layout must be applied to
-        for the bucket join to plan exchange-free.  Returns
-        [(partner_dataset, partner_key_text, total_runtime_sec)] sorted by
-        weight descending."""
+        """The join partners of (dataset, key) — the table (and ITS key) a
+        co-partitioning layout must also be applied to for a bucket join to
+        plan exchange-free.  Primary signal: 'joinpair' usages captured
+        from SortMergeJoin/ShuffledHashJoin key lists in executed plans
+        (dataset "left>right", key "lcols>rcols"), which pin which two
+        shuffles actually MEET — a job with three shuffles is ambiguous
+        otherwise (tpch_q03 shuffles orders on o_custkey for the customer
+        join in the same job that shuffles lineitem on l_orderkey, and the
+        co-occurrence heuristic would pin the wrong key).  Falls back to
+        same-job co-shuffle co-occurrence for histories recorded without
+        joinpair capture.  Returns [(partner_dataset, partner_key_text,
+        total_runtime_sec)] sorted by weight descending."""
+        rows = self.con.execute(
+            """
+            SELECT u.dataset, u.key_cols, sum(j.runtime_sec)
+            FROM key_usage u JOIN jobs j ON u.job_id = j.id
+            WHERE u.op = 'joinpair'
+              AND (u.dataset LIKE ? || '>%' OR u.dataset LIKE '%>' || ?)
+            GROUP BY u.dataset, u.key_cols
+            ORDER BY sum(j.runtime_sec) DESC, u.dataset
+            """,
+            (dataset, dataset),
+        ).fetchall()
+        merged: dict[tuple[str, str], float] = {}
+        for ds_pair, key_pair, w in rows:
+            left_ds, right_ds = ds_pair.split(">", 1)
+            left_k, right_k = key_pair.split(">", 1)
+            if left_ds == dataset and left_k == key_text:
+                hit = (right_ds, right_k)
+            elif right_ds == dataset and right_k == key_text:
+                hit = (left_ds, left_k)
+            else:
+                continue
+            # the same logical join records under both orientations
+            # (build/probe sides flip between plans) — fold the weights
+            merged[hit] = merged.get(hit, 0.0) + float(w)
+        if merged:
+            return sorted(
+                ((d, k, w) for (d, k), w in merged.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )
         rows = self.con.execute(
             """
             SELECT p.dataset, p.key_cols, sum(j.runtime_sec)

@@ -104,6 +104,15 @@ _SCAN_RE = re.compile(
     r"FileScan \w+ \[([^\]]*)\].*?Location: \w+(?:\(\d+ paths?\))?\[([^\]]+)\]"
 )
 _EXCHANGE_RE = re.compile(r"Exchange hashpartitioning\(([^)]*)\)")
+# Equi-join key-list operators.  BroadcastHashJoin is included on purpose:
+# which keys two tables JOIN on is a logical fact independent of the
+# physical strategy, and at bench scale Spark broadcasts joins that a
+# 100 TB deployment would sort-merge — recording only SMJ would leave the
+# co-partitioning advisor blind exactly where it learns.
+_SMJ_RE = re.compile(
+    r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w*\s+"
+    r"(?:\w+\s+)?\[([^\]]*)\], \[([^\]]*)\]"
+)
 _ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#(\d+)")
 _LOC_RE = re.compile(r"Location: \w+(?:\(\d+ paths?\))?\[([^\]]+)\]")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
@@ -135,6 +144,30 @@ def capture_usages_from_plan(df) -> list[KeyUsage]:
                 by_table.setdefault(table, []).append(name)
         for table, cols in by_table.items():
             usages.add(KeyUsage(table, "shuffle", tuple(sorted(set(cols)))))
+    # shuffle-join PAIRS (SortMergeJoin / ShuffledHashJoin key lists): the
+    # co-partitioning signal 'shuffle' rows cannot carry — a job with three
+    # shuffles says nothing about WHICH two meet in a join, and a partner
+    # pin on the wrong key buys no Exchange elision.  Encoded as
+    # dataset "left>right", key "lcols>rcols" (single element, so the
+    # key_text sort normalization cannot scramble the sides).
+    for lk, rk in _SMJ_RE.findall(plan):
+        def _side(keys: str):
+            tabs, cols = set(), []
+            for name, eid in _ATTR_RE.findall(keys):
+                t = attr_to_table.get(eid)
+                if t:
+                    tabs.add(t)
+                    cols.append(name)
+            return (tabs.pop(), tuple(sorted(set(cols)))) if len(tabs) == 1 else None
+        left, right = _side(lk), _side(rk)
+        if left and right and left[0] != right[0]:
+            usages.add(
+                KeyUsage(
+                    f"{left[0]}>{right[0]}",
+                    "joinpair",
+                    (f"{','.join(left[1])}>{','.join(right[1])}",),
+                )
+            )
     # scan-filter columns (per pushed selective predicate, one usage per
     # column): the data-skipping signal — IsNotNull is implied by every
     # join/agg and carries no layout information, so it is skipped

@@ -1083,3 +1083,40 @@ def test_arbitrate_by_reward_picks_measured_winner():
     # ... and an arbiter answering None keeps the rule's choice
     rep2 = advise(h, "li", n_buckets=8, arbiter=lambda ds, cs: None)
     assert rep2.layout.kind == "zorder"
+
+
+def test_joinpair_capture_disambiguates_partner_keys(spark):
+    """A q03-shaped job shuffles orders on o_custkey (customer join) in the
+    SAME job that shuffles lineitem on l_orderkey — co-occurrence alone
+    would pin the wrong partner key.  The joinpair rows captured from the
+    executed plan's SortMergeJoin key lists pin the key the join actually
+    meets on."""
+    from lachesis_spark.advisor import capture_usages_from_plan
+
+    li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+    od = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    cu = spark.read.parquet(SF_SMOKE + "/customer.parquet")
+    with_broadcast_off(spark)
+    try:
+        j = (
+            li.join(od, li["l_orderkey"] == od["o_orderkey"])
+            .join(cu, od["o_custkey"] == cu["c_custkey"])
+            .groupBy("l_returnflag").count()
+        )
+        j.count()
+        usages = capture_usages_from_plan(j)
+    finally:
+        with_broadcast_on(spark)
+    pairs = {(u.dataset, u.key_cols[0]) for u in usages if u.op == "joinpair"}
+    assert ("lineitem>orders", "l_orderkey>o_orderkey") in pairs
+    assert ("orders>customer", "o_custkey>c_custkey") in pairs
+
+    h = HistoryDB(":memory:")
+    h.record_job("q03ish", 5.0, usages)
+    assert h.co_shuffle_partners("lineitem", "l_orderkey")[0][:2] == (
+        "orders", "o_orderkey",
+    )
+    # direction is symmetric: the right side resolves its left partner too
+    assert h.co_shuffle_partners("customer", "c_custkey")[0][:2] == (
+        "orders", "o_custkey",
+    )
