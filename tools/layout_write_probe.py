@@ -104,6 +104,17 @@ def main() -> None:
         rec("bucket", k, timed(lambda: cat.write_set(
             df, "db", f"b_x{k}", bucket_by=(N_BUCKETS, ["o_orderkey"])
         )), f"bucketBy({N_BUCKETS}, o_orderkey)")
+        # round-10 hybrid: range-partitioned bucketed write + sidecar —
+        # one extra range shuffle vs plain bucketing, same I/O volume
+        from lachesis_spark.advisor.apply import N_GRID_RANGES
+
+        rec("bucket_range_grid", k, timed(lambda: cat.write_set(
+            df.repartitionByRange(N_GRID_RANGES, "o_orderdate"),
+            "db", f"g_x{k}",
+            bucket_by=(N_BUCKETS, ["o_orderkey"]),
+            zonemap_by=["o_orderdate"],
+            bucket_pre_partitioned=True,
+        )), f"grid {N_GRID_RANGES}×{N_BUCKETS} (o_orderkey × o_orderdate)")
 
         # append path: month-partitioned zone-mapped corpus; the daily
         # merge touches ONE partition with a 1%-of-partition update
