@@ -548,3 +548,56 @@ def test_fuzzy_join_qgram_filter_is_complete(spark, names):
         for r in fuzzy_value_pairs(values).collect()
     }
     assert got == expect
+
+
+# small word vocabulary → real shingle overlap between random docs, so the
+# containment distribution spans (0, 1] and the threshold descent gets
+# exercised at different termination rungs across examples
+_doc_words = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=3, max_size=12
+)
+_corpus = st.lists(_doc_words, min_size=2, max_size=7)
+
+
+@settings(
+    max_examples=6,  # each example is a full multi-pass Spark plan
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus, k=st.integers(min_value=1, max_value=5))
+def test_containment_prefix_topk_matches_python_model(spark, tmp_path_factory, docs, k):
+    """The prefix-filter threshold-descent top-k (the registry's exact
+    containment plan) against an independent plain-Python model: shingle
+    sets, all directed containments |src∩dst|/|src|, sorted by
+    (-containment, src, dst), first k.  Checks the EXACTNESS claim end to
+    end — prefix bound, threshold-descent early exit, t=0 backstop, and
+    tie-breaking — on corpora the authors never hand-picked."""
+    from lachesis_spark.llm import dedup
+
+    sf = str(tmp_path_factory.mktemp("contain"))
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+
+    def shingles(ws):
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(ws) for i, ws in enumerate(docs)}
+    model = sorted(
+        (
+            (-len(sets[a] & sets[b]) / len(sets[a]), a, b)
+            for a in sets
+            for b in sets
+            if a != b and sets[a] & sets[b]
+        )
+    )[:k]
+    expected = [(a, b, -c) for c, a, b in model]
+
+    got = [
+        tuple(r)
+        for r in dedup.containment_topk_prefix(spark, sf, k=k).collect()
+    ]
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expected]
+    for (_, _, gc), (_, _, ec) in zip(got, expected):
+        assert abs(gc - ec) < 1e-9

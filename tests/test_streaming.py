@@ -674,3 +674,39 @@ def test_stateful_streams_identical_across_state_store_providers(spark):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
         is None
     )
+
+
+def test_tws_sessionizer_gated_or_equivalent(spark):
+    """Spark 4's transformWithStateInPandas sessionizer: its Python runner
+    speaks protobuf to the state server, a package this container neither
+    ships nor can install — so here the operator must fail LOUDLY with the
+    documented dependency error (plumbing-real/dependency-gated, the same
+    pattern as the multimodal codecs).  Where protobuf exists, the full
+    equivalence to the applyInPandasWithState sessionizer runs instead."""
+    try:
+        import google.protobuf  # noqa: F401
+        have_pb = True
+    except ImportError:
+        have_pb = False
+
+    if not have_pb:
+        ev = S.read_events_stream(spark, SF_SMOKE)
+        with pytest.raises(RuntimeError, match="protobuf"):
+            S.stream_sessions_tws(ev)
+        return
+
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    with S._state_store_provider(spark, S.ROCKSDB_STATE_PROVIDER):
+        q = S.run_to_memory(S.stream_sessions_tws(ev), "t_tws_sess", "append")
+    try:
+        got = spark.table("t_tws_sess")
+        ref_q = S.run_to_memory(
+            S.stream_custom_sessions(S.read_events_stream(spark, SF_SMOKE)),
+            "t_tws_ref", "append",
+        )
+        try:
+            _assert_same(got, spark.table("t_tws_ref"))
+        finally:
+            ref_q.stop()
+    finally:
+        q.stop()
