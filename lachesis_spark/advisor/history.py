@@ -270,10 +270,14 @@ class HistoryDB:
         return [(d, k, float(w)) for d, k, w in rows]
 
     def datasets(self) -> list[str]:
+        # joinpair usages record PAIR pseudo-datasets ('left>right') so
+        # partner pins survive round trips; they are join metadata, not
+        # advisable datasets, so they never surface here.
         return [
             r[0]
             for r in self.con.execute(
-                "SELECT DISTINCT dataset FROM key_usage ORDER BY dataset"
+                "SELECT DISTINCT dataset FROM key_usage"
+                " WHERE op != 'joinpair' ORDER BY dataset"
             )
         ]
 

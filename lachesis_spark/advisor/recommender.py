@@ -569,14 +569,36 @@ def layout_candidates(
     ):
         return [rule]
     bucket = recommend(history, dataset, n_buckets)
-    top_filter = max(filters.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    ranked = sorted(filters.items(), key=lambda kv: (-kv[1], kv[0]))
+    top_filter = ranked[0][0]
     cands = [rule]
     if bucket is not None and rule.kind != "bucket_by":
+        # filter-favoring rule: add the shuffle-favoring alternate
         cands.append(
             LayoutRecommendation(
                 dataset, "bucket_by", bucket.key_cols, bucket.weight
             )
         )
+    elif rule.kind == "bucket_by":
+        # shuffle-favoring rule: add the filter-favoring alternate,
+        # mirroring recommend_layout's own single-vs-multi column choice —
+        # contested means BOTH dimensions carry material runtime, so both
+        # must reach the measured arbiter regardless of which one the
+        # blind rule happened to pick.
+        if len(ranked) >= 2 and ranked[1][1] >= 0.2 * ranked[0][1]:
+            cols = tuple(sorted(k for k, _ in ranked[:2]))
+            cands.append(
+                LayoutRecommendation(
+                    dataset, "zorder", cols, sum(w for _, w in ranked[:2])
+                )
+            )
+        else:
+            cands.append(
+                LayoutRecommendation(
+                    dataset, "range_zonemap", (top_filter,), ranked[0][1]
+                )
+            )
+    if bucket is not None:
         cands.append(
             LayoutRecommendation(
                 dataset,

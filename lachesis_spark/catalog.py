@@ -87,19 +87,17 @@ def ensure_layout_table(spark: SparkSession, root: str, db: str, name: str) -> b
     CREATE TABLE ... CLUSTERED BY over them is exact).  Returns True if a
     table now exists."""
     import json
+    import warnings
 
     tbl = f"{db}_{name}"
     path = os.path.join(root, db, name)
     meta_path = os.path.join(path, LAYOUT_FILE)
     if spark.catalog.tableExists(tbl):
-        loc = next(
-            (
-                r["data_type"]
-                for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
-                if r["col_name"] == "Location"
-            ),
-            None,
-        )
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+        }
+        loc = desc.get("Location")
         if loc is not None and _same_location(loc, path):
             return True
         # Table names are session-global but Catalog roots are not: a
@@ -107,10 +105,23 @@ def ensure_layout_table(spark: SparkSession, root: str, db: str, name: str) -> b
         # files.  If THIS root carries a layout sidecar, the stale
         # registration would silently shadow it (read_set's location check
         # falls back to a plain scan and the bucket layout is lost), so
-        # drop the stale EXTERNAL table (metadata only — its data files
-        # stay) and re-register from our sidecar; the other catalog's own
-        # read_set re-registers from its sidecar the same way.
+        # drop the stale table and re-register from our sidecar; the other
+        # catalog's own read_set re-registers from its sidecar the same
+        # way.  ONLY an EXTERNAL table with a successfully parsed location
+        # is safe to drop (metadata only — its data files stay): dropping
+        # a MANAGED table deletes its data, and an unparsed location means
+        # we cannot prove the registration is stale at all, so both cases
+        # back off to a warning instead.
         if not os.path.isfile(meta_path):
+            return False
+        if loc is None or desc.get("Type", "").upper() != "EXTERNAL":
+            warnings.warn(
+                f"table {tbl} exists but is not a re-registerable EXTERNAL"
+                f" table (type={desc.get('Type')!r}, location"
+                f" {'unparsed' if loc is None else loc!r}); refusing to"
+                f" DROP it — layout metadata for {path} stays unregistered",
+                stacklevel=2,
+            )
             return False
         spark.sql(f"DROP TABLE {tbl}")
     if not os.path.isfile(meta_path):

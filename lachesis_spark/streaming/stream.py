@@ -590,9 +590,11 @@ def _reuse_or_build_dir(d: str, src_file: str, tag: str, build) -> str:
     builder closure reads, so a constant edit invalidates the cache
     without a manual version bump — plus source path, size, mtime); any
     mismatch rebuilds from scratch.  The rebuild stages into a temp
-    sibling and os.rename()s into place so a concurrent process never
-    observes (or replays) a half-built dir, and a crashed build leaves
-    the previous dir untouched.  The stamp's leading underscore keeps it
+    sibling, renames the stale dir ASIDE, then renames the staged build
+    into place — the target path is never observed half-built, a crashed
+    build leaves the previous dir untouched, and when two builders race,
+    the loser detects the winner's (stamp-identical, deterministic)
+    result and adopts it.  The stamp's leading underscore keeps it
     out of Spark/Hadoop file listings, and file mtimes (the replay
     ordering channel) persist on disk, so a reused dir replays
     identically."""
@@ -609,15 +611,33 @@ def _reuse_or_build_dir(d: str, src_file: str, tag: str, build) -> str:
     except OSError:
         pass
     tmp = f"{d}.build-{uuid.uuid4().hex[:8]}"
+    aside = f"{d}.old-{uuid.uuid4().hex[:8]}"
     os.makedirs(tmp, exist_ok=True)
     try:
         build(tmp)
         with open(os.path.join(tmp, "_source.stamp"), "w") as f:
             f.write(want)
-        shutil.rmtree(d, ignore_errors=True)
-        os.rename(tmp, d)
+        try:
+            os.rename(d, aside)  # stale dir steps aside atomically
+        except OSError:
+            pass  # d absent (first build) or a racing builder moved it
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            # A concurrent builder renamed ITS result into place between
+            # our two renames.  build() is a pure function of the stamped
+            # source, so a dir carrying the wanted stamp IS our result;
+            # anything else is a real failure.
+            try:
+                with open(stamp) as f:
+                    ok = f.read() == want
+            except OSError:
+                ok = False
+            if not ok:
+                raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
     return d
 
 

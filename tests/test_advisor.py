@@ -1120,3 +1120,61 @@ def test_joinpair_capture_disambiguates_partner_keys(spark):
     assert h.co_shuffle_partners("customer", "c_custkey")[0][:2] == (
         "orders", "o_custkey",
     )
+
+
+def test_layout_candidates_symmetric_when_rule_is_bucket_by():
+    """Round-10 asymmetry (ADVICE r10): a contested dataset whose blind
+    rule favored the SHUFFLE side returned a single candidate, so the
+    measured arbiter never ran for exactly half the contested space.  Now
+    a bucket_by rule on a contested history emits the filter-favoring
+    alternate (range_zonemap for a dominant single column, zorder for
+    two comparable ones) plus the grid hybrid — both dimensions reach the
+    arbiter regardless of which one the rule picked."""
+    from lachesis_spark.advisor import layout_candidates
+
+    # shuffle dominates (rule = bucket_by) but one filter column carries
+    # >= 50% of it -> contested, single dominant filter -> range_zonemap
+    h = HistoryDB(":memory:")
+    h.record_job("q_join", 6.0, [KeyUsage("li", "shuffle", ("l_orderkey",))])
+    h.record_job("q_scan", 4.0, [KeyUsage("li", "filter", ("l_shipdate",))])
+    cands = layout_candidates(h, "li", n_buckets=8)
+    assert [c.kind for c in cands] == [
+        "bucket_by", "range_zonemap", "bucket_range_grid",
+    ]
+    assert cands[1].key_cols == ("l_shipdate",)
+    assert cands[2].key_cols == ("l_orderkey",)
+    assert cands[2].range_cols == ("l_shipdate",)
+
+    # two comparable filter columns -> the alternate is zorder on both
+    h2 = HistoryDB(":memory:")
+    h2.record_job("q_join", 6.0, [KeyUsage("li", "shuffle", ("l_orderkey",))])
+    h2.record_job("q_s1", 3.0, [KeyUsage("li", "filter", ("l_shipdate",))])
+    h2.record_job("q_s2", 2.5, [KeyUsage("li", "filter", ("l_quantity",))])
+    cands2 = layout_candidates(h2, "li", n_buckets=8)
+    assert [c.kind for c in cands2] == [
+        "bucket_by", "zorder", "bucket_range_grid",
+    ]
+    assert cands2[1].key_cols == ("l_quantity", "l_shipdate")
+
+    # uncontested shuffle-dominant history: rule only, no alternates
+    h3 = HistoryDB(":memory:")
+    h3.record_job("q_join", 9.0, [KeyUsage("li", "shuffle", ("l_orderkey",))])
+    h3.record_job("q_scan", 1.0, [KeyUsage("li", "filter", ("l_shipdate",))])
+    only = layout_candidates(h3, "li", n_buckets=8)
+    assert [c.kind for c in only] == ["bucket_by"]
+
+
+def test_datasets_excludes_joinpair_pseudo_rows():
+    """joinpair usages record 'left>right' pair pseudo-datasets for partner
+    pins; HistoryDB.datasets() must not surface them as advisable datasets
+    (advise_all / recommend_all iterate datasets())."""
+    h = HistoryDB(":memory:")
+    h.record_job("q", 5.0, [
+        KeyUsage("li", "shuffle", ("l_orderkey",)),
+        KeyUsage("od", "shuffle", ("o_orderkey",)),
+        KeyUsage("li>od", "joinpair", ("l_orderkey>o_orderkey",)),
+    ])
+    assert h.datasets() == ["li", "od"]
+    # the pair row still serves its purpose: partner discovery
+    partners = h.co_shuffle_partners("li", "l_orderkey")
+    assert partners and partners[0][:2] == ("od", "o_orderkey")

@@ -281,3 +281,28 @@ def test_containment_descent_custom_thresholds_always_returns_df(spark):
     pref = [tuple(r) for r in got.collect()]
     full = [tuple(r) for r in dedup.containment_pairs(spark, sf, k=500).collect()]
     assert pref == full and pref
+
+
+def test_containment_descent_backstop_optout_bounds_cost(spark):
+    """backstop=False bounds the descent to the scheduled thresholds
+    exactly (ADVICE r10: the silently appended t=0.0 pass turned a
+    deliberately bounded schedule into the quadratic all-pairs plan).
+    A (1.0,)-only schedule with k larger than the full-containment pair
+    count must return ONLY the t>=1.0 pairs — fewer than k, never the
+    all-pairs result."""
+    from lachesis_spark.llm import dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = dedup.containment_topk_prefix(
+        spark, sf, k=500, thresholds=(1.0,), backstop=False
+    )
+    rows = [tuple(r) for r in got.collect()]
+    assert rows and len(rows) < 500
+    assert all(r[2] >= 1.0 for r in rows)
+    # identical to the all-pairs top-k RESTRICTED to full containment
+    full = [
+        tuple(r)
+        for r in dedup.containment_pairs(spark, sf, k=500).collect()
+        if r[2] >= 1.0
+    ]
+    assert rows == full

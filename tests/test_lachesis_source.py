@@ -377,3 +377,47 @@ def test_stream_reader_cursor_survives_restart(tmp_path):
     nxt = r3.latestOffset()
     assert nxt["key"] > offs[3]["key"]
     assert len(r3.partitions(offs[3], nxt)) == 1
+
+
+def test_ensure_layout_table_never_drops_managed_tables(spark, tmp_path):
+    """ADVICE r10: the stale-table re-register path dropped ANY same-named
+    table on location mismatch — but DROP TABLE on a MANAGED table deletes
+    its data files.  Only a parsed-location EXTERNAL table may be dropped;
+    a managed (or unparsable) one gets a warning and False, its data
+    intact."""
+    import warnings as _warnings
+
+    from lachesis_spark.catalog import ensure_layout_table
+
+    root = str(tmp_path)
+    cat = Catalog(spark, root)
+    cat.create_database("db9")
+    ords = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    cat.write_set(ords, "db9", "m1", bucket_by=(4, ["o_custkey"]))
+    try:
+        # replace the registration with a MANAGED table of the same name
+        spark.sql("DROP TABLE db9_m1")
+        spark.sql("CREATE TABLE db9_m1 (x INT) USING parquet")
+        spark.sql("INSERT INTO db9_m1 VALUES (1)")
+        try:
+            with pytest.warns(UserWarning, match="refusing to DROP"):
+                ok = ensure_layout_table(spark, root, "db9", "m1")
+            assert ok is False
+            # the managed table AND its data survived
+            assert spark.table("db9_m1").count() == 1
+        finally:
+            spark.sql("DROP TABLE db9_m1")
+        # with the blocker gone the sidecar re-registers normally, and a
+        # genuinely stale EXTERNAL table is still replaced in place
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # no warning on the happy path
+            assert ensure_layout_table(spark, root, "db9", "m1") is True
+        spark.sql("DROP TABLE db9_m1")
+        spark.sql(
+            "CREATE TABLE db9_m1 (x INT) USING parquet LOCATION "
+            f"'{tmp_path / 'elsewhere'}'"
+        )
+        assert ensure_layout_table(spark, root, "db9", "m1") is True
+        assert cat.read_set("db9", "m1").count() == ords.count()
+    finally:
+        cat.remove_set("db9", "m1")

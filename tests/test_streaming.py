@@ -710,3 +710,57 @@ def test_tws_sessionizer_gated_or_equivalent(spark):
             ref_q.stop()
     finally:
         q.stop()
+
+
+def test_staged_replay_rebuild_race_loser_adopts_winner(tmp_path, monkeypatch):
+    """Two builders racing the same staged dir (ADVICE r10): the loser's
+    rename onto the winner's freshly placed dir raises, and the loser must
+    ADOPT the winner's stamp-identical result instead of failing.
+    Simulated deterministically: intercept the tmp->d rename to plant the
+    winner's dir first, then raise as the kernel would."""
+    import os
+
+    src = tmp_path / "src.txt"
+    src.write_text("payload")
+    d = str(tmp_path / "staged")
+
+    def build(target):
+        with open(os.path.join(target, "data.txt"), "w") as f:
+            f.write("loser-build")
+
+    st = os.stat(src)
+    want = f"race|{src}|{st.st_size}|{st.st_mtime_ns}"
+    real_rename = os.rename
+
+    def racing_rename(a, b):
+        if b == d and not os.path.isdir(d):
+            # the winner lands its (deterministic, stamp-identical)
+            # result between the loser's two renames
+            os.makedirs(d)
+            with open(os.path.join(d, "data.txt"), "w") as f:
+                f.write("winner-build")
+            with open(os.path.join(d, "_source.stamp"), "w") as f:
+                f.write(want)
+            raise OSError(39, "Directory not empty", a, None, b)
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    out = S._reuse_or_build_dir(d, str(src), "race", build)
+    assert out == d
+    with open(os.path.join(d, "data.txt")) as f:
+        assert f.read() == "winner-build"  # adopted, not clobbered
+    # loser's temp dir cleaned up; no half-built siblings left behind
+    siblings = [p for p in os.listdir(tmp_path) if p.startswith("staged.")]
+    assert siblings == []
+    # a different tag (stamp mismatch) must NOT be adopted -> real failure
+    monkeypatch.setattr(os, "rename", racing_rename)
+    os.remove(os.path.join(d, "_source.stamp"))
+    with open(os.path.join(d, "_source.stamp"), "w") as f:
+        f.write("someone-elses-stamp")
+    import shutil
+
+    shutil.rmtree(d)  # force rebuild path again
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        S._reuse_or_build_dir(d, str(src), "other-tag", build)
