@@ -61,6 +61,8 @@ def rewrite_layout(
     exchange-free immediately."""
     from lachesis_spark.catalog import ensure_layout_table
 
+    if kind == "keep_flat":
+        return  # the measured no-op arm: the existing layout IS the choice
     tmp = f"{name}__relayout"
     df = cat.read_set(db, name)
     if kind == "bucket_by":

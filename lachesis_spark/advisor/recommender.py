@@ -241,7 +241,7 @@ class LayoutRecommendation:
     contested workload."""
 
     dataset: str
-    kind: str  # 'bucket_by' | 'zorder' | 'range_zonemap' | 'bucket_range_grid'
+    kind: str  # 'bucket_by' | 'zorder' | 'range_zonemap' | 'bucket_range_grid' | 'keep_flat'
     key_cols: tuple[str, ...]
     weight: float
     range_cols: tuple[str, ...] = ()
@@ -549,7 +549,9 @@ def layout_candidates(
       are joinable buckets AND tight in the filter dimension, at the cost
       of multi-file buckets (the read-side per-bucket sort is no longer
       elided; whether that trade pays is precisely what the measured
-      arbitration decides).
+      arbitration decides);
+    - ``keep_flat``: the no-op arm — leave the dataset as-is, so a
+      rewrite must BEAT doing nothing on measured reward to be applied.
 
     Uncontested datasets return just the rule's choice (or [] with no
     history) — the arbiter never runs, no measurement cost."""
@@ -608,6 +610,12 @@ def layout_candidates(
                 range_cols=tuple(top_filter.split(",")),
             )
         )
+    # the no-op arm: "do nothing" is a layout decision too, and on a
+    # contested dataset it must be PRICED, not assumed — a rewrite whose
+    # wins on one family are outweighed by regressions elsewhere (round
+    # 10's documents bucket_by: dedup family +19%, agg-only control -2x)
+    # should lose the measured arbitration to the flat layout.
+    cands.append(LayoutRecommendation(dataset, "keep_flat", (), 0.0))
     return cands
 
 

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lachesis_spark.binding import base_table
+
 META_SCHEMA = T.StructType(
     [
         T.StructField("width", T.IntegerType()),
@@ -49,7 +51,7 @@ MEDIA_SCHEMA = T.StructType(
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a deterministic media table from ``documents`` (text bytes as
     payload, metadata from the doc id) — engine-side only, no Python."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -474,7 +476,7 @@ def ppm_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's ASCII text tiled (cyclic ``rpad``) to exactly w*h*3 bytes.
     No Python in the producer — the payload bytes come out of Catalyst
     string expressions, so generation scales like any projection."""
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     imgs = docs.where(F.col("doc_id") % 3 == 0)
     w = F.lit(64) + (F.col("doc_id") % 3) * 32  # == 64 for doc_id%3==0
     h = F.lit(48) + (F.col("doc_id") % 5) * 16
@@ -549,7 +551,7 @@ def png_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lachesis_spark.operators.core import parallelism_floor
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     imgs = docs.where(F.col("doc_id") % 3 == 0).select("doc_id", "text")
     # zlib deflate/inflate + unfiltering cost ~ms per image — spread a
     # test-scale single-split scan before the Python stages (no-op when the
@@ -609,7 +611,7 @@ def wav_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     auds = docs.where(F.col("doc_id") % 3 == 1).select("doc_id", "text")
     return auds.mapInPandas(run, schema=MEDIA_SCHEMA)
 

@@ -60,6 +60,8 @@ from pyspark.sql import functions as F
 from lachesis_spark.functions import hashing as H
 from lachesis_spark.functions import text as TX
 
+from lachesis_spark.binding import base_table
+
 SEED_SAMPLE = 2101
 SEED_SPLIT = 2102
 SEED_MIX = 2103
@@ -79,7 +81,7 @@ _KEY_SQL = "CAST(doc_id AS VARCHAR)"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return base_table(spark, sf_dir, "documents")
 
 
 def _key(df: DataFrame, key_col: str) -> Column:

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.functions import text as TX
 
+from lachesis_spark.binding import base_table
+
 SHINGLE_N = 3
 EVAL_DOCS = 10  # doc_id < EVAL_DOCS plays the held-out benchmark set
 
@@ -49,7 +51,7 @@ def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
     # (round-6 regression triage: quality_classifier/sample_temperature).
     from lachesis_spark.operators.core import parallelism_floor
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = base_table(spark, sf_dir, "documents")
     return parallelism_floor(df, spark) if floor else df
 
 

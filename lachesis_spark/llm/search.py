@@ -44,6 +44,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lachesis_spark.binding import base_table
+
 # default BM25 parameters (the standard Robertson/Lucene values)
 K1 = 1.2
 B = 0.75
@@ -58,7 +60,7 @@ PHRASE = ("fast", "sort")
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lachesis_spark.operators.core import parallelism_floor
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = base_table(spark, sf_dir, "documents")
     # tokenize+explode is exactly the expensive-per-row shape the floor
     # exists for (see llm/textstats._docs)
     return parallelism_floor(df, spark)

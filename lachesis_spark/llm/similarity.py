@@ -32,13 +32,15 @@ from pyspark.sql import functions as F
 from lachesis_spark.functions import hashing as H
 from lachesis_spark.functions import vectors as V
 
+from lachesis_spark.binding import base_table
+
 QUERY_VEC_ID = 0
 TOP_K = 10
 LSH_BITS = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return base_table(spark, sf_dir, "embeddings")
 
 
 # SQL fragment: embeddings as COO (1-based j to match generate_subscripts).

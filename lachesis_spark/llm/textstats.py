@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.functions import text as TX
 
+from lachesis_spark.binding import base_table
+
 # DuckDB fragments mirroring functions.text (kept textually in sync).
 _SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _SQL_NTOK = f"len({_SQL_TOKENS})"
@@ -40,7 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
     # (round-6 regression triage: quality_classifier/sample_temperature).
     from lachesis_spark.operators.core import parallelism_floor
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = base_table(spark, sf_dir, "documents")
     return parallelism_floor(df, spark) if floor else df
 
 

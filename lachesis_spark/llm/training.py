@@ -66,6 +66,8 @@ from pyspark.sql import functions as F
 from lachesis_spark.functions import hashing as H
 from lachesis_spark.functions import text as TX
 
+from lachesis_spark.binding import base_table
+
 QUERIES: dict = {}
 ORACLE: dict = {}
 
@@ -91,7 +93,7 @@ def _docs(spark: SparkSession, sf_dir: str, floor: bool = True) -> DataFrame:
     # (round-6 regression triage: quality_classifier/sample_temperature).
     from lachesis_spark.operators.core import parallelism_floor
 
-    df = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = base_table(spark, sf_dir, "documents")
     return parallelism_floor(df, spark) if floor else df
 
 

@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.sources.readers import read_events
 
+from lachesis_spark.binding import base_table
+
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return base_table(spark, sf_dir, "orders")
 
 
 # ---------------------------------------------------------------------------

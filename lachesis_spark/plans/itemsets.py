@@ -37,6 +37,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lachesis_spark.binding import base_table
+
 TOP_K = 25
 MIN_ITEM_FRAC = 0.0005   # item must appear in >= 0.05% of baskets
 MIN_PAIR_COUNT = 2       # a pair seen once is noise at any scale
@@ -48,7 +50,7 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     than BASKET_CAP dropped (bounds the per-basket quadratic term; TPC-H
     baskets max out at 7, so the cap is dormant here and exists for
     adversarial distributions)."""
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = base_table(spark, sf_dir, "lineitem")
     b = li.select(
         F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item")
     ).distinct()

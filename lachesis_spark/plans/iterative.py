@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.functions import hashing as H
 
+from lachesis_spark.binding import base_table
+
 # ---------------------------------------------------------------------------
 # PageRank over a user-interaction graph derived from events
 PR_ITERS = 5
@@ -41,7 +43,7 @@ PR_MOD = 100  # dst = event_id % PR_MOD
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev = base_table(spark, sf_dir, "events")
     return (
         ev.select(
             F.col("user_id").alias("src"),
@@ -210,7 +212,7 @@ KM_ITERS = 3
 
 
 def _emb_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = base_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -778,7 +780,7 @@ def lda_em_run(spark, sf_dir, iters: int = 1) -> DataFrame:
     ITER_CHECKPOINT_EVERY iterations."""
     from lachesis_spark.functions import text as TX
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     words = docs.select(
         F.col("doc_id").alias("d"),
         F.explode(TX.tokens("text")).alias("w"),

@@ -28,13 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from lachesis_spark.binding import base_table
+
 
 # ---------------------------------------------------------------------------
 # COO representation
 def coo_from_embeddings(spark: SparkSession, sf_dir: str, limit: int | None = None) -> DataFrame:
     """Materialize the embeddings table as a COO matrix A (n_vec × dim):
     i = vec_id, j = position, v = value (cast double)."""
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = base_table(spark, sf_dir, "embeddings")
     if limit is not None:
         emb = emb.filter(F.col("vec_id") < limit)
     return emb.select(

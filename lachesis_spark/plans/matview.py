@@ -41,6 +41,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lachesis_spark.binding import base_table
+
 MV_FILE = "_lachesis_mv.json"
 
 # Named row-transforms applied to the scanned source BEFORE aggregation —
@@ -194,7 +196,7 @@ def mv_incremental(spark: SparkSession, sf_dir: str):
 
     cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_mv_"))
     cat.create_database("mv")
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 3 != 0)
     rest = orders.filter(F.col("o_orderkey") % 3 == 0)
     cat.write_set(base.repartition(4), "mv", "orders_src")

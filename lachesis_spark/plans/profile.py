@@ -27,6 +27,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lachesis_spark.binding import base_table
+
 PROFILE_COLS = [
     "o_orderstatus",
     "o_orderpriority",
@@ -63,7 +65,7 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     return profile_table(orders, PROFILE_COLS)
 
 
@@ -98,7 +100,7 @@ CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 def stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = base_table(spark, sf_dir, "lineitem")
     cols = CORR_COLS
     aggs = [F.count(F.lit(1)).cast("double").alias("__n")]
     for c in cols:
@@ -173,8 +175,8 @@ DQ_MIN_PASS = {
 
 
 def stats_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
+    li = base_table(spark, sf_dir, "lineitem")
     o = orders.agg(
         F.count(F.lit(1)).alias("n"),
         F.count("o_custkey").alias("ck_nn"),

@@ -23,10 +23,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lachesis_spark.binding import base_table
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return base_table(spark, sf_dir, "events")
 
 
 def comments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,7 +62,7 @@ def reddit_pipeline(spark, sf_dir):
     aggregated to (source, tier, label) counts."""
     c = comments(spark, sf_dir)
     a = authors(spark, sf_dir)
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+    docs = base_table(spark, sf_dir, "documents").select(
         "doc_id", "source"
     )
     joined = (

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from lachesis_spark.functions.hashing import h60, h60_seeded, sql_h60, sql_h60_seeded
 from lachesis_spark.functions.text import tokens
 
+from lachesis_spark.binding import base_table
+
 M_HLL = 512          # registers (p = 9)
 W_BITS = 51          # value bits left after the bucket index (60 - 9)
 CMS_D = 4            # hash rows
@@ -47,7 +49,7 @@ CMS_TOPK = 20
 # 1. HyperLogLog distinct-count of orders.o_custkey, registers + estimate
 #    reproduced exactly by the oracle, error vs exact in the same row.
 def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     v = orders.select(F.col("o_custkey").cast("string").alias("v"))
     h = h60("v")
     # 60-bit value: bucket/value split MUST stay integral (a double division
@@ -135,7 +137,7 @@ FROM est
 #    counter grid, then report estimate vs exact for the exact top-20 words
 #    (overcount = est - exact >= 0 by construction — test-locked).
 def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     return docs.select(
         F.explode(tokens(F.lower(F.col("text")))).alias("tok")
     )
@@ -376,7 +378,7 @@ def _exact_quantiles_refined(spark: SparkSession, x: DataFrame, probes) -> DataF
 
 
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = base_table(spark, sf_dir, "lineitem")
     x = li.select(F.col("l_extendedprice").alias("x"))
     mm = x.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
     binned = x.join(F.broadcast(mm)).select(
@@ -476,7 +478,7 @@ ORDER BY p
 #    bit-exact, no float tolerance needed.  At 100 TB each source/day
 #    keeps 512 registers; the merge is a 512-row-per-source agg.
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = base_table(spark, sf_dir, "documents")
     toks = docs.select(
         "source", F.explode(tokens(F.lower(F.col("text")))).alias("v")
     )
@@ -633,8 +635,8 @@ def _cm_cells(df: DataFrame, col: str) -> DataFrame:
 
 
 def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
-    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
+    cust = base_table(spark, sf_dir, "customer")
     a = _cm_cells(orders, "o_custkey")
     b = _cm_cells(cust, "c_custkey")
     est = (

@@ -33,9 +33,11 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.operators import core
 
+from lachesis_spark.binding import base_table
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return base_table(spark, sf_dir, name)
 
 
 def _ts(s: str):

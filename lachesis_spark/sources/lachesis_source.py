@@ -78,6 +78,8 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
+from lachesis_spark.binding import base_table
+
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
 
@@ -615,7 +617,7 @@ def ds_zonemap_prune(spark, sf_dir: str):
 
     cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_zm_"))
     cat.create_database("zm")
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     # range-cluster so per-file key ranges are tight (what makes zone maps
     # prune); 8 files at any SF — file count is a layout knob, not data size
     clustered = orders.repartitionByRange(8, "o_orderkey")
@@ -656,7 +658,7 @@ def ds_zonemap_box(spark, sf_dir: str):
 
     cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_zbox_"))
     cat.create_database("zb")
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     cat.write_set(
         orders, "zb", "orders",
         zorder_by=["o_custkey", "o_totalprice"],
@@ -699,7 +701,7 @@ def ds_cdc_apply(spark, sf_dir: str):
 
     cat = Catalog(spark, tempfile.mkdtemp(prefix="lachesis_cdc_"))
     cat.create_database("cdc")
-    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders = base_table(spark, sf_dir, "orders")
     base = orders.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(0).alias("version")
     )

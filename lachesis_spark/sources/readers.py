@@ -56,10 +56,14 @@ def read_events(spark: SparkSession, sf_dir: str, ltz: bool = False) -> DataFram
     to an event-time timestamp whatever encoding the parquet file uses."""
     import os
 
-    path = sf_dir if sf_dir.endswith(".parquet") else os.path.join(sf_dir, "events.parquet")
     # legacy conf only matters for genuinely-nanos files; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    if sf_dir.endswith(".parquet"):
+        df = spark.read.parquet(sf_dir)
+    else:
+        from lachesis_spark.binding import base_table
+
+        df = base_table(spark, sf_dir, "events")
     return df.withColumn("ts", F.expr(event_ts_expr(dict(df.dtypes)["ts"], ltz=ltz)))
 
 

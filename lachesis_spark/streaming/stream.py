@@ -835,7 +835,7 @@ def stream_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     completion; oracle = the equivalent batch join+window SQL (binding by
     replay equivalence, as with the other stream twins)."""
     ev = read_events_stream(spark, sf_dir)
-    dim = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+    dim = base_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
     with _state_partitions(spark):
@@ -868,6 +868,7 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "complete"):
 
 # Driver-facing registry: the streaming engine's results are oracle-gated
 # against the batch twins' SQL (replay equivalence makes the oracle binding).
+from lachesis_spark.binding import base_table  # noqa: E402
 from lachesis_spark.streaming.windows import (  # noqa: E402
     WIN_CORRELATION_SQL,
     WIN_EWMA_SQL,
@@ -1263,7 +1264,7 @@ def stream_throughput(
     import shutil as _shutil
     import tempfile as _tempfile
 
-    src = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = base_table(spark, sf_dir, "events")
     tmp = _tempfile.mkdtemp(prefix="lachesis_tput_")
     results: dict[str, dict] = {}
     try:

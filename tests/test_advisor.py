@@ -959,7 +959,9 @@ def test_layout_candidates_contested_returns_alternates():
 
     h = _contested_history()
     cands = layout_candidates(h, "li", n_buckets=8)
-    assert [c.kind for c in cands] == ["zorder", "bucket_by", "bucket_range_grid"]
+    assert [c.kind for c in cands] == [
+        "zorder", "bucket_by", "bucket_range_grid", "keep_flat",
+    ]
     grid = cands[2]
     assert grid.key_cols == ("l_orderkey",)
     assert grid.range_cols == ("l_shipdate",)
@@ -1139,7 +1141,7 @@ def test_layout_candidates_symmetric_when_rule_is_bucket_by():
     h.record_job("q_scan", 4.0, [KeyUsage("li", "filter", ("l_shipdate",))])
     cands = layout_candidates(h, "li", n_buckets=8)
     assert [c.kind for c in cands] == [
-        "bucket_by", "range_zonemap", "bucket_range_grid",
+        "bucket_by", "range_zonemap", "bucket_range_grid", "keep_flat",
     ]
     assert cands[1].key_cols == ("l_shipdate",)
     assert cands[2].key_cols == ("l_orderkey",)
@@ -1152,7 +1154,7 @@ def test_layout_candidates_symmetric_when_rule_is_bucket_by():
     h2.record_job("q_s2", 2.5, [KeyUsage("li", "filter", ("l_quantity",))])
     cands2 = layout_candidates(h2, "li", n_buckets=8)
     assert [c.kind for c in cands2] == [
-        "bucket_by", "zorder", "bucket_range_grid",
+        "bucket_by", "zorder", "bucket_range_grid", "keep_flat",
     ]
     assert cands2[1].key_cols == ("l_quantity", "l_shipdate")
 

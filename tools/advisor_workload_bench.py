@@ -1,0 +1,500 @@
+"""Whole-workload advisor before/after — the reference's headline
+experiment shape (reference documentation.md:5-9: total workload
+runtimes before vs after self-learning placement, measured end-to-end),
+run on THIS repo's real workload: all 192 registry queries.
+
+Rounds 9-10 proved the closed loop on REPRESENTATIVE queries (tpch_q12
+2.18x, q06 1.09x, the documents dedup family 1.19x).  This tool produces
+the number those proofs stood in for: the full registry, UNMODIFIED,
+re-run against an advisor-placed catalog, with every regression listed
+and priced.
+
+Protocol (apples-to-apples by construction):
+  0. every base table is copied into a catalog twice: ``db.t`` (the
+     advisable copy) and ``db.t_flat`` (a frozen flat twin) — both
+     passes below read CATALOG copies through the base-table binding
+     (lachesis_spark.binding), so copy artifacts (file count, encoding)
+     cancel out and the measured delta is the LAYOUT;
+  1. warm+record pass: the registry runs once bound to the flat copies —
+     un-timed warm-up (staged streaming dirs, codegen caches) AND the
+     history recording (runtime + plan-captured shuffle/filter/joinpair
+     usages per query, like the reference recording every job);
+  2. BEFORE pass: registry timed against the flat copies;
+  3. advise_all with measured arbitration: contested datasets
+     (layout_candidates, incl. the keep_flat no-op arm) are A/B-measured
+     on their own top recorded consumers, re-laying ``db.t`` per
+     candidate; the measured-reward argmax wins (bandit.
+     arbitrate_by_reward); bucket winners pin their co-shuffle partner;
+  4. everything reset flat, then apply_all places the final catalog;
+  5. AFTER pass: registry timed against the placed copies;
+  6. CONTROL pass: registry timed against the flat twins — same layout
+     as BEFORE, run last, so single-session drift (JVM/GC accumulation
+     over ~800 query executions) is measured instead of assumed; the
+     drift-normalized speedup divides it out.
+
+Row-count parity between the passes is asserted per query (a layout must
+never change answers; the close-of-round strict sweep re-proves value
+equality on the unbound path).
+
+Usage:
+    python tools/advisor_workload_bench.py [sf_dir] [--md] [--limit N]
+Prints progress to stderr, one JSON line to stdout; --md appends the
+report to ADVISOR_DEMO.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lachesis_spark.advisor import (
+    HistoryDB,
+    LinUCBPlacementOptimizer,
+    PlacementContext,
+    arbitrate_by_reward,
+    candidate_id,
+    measure_key_cardinality,
+)
+from lachesis_spark.advisor.apply import apply_all, rewrite_layout
+from lachesis_spark.binding import bound, catalog_resolver
+from lachesis_spark.catalog import Catalog
+from lachesis_spark.session import get_spark
+
+BASE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+N_BUCKETS = 32      # == local cores so parallelism_floor no-ops on buckets
+REP_CAP_SEC = 5.0   # representatives cost-capped: arbitration is O(reps)
+REP_TOP = 3         # top recorded consumers measured per candidate
+REP_RUNS = 3        # 1 warm + 2 timed (min) per representative
+
+
+def _release_all_blocks(spark) -> None:
+    spark.catalog.clearCache()
+    for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        jrdd.unpersist()
+
+
+def run_pass(spark, sf_dir, names, record_into=None):
+    """One registry pass: {query: sec}, {query: rows}.  With
+    ``record_into`` (a HistoryDB), also records every query's runtime and
+    plan-captured usages — the warm+record pass."""
+    import re
+
+    from lachesis_spark.advisor import capture_usages_from_plan
+    from lachesis_spark.registry import QUERIES
+
+    timings, counts = {}, {}
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        sec = time.perf_counter() - t0
+        timings[name] = round(sec, 3)
+        counts[name] = n
+        if record_into is not None:
+            try:
+                usages = [
+                    u for u in capture_usages_from_plan(df)
+                    if not re.match(r"part-\d{5}-", u.dataset)
+                ]
+            except Exception:
+                usages = []
+            record_into.record_job(name, sec, usages)
+        _release_all_blocks(spark)
+    return timings, counts
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    write_md = "--md" in sys.argv
+    limit = None
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+
+    spark = get_spark("advisor_workload_bench")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    from lachesis_spark.registry import QUERIES
+
+    names = sorted(QUERIES)[:limit] if limit else sorted(QUERIES)
+
+    # ---- 0. catalog with flat advisable copies + frozen flat twins
+    root = tempfile.mkdtemp(prefix="advisor_workload_")
+    cat = Catalog(spark, root)
+    cat.create_database("db")
+    for t in BASE_TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        cat.write_set(df, "db", t)
+        cat.write_set(df, "db", f"{t}_flat")
+    res_placed = catalog_resolver(cat, "db", {t: t for t in BASE_TABLES})
+    res_flat = catalog_resolver(
+        cat, "db", {t: f"{t}_flat" for t in BASE_TABLES}
+    )
+
+    def reset_flat(tables=BASE_TABLES) -> None:
+        for t in tables:
+            cat.write_set(cat.read_set("db", f"{t}_flat"), "db", t)
+
+    # ---- 1. warm + record
+    history = HistoryDB(":memory:")
+    print("== pass 0: warm + record ==", file=sys.stderr, flush=True)
+    with bound(res_placed):
+        t0 = time.perf_counter()
+        run_pass(spark, sf_dir, names, record_into=history)
+        print(f"   {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # ---- 2. BEFORE
+    print("== pass 1: BEFORE (flat) ==", file=sys.stderr, flush=True)
+    with bound(res_placed):
+        before, before_counts = run_pass(spark, sf_dir, names)
+    print(f"   total {sum(before.values()):.1f}s", file=sys.stderr)
+
+    # representatives per dataset: its top recorded consumers, cost-capped
+    def representatives(dataset: str) -> list[str]:
+        rows = history.con.execute(
+            """
+            SELECT j.name, max(j.runtime_sec) AS rt
+            FROM jobs j JOIN key_usage u ON u.job_id = j.id
+            WHERE u.dataset = ? AND u.op != 'joinpair'
+            GROUP BY j.name ORDER BY rt DESC
+            """,
+            (dataset,),
+        ).fetchall()
+        picked = [n for n, rt in rows if n in before and rt <= REP_CAP_SEC]
+        return picked[:REP_TOP]
+
+    def measure_reps(reps: list[str]) -> float:
+        total = 0.0
+        from lachesis_spark.registry import QUERIES as Q
+
+        with bound(res_placed):
+            for name in reps:
+                ts = []
+                for _ in range(REP_RUNS):
+                    t0 = time.perf_counter()
+                    Q[name](spark, sf_dir).count()
+                    ts.append(time.perf_counter() - t0)
+                    _release_all_blocks(spark)
+                total += min(ts[1:])
+        return total
+
+    # ---- 3. advise with measured arbitration (keep_flat arm included)
+    from lachesis_spark.advisor import advise_all
+
+    linucb = LinUCBPlacementOptimizer(history, alpha=0.1)
+    total_runtime = history.con.execute(
+        "SELECT coalesce(sum(runtime_sec), 0) FROM jobs"
+    ).fetchone()[0]
+    arb_log: list[dict] = []
+    pinned: dict[str, tuple[str, ...]] = {}
+
+    def arbiter(dataset, cands):
+        if dataset not in BASE_TABLES:
+            return None
+        reps = representatives(dataset)
+        if not reps:
+            return None
+        flat = cat.read_set("db", f"{dataset}_flat")
+        prof = history.scan_profile(dataset) or (1, 1, 0.0)
+        contexts = {
+            candidate_id(c): PlacementContext(
+                total_bytes=prof[1],
+                n_files=prof[0],
+                key_cardinality=(
+                    measure_key_cardinality(flat, c.key_cols)
+                    if c.key_cols else 1
+                ),
+                runtime_weight=min(c.weight / max(total_runtime, 1e-9), 1.0),
+            )
+            for c in cands
+        }
+        reset_flat((dataset,))
+        base = measure_reps(reps)
+
+        def measure_candidate(cand):
+            reset_flat((dataset,))
+            partner = None
+            rewrite_layout(
+                cat, "db", dataset, cand.kind, cand.key_cols,
+                n_buckets=N_BUCKETS, range_cols=cand.range_cols,
+            )
+            if cand.kind in ("bucket_by", "bucket_range_grid"):
+                partners = [
+                    (d, k) for d, k, _w in history.co_shuffle_partners(
+                        dataset, ",".join(cand.key_cols))
+                    if d in BASE_TABLES
+                ]
+                if partners:
+                    partner = partners[0]
+                    rewrite_layout(
+                        cat, "db", partner[0], "bucket_by",
+                        tuple(partner[1].split(",")), n_buckets=N_BUCKETS,
+                    )
+            after = measure_reps(reps)
+            if partner is not None:
+                reset_flat((partner[0],))
+            arb_log.append({
+                "dataset": dataset, "candidate": candidate_id(cand),
+                "reps": reps, "before_sec": round(base, 3),
+                "after_sec": round(after, 3),
+                "reward": round((base - after) / max(base, 1e-9), 3),
+            })
+            print(f"   arb {dataset} {candidate_id(cand)}: "
+                  f"{base:.2f}s -> {after:.2f}s", file=sys.stderr, flush=True)
+            return base, after
+
+        win = arbitrate_by_reward(linucb, dataset, cands, contexts,
+                                  measure_candidate)
+        arb_log.append({"dataset": dataset, "chosen": candidate_id(win)})
+        if win.kind in ("bucket_by", "bucket_range_grid"):
+            for d, k, _w in history.co_shuffle_partners(
+                    dataset, ",".join(win.key_cols)):
+                if d in BASE_TABLES and d != dataset:
+                    pinned[d] = tuple(k.split(","))
+                    break
+        reset_flat((dataset,))
+        return win
+
+    print("== advise + arbitrate ==", file=sys.stderr, flush=True)
+    arbitrated: set[str] = set()
+
+    def arbiter_tracking(dataset, cands):
+        win = arbiter(dataset, cands)
+        if win is not None:
+            arbitrated.add(dataset)
+        return win
+
+    reports = advise_all(history, n_buckets=N_BUCKETS,
+                         arbiter=arbiter_tracking)
+
+    # every rewrite must BEAT doing nothing: a layout the blind rule chose
+    # UNCONTESTED never reached the arbiter, but it still rewrites data the
+    # whole workload reads — measure it against the keep_flat no-op on the
+    # dataset's own top consumers and keep the winner.  (The smoke run
+    # that motivated this: embeddings' uncontested range_zonemap(vec_id)
+    # regressed the ann family 0.76x — a payoff model must price the rule
+    # too, not only the contested conflicts.)
+    import dataclasses as _dc
+
+    from lachesis_spark.advisor import LayoutRecommendation as _LR
+
+    guarded = []
+    for r in reports:
+        lay = r.layout
+        if (
+            lay is None or lay.kind == "keep_flat"
+            or r.dataset in arbitrated or r.dataset not in BASE_TABLES
+        ):
+            guarded.append(r)
+            continue
+        reps = representatives(r.dataset)
+        if not reps:
+            guarded.append(r)
+            continue
+        reset_flat((r.dataset,))
+        base = measure_reps(reps)
+        rewrite_layout(cat, "db", r.dataset, lay.kind, lay.key_cols,
+                       n_buckets=N_BUCKETS, range_cols=lay.range_cols)
+        placed_sec = measure_reps(reps)
+        reset_flat((r.dataset,))
+        win = placed_sec < base
+        arb_log.append({
+            "dataset": r.dataset, "guard": candidate_id(lay), "reps": reps,
+            "flat_sec": round(base, 3), "placed_sec": round(placed_sec, 3),
+            "kept": candidate_id(lay) if win else "keep_flat:",
+        })
+        print(f"   guard {r.dataset} {candidate_id(lay)}: flat {base:.2f}s"
+              f" vs placed {placed_sec:.2f}s -> "
+              f"{'apply' if win else 'keep flat'}",
+              file=sys.stderr, flush=True)
+        if not win:
+            r = _dc.replace(
+                r, layout=_LR(r.dataset, "keep_flat", (), lay.weight)
+            )
+        guarded.append(r)
+    reports = guarded
+
+    # partner pins: a bucket winner was MEASURED with its partner bucketed
+    # alongside; the final placement must honor that or it regresses the
+    # very measurement that won (same reconciliation as round 10)
+    if pinned:
+        import dataclasses
+
+        from lachesis_spark.advisor import LayoutRecommendation
+
+        fixed = []
+        for r in reports:
+            pin = pinned.get(r.dataset)
+            lay = r.layout
+            if pin is not None and not (
+                lay is not None
+                and lay.kind in ("bucket_by", "bucket_range_grid")
+                and tuple(lay.key_cols) == pin
+            ):
+                lay = LayoutRecommendation(
+                    r.dataset, "bucket_by", pin, lay.weight if lay else 0.0
+                )
+                arb_log.append({"dataset": r.dataset,
+                                "pinned": f"bucket_by:{','.join(pin)}"})
+            fixed.append(dataclasses.replace(r, layout=lay))
+        reports = fixed
+
+    # ---- 4. reset, apply the final placement
+    reset_flat()
+    applied = apply_all(
+        cat, reports, {t: ("db", t) for t in BASE_TABLES},
+        n_buckets=N_BUCKETS,
+    )
+    placement = [
+        {"dataset": a.dataset, "action": a.action, "detail": a.detail}
+        for a in applied
+    ]
+    print("APPLIED:", placement, file=sys.stderr, flush=True)
+
+    # ---- 5. AFTER
+    print("== pass 2: AFTER (placed) ==", file=sys.stderr, flush=True)
+    with bound(res_placed):
+        after, after_counts = run_pass(spark, sf_dir, names)
+    print(f"   total {sum(after.values()):.1f}s", file=sys.stderr)
+
+    # ---- 6. CONTROL (flat twins, run last: prices single-session drift)
+    print("== pass 3: CONTROL (flat) ==", file=sys.stderr, flush=True)
+    with bound(res_flat):
+        control, control_counts = run_pass(spark, sf_dir, names)
+    print(f"   total {sum(control.values()):.1f}s", file=sys.stderr)
+
+    mismatches = sorted(
+        n for n in names
+        if not (before_counts[n] == after_counts[n] == control_counts[n])
+    )
+
+    def family(q: str) -> str:
+        return q.split("_", 1)[0]
+
+    fams = sorted({family(n) for n in names})
+    fam_rows = []
+    for f in fams:
+        qs = [n for n in names if family(n) == f]
+        b, a, c = (sum(d[q] for q in qs) for d in (before, after, control))
+        fam_rows.append({
+            "family": f, "queries": len(qs), "before_sec": round(b, 2),
+            "after_sec": round(a, 2), "control_sec": round(c, 2),
+            "speedup": round(b / a, 3) if a else None,
+        })
+    regressions = sorted(
+        (
+            {"query": n, "before_sec": before[n], "after_sec": after[n],
+             "ratio": round(after[n] / before[n], 2)}
+            for n in names
+            if after[n] > 1.15 * before[n] and after[n] - before[n] > 0.1
+        ),
+        key=lambda r: -r["ratio"],
+    )
+    tb, ta, tc = (sum(d.values()) for d in (before, after, control))
+    out = {
+        "sf_dir": sf_dir, "n_queries": len(names),
+        "total_before_sec": round(tb, 1), "total_after_sec": round(ta, 1),
+        "total_control_sec": round(tc, 1),
+        "workload_speedup": round(tb / ta, 3),
+        "drift_normalized_speedup": round((tb / ta) * (tc / tb), 3),
+        "placement": placement,
+        "arbitration": arb_log,
+        "families": fam_rows,
+        "regressions": regressions,
+        "count_mismatches": mismatches,
+    }
+    print(json.dumps(out), flush=True)
+
+    if write_md:
+        _write_md(out, sf_dir, names, before, after, control)
+
+
+def _write_md(out, sf_dir, names, before, after, control) -> None:
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ADVISOR_DEMO.md",
+    )
+    fam_rows = "\n".join(
+        f"| {f['family']} | {f['queries']} | {f['before_sec']} | "
+        f"{f['after_sec']} | {f['control_sec']} | x{f['speedup']} |"
+        for f in out["families"]
+    )
+    arb_rows = "\n".join(
+        f"| {e['dataset']} | `{e['candidate']}` | {e['before_sec']} | "
+        f"{e['after_sec']} | {e['reward']} |"
+        for e in out["arbitration"] if "candidate" in e
+    )
+    chosen = "; ".join(
+        f"{e['dataset']} → `{e['chosen']}`"
+        for e in out["arbitration"] if "chosen" in e
+    )
+    placed = "; ".join(
+        f"{p['dataset']}: {p['action']}({p['detail']})"
+        for p in out["placement"]
+    ) or "none"
+    reg_rows = "\n".join(
+        f"| `{r['query']}` | {r['before_sec']} | {r['after_sec']} | "
+        f"x{r['ratio']} |"
+        for r in out["regressions"]
+    ) or "| (none above the 1.15x / 0.1s reporting floor) | | | |"
+    with open(md, "a") as f:
+        f.write(f"""
+
+## Whole-workload before/after: all {out['n_queries']} registry queries vs the advisor-placed catalog (round 11)
+
+Generated by `python tools/advisor_workload_bench.py {sf_dir} --md` — the
+reference's headline experiment shape (documentation.md:5-9: total
+workload runtime before vs after self-learning placement), on the full
+registry.  Both passes read CATALOG copies through the base-table
+binding (`lachesis_spark/binding.py`), so the measured delta is the
+LAYOUT, not copy artifacts; a final flat CONTROL pass re-measures the
+before-layout after ~800 same-session query executions to price
+single-session drift instead of assuming it away.
+
+| pass | layout | total s |
+|---|---|---|
+| BEFORE | flat copies | {out['total_before_sec']} |
+| AFTER | advisor-placed | {out['total_after_sec']} |
+| CONTROL (last) | flat twins | {out['total_control_sec']} |
+
+**Workload speedup: x{out['workload_speedup']}** (drift-normalized
+x{out['drift_normalized_speedup']}: control/before =
+x{round(out['total_control_sec']/out['total_before_sec'], 3)} prices the
+session drift the AFTER pass also carried).
+
+Placement chosen by the advisor (measured arbitration on contested
+datasets, incl. the keep_flat no-op arm): {placed}.
+Arbitration winners: {chosen or "(none contested)"}.
+
+| dataset | candidate | reps before s | reps after s | reward |
+|---|---|---|---|---|
+{arb_rows}
+
+Per-family totals (queries grouped by name prefix):
+
+| family | n | before s | after s | control s | speedup |
+|---|---|---|---|---|---|
+{fam_rows}
+
+Every query regressing >15% and >0.1s on the placed catalog:
+
+| query | before s | after s | ratio |
+|---|---|---|---|
+{reg_rows}
+
+Row-count parity held on {out['n_queries'] - len(out['count_mismatches'])}
+of {out['n_queries']} queries{' — MISMATCHES: ' + ', '.join(out['count_mismatches']) if out['count_mismatches'] else ''}.
+""")
+
+
+if __name__ == "__main__":
+    main()
