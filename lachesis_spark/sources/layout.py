@@ -53,13 +53,25 @@ def _as_numeric(df: DataFrame, col: str) -> Column:
     """A double-valued expression for any orderable column: timestamps and
     dates go through an epoch-seconds cast (the advisor recommends
     Z-ordering on whatever the workload filters on — date columns chief
-    among them for TPC-H-shaped scans), everything else casts directly."""
+    among them for TPC-H-shaped scans); strings map to an order-preserving
+    numeric surrogate (the advisor also recommends Z-ordering on string
+    filter columns like part.p_type, where a blind double-cast is
+    malformed); everything else casts directly."""
     dt = df.schema[col].dataType.simpleString()
     c = F.col(col)
     if dt.startswith("timestamp_ntz"):
         c = c.cast("timestamp")
     if dt.startswith(("timestamp", "date")):
         return c.cast("timestamp").cast("double")
+    if dt == "string":
+        # big-endian value of the first 7 UTF-8 bytes, right-padded in hex
+        # to fixed width: < 2^56 so it is EXACT in a double, and the fixed
+        # width makes it order-preserving on the prefix ("b" > "ab" must
+        # hold after the mapping) — clustering needs an orderable
+        # surrogate, not the value itself; NULLs collapse to 0 (clustered
+        # together at the low end, same as a NULLS FIRST sort)
+        h = F.rpad(F.hex(F.substring(c.cast("binary"), 1, 7)), 14, "0")
+        return F.coalesce(F.conv(h, 16, 10).cast("double"), F.lit(0.0))
     return c.cast("double")
 
 

@@ -1180,3 +1180,35 @@ def test_datasets_excludes_joinpair_pseudo_rows():
     # the pair row still serves its purpose: partner discovery
     partners = h.co_shuffle_partners("li", "l_orderkey")
     assert partners and partners[0][:2] == ("od", "o_orderkey")
+
+
+def test_keep_flat_layout_applies_as_noop(spark, tmp_path):
+    """A keep_flat winner must leave the dataset byte-identical: apply_report
+    performs no rewrite, and the set's files and rows are untouched."""
+    import os as _os
+
+    from lachesis_spark.advisor import LayoutRecommendation, PlacementReport
+    from lachesis_spark.advisor.apply import apply_report
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    base = spark.range(0, 1_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    cat.write_set(base, "db", "t")
+    path = cat.set_path("db", "t")
+    sig_before = sorted(
+        (f, _os.stat(_os.path.join(path, f)).st_mtime_ns)
+        for f in _os.listdir(path) if f.endswith(".parquet")
+    )
+    rep = PlacementReport(
+        "t", LayoutRecommendation("t", "keep_flat", (), 1.0), None, None
+    )
+    actions = apply_report(cat, rep, "db", "t")
+    sig_after = sorted(
+        (f, _os.stat(_os.path.join(path, f)).st_mtime_ns)
+        for f in _os.listdir(path) if f.endswith(".parquet")
+    )
+    assert sig_after == sig_before  # not rewritten, not even touched
+    assert cat.read_set("db", "t").count() == 1_000
+    assert [a.action for a in actions] == ["keep_flat"]

@@ -676,25 +676,39 @@ def test_stateful_streams_identical_across_state_store_providers(spark):
     )
 
 
-def test_tws_sessionizer_gated_or_equivalent(spark):
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_tws_sessionizer_dependency_gate_is_loud(spark):
     """Spark 4's transformWithStateInPandas sessionizer: its Python runner
     speaks protobuf to the state server, a package this container neither
     ships nor can install — so here the operator must fail LOUDLY with the
     documented dependency error (plumbing-real/dependency-gated, the same
-    pattern as the multimodal codecs).  Where protobuf exists, the full
-    equivalence to the applyInPandasWithState sessionizer runs instead."""
-    try:
-        import google.protobuf  # noqa: F401
-        have_pb = True
-    except ImportError:
-        have_pb = False
+    pattern as the multimodal codecs)."""
+    if _have_protobuf():
+        pytest.skip("google.protobuf present — the dependency gate is "
+                    "unreachable; the equivalence test below runs instead")
+    ev = S.read_events_stream(spark, SF_SMOKE)
+    with pytest.raises(RuntimeError, match="protobuf"):
+        S.stream_sessions_tws(ev)
 
-    if not have_pb:
-        ev = S.read_events_stream(spark, SF_SMOKE)
-        with pytest.raises(RuntimeError, match="protobuf"):
-            S.stream_sessions_tws(ev)
-        return
 
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="environment lacks google.protobuf — the TWS runner cannot "
+    "execute, so stream_sessions_tws is CONSTRUCTION-VERIFIED ONLY here "
+    "(COVERAGE.md verification header counts this skip)",
+)
+def test_tws_sessionizer_matches_apws_sessionizer(spark):
+    """Where protobuf exists: the transformWithStateInPandas sessionizer is
+    row-identical to the applyInPandasWithState sessionizer on the same
+    replay (the gate test above covers the protobuf-less environment)."""
     ev = S.read_events_stream(spark, SF_SMOKE)
     with S._state_store_provider(spark, S.ROCKSDB_STATE_PROVIDER):
         q = S.run_to_memory(S.stream_sessions_tws(ev), "t_tws_sess", "append")

@@ -290,3 +290,43 @@ def test_zorder_on_timestamp_column(spark, tmp_path):
         & (F.col("l_shipdate") <= "1996-04-01")
     ).count()
     assert pruned.count() == expect and expect > 0
+
+
+def test_zorder_on_string_columns(spark, tmp_path):
+    """The advisor recommends Z-ordering whatever the workload filters on —
+    including STRING columns (part.p_type crashed the round-11 whole-
+    workload run with CAST_INVALID_INPUT: 'LARGE...' -> double).  The
+    numeric surrogate (big-endian first-7-bytes, fixed hex width) must be
+    order-preserving so the clustering prunes, and the rewrite must be
+    row-preserving."""
+    from lachesis_spark.sources.layout import _as_numeric, zorder
+
+    part = spark.read.parquet(os.path.join(SF_SMOKE, "part.parquet"))
+    z = zorder(part, ["p_type", "p_size"], n_files=4)
+    assert z.count() == part.count()
+    assert sorted(z.columns) == sorted(part.columns)
+
+    # surrogate preserves lexicographic order, incl. the prefix edge case
+    # ("b" > "ab" must survive the mapping) and NULLs at the low end
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("ab",), ("b",), ("LARGE BRUSHED",), ("ECONOMY",), (None,), ("",)],
+        "s string",
+    )
+    rows = (
+        df.select("s", _as_numeric(df, "s").alias("n"))
+        .orderBy(F.col("s").asc_nulls_first())
+        .collect()
+    )
+    nums = [r["n"] for r in rows]
+    assert nums == sorted(nums), rows
+    # end-to-end: the advisor apply path that crashed now succeeds
+    from lachesis_spark.advisor.apply import rewrite_layout
+    from lachesis_spark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path))
+    cat.create_database("db")
+    cat.write_set(part, "db", "part")
+    rewrite_layout(cat, "db", "part", "zorder", ("p_brand", "p_type"))
+    assert cat.read_set("db", "part").count() == part.count()

@@ -73,6 +73,9 @@ N_BUCKETS = 32      # == local cores so parallelism_floor no-ops on buckets
 REP_CAP_SEC = 5.0   # representatives cost-capped: arbitration is O(reps)
 REP_TOP = 3         # top recorded consumers measured per candidate
 REP_RUNS = 3        # 1 warm + 2 timed (min) per representative
+MIN_PLACE_BYTES = 4 << 20  # below this a table broadcasts at ANY scale —
+# layout is irrelevant and sub-second measurements on it are pure noise,
+# so it keeps flat (logged, never silently)
 
 
 def _release_all_blocks(spark) -> None:
@@ -140,6 +143,18 @@ def main() -> None:
         cat, "db", {t: f"{t}_flat" for t in BASE_TABLES}
     )
 
+    def table_bytes(t: str) -> int:
+        p = cat.set_path("db", f"{t}_flat")
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p) if f.endswith(".parquet")
+        )
+
+    placeable = {t for t in BASE_TABLES if table_bytes(t) >= MIN_PLACE_BYTES}
+    below_floor = sorted(set(BASE_TABLES) - placeable)
+    print(f"below {MIN_PLACE_BYTES >> 20} MB placement floor (broadcast at"
+          f" any scale, kept flat): {below_floor}", file=sys.stderr)
+
     def reset_flat(tables=BASE_TABLES) -> None:
         for t in tables:
             cat.write_set(cat.read_set("db", f"{t}_flat"), "db", t)
@@ -198,7 +213,7 @@ def main() -> None:
     pinned: dict[str, tuple[str, ...]] = {}
 
     def arbiter(dataset, cands):
-        if dataset not in BASE_TABLES:
+        if dataset not in placeable:
             return None
         reps = representatives(dataset)
         if not reps:
@@ -290,10 +305,17 @@ def main() -> None:
     guarded = []
     for r in reports:
         lay = r.layout
-        if (
-            lay is None or lay.kind == "keep_flat"
-            or r.dataset in arbitrated or r.dataset not in BASE_TABLES
-        ):
+        if lay is None or lay.kind == "keep_flat" or r.dataset in arbitrated:
+            guarded.append(r)
+            continue
+        if r.dataset in BASE_TABLES and r.dataset not in placeable:
+            arb_log.append({"dataset": r.dataset,
+                            "kept": "keep_flat:",
+                            "why": "below placement floor"})
+            guarded.append(_dc.replace(
+                r, layout=_LR(r.dataset, "keep_flat", (), lay.weight)))
+            continue
+        if r.dataset not in BASE_TABLES:
             guarded.append(r)
             continue
         reps = representatives(r.dataset)
