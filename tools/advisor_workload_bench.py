@@ -73,9 +73,15 @@ N_BUCKETS = 32      # == local cores so parallelism_floor no-ops on buckets
 REP_CAP_SEC = 5.0   # representatives cost-capped: arbitration is O(reps)
 REP_TOP = 3         # top recorded consumers measured per candidate
 REP_RUNS = 3        # 1 warm + 2 timed (min) per representative
-MIN_PLACE_BYTES = 4 << 20  # below this a table broadcasts at ANY scale —
-# layout is irrelevant and sub-second measurements on it are pure noise,
-# so it keeps flat (logged, never silently)
+GUARD_MARGIN = 0.03  # a rewrite must beat doing nothing by >3% measured —
+# at 100 TB a relayout has a real write cost and a near-tie is noise, so
+# ties and coin-flips keep the flat layout
+MIN_PLACE_BYTES = 4 << 20   # a table this small broadcasts at any scale
+MIN_PLACE_RUNTIME = 5.0     # ... UNLESS its consumers carry real runtime:
+# at bench SF the heavy tables (documents: the dedup family's whole input)
+# are sub-MB on disk, so bytes alone is the wrong floor — a dataset
+# qualifies for placement by SIZE or by RECORDED CONSUMER RUNTIME, and
+# everything else keeps flat (logged, never silently)
 
 
 def _release_all_blocks(spark) -> None:
@@ -150,11 +156,6 @@ def main() -> None:
             for f in os.listdir(p) if f.endswith(".parquet")
         )
 
-    placeable = {t for t in BASE_TABLES if table_bytes(t) >= MIN_PLACE_BYTES}
-    below_floor = sorted(set(BASE_TABLES) - placeable)
-    print(f"below {MIN_PLACE_BYTES >> 20} MB placement floor (broadcast at"
-          f" any scale, kept flat): {below_floor}", file=sys.stderr)
-
     def reset_flat(tables=BASE_TABLES) -> None:
         for t in tables:
             cat.write_set(cat.read_set("db", f"{t}_flat"), "db", t)
@@ -166,6 +167,29 @@ def main() -> None:
         t0 = time.perf_counter()
         run_pass(spark, sf_dir, names, record_into=history)
         print(f"   {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    def recorded_runtime(t: str) -> float:
+        return history.con.execute(
+            """
+            SELECT coalesce(sum(rt), 0) FROM (
+                SELECT j.id, max(j.runtime_sec) AS rt
+                FROM jobs j JOIN key_usage u ON u.job_id = j.id
+                WHERE u.dataset = ? AND u.op != 'joinpair'
+                GROUP BY j.id
+            )
+            """,
+            (t,),
+        ).fetchone()[0]
+
+    placeable = {
+        t for t in BASE_TABLES
+        if table_bytes(t) >= MIN_PLACE_BYTES
+        or recorded_runtime(t) >= MIN_PLACE_RUNTIME
+    }
+    below_floor = sorted(set(BASE_TABLES) - placeable)
+    print(f"below the placement floor ({MIN_PLACE_BYTES >> 20} MB or "
+          f"{MIN_PLACE_RUNTIME}s recorded consumer runtime) — kept flat: "
+          f"{below_floor}", file=sys.stderr)
 
     # ---- 2. BEFORE
     print("== pass 1: BEFORE (flat) ==", file=sys.stderr, flush=True)
@@ -210,7 +234,23 @@ def main() -> None:
         "SELECT coalesce(sum(runtime_sec), 0) FROM jobs"
     ).fetchone()[0]
     arb_log: list[dict] = []
-    pinned: dict[str, tuple[str, ...]] = {}
+    pinned: dict[str, tuple] = {}  # partner -> (key_cols, winning pinner rec)
+
+    def bucketworthy_partners(dataset: str, key_cols) -> list[tuple[str, tuple]]:
+        """Co-shuffle partners that could actually benefit from a bucket
+        pin: in the base set, not self, and with key cardinality >=
+        N_BUCKETS — a 3-value key (o_orderstatus in one garbage joinpair
+        row) gives 3 non-empty buckets out of 32, a parallelism collapse
+        no join win repays."""
+        out = []
+        for d, k, _w in history.co_shuffle_partners(dataset, ",".join(key_cols)):
+            if d not in BASE_TABLES or d == dataset:
+                continue
+            cols = tuple(k.split(","))
+            flat = cat.read_set("db", f"{d}_flat")
+            if measure_key_cardinality(flat, cols) >= N_BUCKETS:
+                out.append((d, cols))
+        return out
 
     def arbiter(dataset, cands):
         if dataset not in placeable:
@@ -243,16 +283,12 @@ def main() -> None:
                 n_buckets=N_BUCKETS, range_cols=cand.range_cols,
             )
             if cand.kind in ("bucket_by", "bucket_range_grid"):
-                partners = [
-                    (d, k) for d, k, _w in history.co_shuffle_partners(
-                        dataset, ",".join(cand.key_cols))
-                    if d in BASE_TABLES
-                ]
+                partners = bucketworthy_partners(dataset, cand.key_cols)
                 if partners:
                     partner = partners[0]
                     rewrite_layout(
-                        cat, "db", partner[0], "bucket_by",
-                        tuple(partner[1].split(",")), n_buckets=N_BUCKETS,
+                        cat, "db", partner[0], "bucket_by", partner[1],
+                        n_buckets=N_BUCKETS,
                     )
             after = measure_reps(reps)
             if partner is not None:
@@ -269,13 +305,22 @@ def main() -> None:
 
         win = arbitrate_by_reward(linucb, dataset, cands, contexts,
                                   measure_candidate)
+        secs = {e["candidate"]: e["after_sec"] for e in arb_log
+                if e.get("dataset") == dataset and "candidate" in e}
+        flat_sec = secs.get("keep_flat:")
+        if (
+            win.kind != "keep_flat" and flat_sec is not None
+            and not secs[candidate_id(win)] < flat_sec * (1 - GUARD_MARGIN)
+        ):
+            win = next(c for c in cands if c.kind == "keep_flat")
+            arb_log.append({"dataset": dataset,
+                            "margin": f"winner within {GUARD_MARGIN:.0%} of"
+                                      " keep_flat — staying flat"})
         arb_log.append({"dataset": dataset, "chosen": candidate_id(win)})
         if win.kind in ("bucket_by", "bucket_range_grid"):
-            for d, k, _w in history.co_shuffle_partners(
-                    dataset, ",".join(win.key_cols)):
-                if d in BASE_TABLES and d != dataset:
-                    pinned[d] = tuple(k.split(","))
-                    break
+            for d, cols in bucketworthy_partners(dataset, win.key_cols):
+                pinned[d] = (cols, win)
+                break
         reset_flat((dataset,))
         return win
 
@@ -328,7 +373,7 @@ def main() -> None:
                        n_buckets=N_BUCKETS, range_cols=lay.range_cols)
         placed_sec = measure_reps(reps)
         reset_flat((r.dataset,))
-        win = placed_sec < base
+        win = placed_sec < base * (1 - GUARD_MARGIN)
         arb_log.append({
             "dataset": r.dataset, "guard": candidate_id(lay), "reps": reps,
             "flat_sec": round(base, 3), "placed_sec": round(placed_sec, 3),
@@ -346,8 +391,13 @@ def main() -> None:
     reports = guarded
 
     # partner pins: a bucket winner was MEASURED with its partner bucketed
-    # alongside; the final placement must honor that or it regresses the
-    # very measurement that won (same reconciliation as round 10)
+    # alongside, so the final placement should honor that pairing — BUT a
+    # pin that overrides the partner's OWN measured winner is itself an
+    # unmeasured placement (round-11 first run: a pin replaced orders'
+    # guard-measured zorder with an unmeasured bucket).  Nothing lands
+    # unmeasured: the pin must BEAT the partner's own winner in a measured
+    # A/B on the partner's reps, run with the pinner already placed in its
+    # winning layout (the world the pairing claim is about).
     if pinned:
         import dataclasses
 
@@ -360,13 +410,51 @@ def main() -> None:
             if pin is not None and not (
                 lay is not None
                 and lay.kind in ("bucket_by", "bucket_range_grid")
-                and tuple(lay.key_cols) == pin
+                and tuple(lay.key_cols) == pin[0]
             ):
-                lay = LayoutRecommendation(
-                    r.dataset, "bucket_by", pin, lay.weight if lay else 0.0
-                )
-                arb_log.append({"dataset": r.dataset,
-                                "pinned": f"bucket_by:{','.join(pin)}"})
+                pin_cols, pinner = pin
+                reps = representatives(r.dataset)
+                if reps:
+                    reset_flat((r.dataset, pinner.dataset))
+                    rewrite_layout(
+                        cat, "db", pinner.dataset, pinner.kind,
+                        pinner.key_cols, n_buckets=N_BUCKETS,
+                        range_cols=pinner.range_cols,
+                    )
+                    if lay is not None and lay.kind != "keep_flat":
+                        rewrite_layout(
+                            cat, "db", r.dataset, lay.kind, lay.key_cols,
+                            n_buckets=N_BUCKETS, range_cols=lay.range_cols,
+                        )
+                    own_sec = measure_reps(reps)
+                    reset_flat((r.dataset,))
+                    rewrite_layout(cat, "db", r.dataset, "bucket_by",
+                                   pin_cols, n_buckets=N_BUCKETS)
+                    pin_sec = measure_reps(reps)
+                    reset_flat((r.dataset, pinner.dataset))
+                    take_pin = pin_sec < own_sec * (1 - GUARD_MARGIN)
+                    arb_log.append({
+                        "dataset": r.dataset,
+                        "pin_ab": f"bucket_by:{','.join(pin_cols)}",
+                        "pinner": f"{pinner.dataset}:{candidate_id(pinner)}",
+                        "own_sec": round(own_sec, 3),
+                        "pin_sec": round(pin_sec, 3),
+                        "kept": (f"bucket_by:{','.join(pin_cols)}"
+                                 if take_pin else
+                                 candidate_id(lay) if lay else "keep_flat:"),
+                    })
+                    print(f"   pin A/B {r.dataset}: own {own_sec:.2f}s vs "
+                          f"pin {pin_sec:.2f}s -> "
+                          f"{'pin' if take_pin else 'own winner'}",
+                          file=sys.stderr, flush=True)
+                    if take_pin:
+                        lay = LayoutRecommendation(
+                            r.dataset, "bucket_by", pin_cols,
+                            lay.weight if lay else 0.0,
+                        )
+                else:
+                    arb_log.append({"dataset": r.dataset,
+                                    "pin_skipped": "no representatives"})
             fixed.append(dataclasses.replace(r, layout=lay))
         reports = fixed
 
