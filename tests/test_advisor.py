@@ -1050,14 +1050,16 @@ def test_arbitrate_by_reward_picks_measured_winner():
     contexts = {
         candidate_id(c): PlacementContext(
             2 * 1024**3, 16, {"zorder": 2500, "bucket_by": 150_000,
-                              "bucket_range_grid": 150_000}[c.kind],
+                              "bucket_range_grid": 150_000,
+                              "keep_flat": 1}[c.kind],
             c.weight / 10.0,
         )
         for c in cands
     }
     # measured workload seconds: grid wins (join exchange-free AND pruned
-    # scan), bucket second (join only), zorder last (scan only)
-    after = {"zorder": 9.0, "bucket_by": 7.0, "bucket_range_grid": 5.0}
+    # scan), bucket second (join only), zorder and the keep_flat no-op last
+    after = {"zorder": 9.0, "bucket_by": 7.0, "bucket_range_grid": 5.0,
+             "keep_flat": 10.0}
     measured = []
 
     def measure(c):
@@ -1067,9 +1069,11 @@ def test_arbitrate_by_reward_picks_measured_winner():
     linucb = LinUCBPlacementOptimizer(h, alpha=0.1)
     best = arbitrate_by_reward(linucb, "li", cands, contexts, measure)
     assert best.kind == "bucket_range_grid"
-    assert sorted(measured) == ["bucket_by", "bucket_range_grid", "zorder"]
+    assert sorted(measured) == [
+        "bucket_by", "bucket_range_grid", "keep_flat", "zorder",
+    ]
     n_obs = h.con.execute("SELECT count(*) FROM layout_ctx_rewards").fetchone()[0]
-    assert n_obs == 3
+    assert n_obs == 4
 
     # advise() consults the arbiter exactly on the contested dataset ...
     calls = []
