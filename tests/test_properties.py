@@ -601,3 +601,70 @@ def test_containment_prefix_topk_matches_python_model(spark, tmp_path_factory, d
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expected]
     for (_, _, gc), (_, _, ec) in zip(got, expected):
         assert abs(gc - ec) < 1e-9
+
+
+@SET
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_span_removal_matches_python_model(spark, docs, k):
+    """dedup_span_removal (overlapping duplicated k-grams -> interval-merged
+    removal -> in-order reassembly) equals a plain-Python model on random
+    tiny-alphabet corpora — dense hash-free collisions exercise island
+    merging, intra-doc repetition, full-doc removal, and short-doc
+    exclusion in combinations the hand-written tests never enumerate."""
+    import hashlib
+    from collections import Counter
+
+    from lachesis_spark.llm import dedup as DD
+
+    texts = [" ".join(d) for d in docs]
+    sdf = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    orig = DD._docs
+    DD._docs = lambda spark, sf_dir, **kw: sdf
+    try:
+        got = {
+            r["doc_id"]: (
+                r["n_spans"],
+                r["tokens_removed"],
+                r["tokens_kept"],
+                r["cleaned_md5"],
+            )
+            for r in DD.dedup_span_removal(spark, "ignored", k=k).collect()
+        }
+    finally:
+        DD._docs = orig
+
+    grams: Counter = Counter()
+    for t in docs:
+        for i in range(len(t) - k + 1):
+            grams[" ".join(t[i : i + k])] += 1
+    exp = {}
+    for d, t in enumerate(docs):
+        if len(t) < k:
+            continue
+        merged: list[list[int]] = []
+        for i in range(len(t) - k + 1):
+            if grams[" ".join(t[i : i + k])] > 1:
+                s, e = i, i + k - 1
+                if merged and s <= merged[-1][1] + 1:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+        covered = {j for s, e in merged for j in range(s, e + 1)}
+        kept = [tok for j, tok in enumerate(t) if j not in covered]
+        exp[d] = (
+            len(merged),
+            len(covered),
+            len(t) - len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    assert got == exp
