@@ -88,8 +88,15 @@ _PRIORITY = [
     # depth-independent RECURSIVE oracle) and tok_bpe_train ->
     # tok_bpe_merges (n-round BPE, full-depth unrolled oracle); the fixed-
     # depth / 2-round forms stay oracle-checked in the strict sweep.
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components_conv", "dedup_chunks",
-    "tok_bpe_merges",
+    # Round 11 (cont.) rotated dedup_chunks -> dedup_span_removal: the
+    # chunk query's plan shape (map-side unit hashing, hash-only shuffles,
+    # cross-doc duplication marking) is strictly contained in the span
+    # form's plan, which adds overlapping windows, the gaps-and-islands
+    # interval merge, and the md5-verified in-order rebuild — the richest
+    # dedup surface in the module; dedup_chunks stays oracle-checked in
+    # the strict sweep.
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components_conv",
+    "dedup_span_removal", "tok_bpe_merges",
     # Round 8 rotated ann_ivf out (ann_bruteforce keeps the ANN seat; the
     # IVF path stays oracle-checked in the strict sweep and recall-measured
     # by ann_recall) to seat the round-7 data-quality-check production form.

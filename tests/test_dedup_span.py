@@ -101,3 +101,44 @@ def test_clean_doc_untouched_and_full_removal(spark, monkeypatch):
 def test_short_docs_excluded(spark, monkeypatch):
     out = _run(spark, monkeypatch, [" ".join(f"s{i}" for i in range(K - 1))])
     assert out == {}
+
+
+def test_clean_form_rewrites_and_preserves_columns(spark):
+    shared = [f"w{i}" for i in range(K)]
+    docs = _mkdocs(
+        spark,
+        [
+            " ".join(["a0"] + shared),
+            " ".join(shared + ["b0"]),
+            "short doc",  # < K tokens: passes through untouched
+        ],
+    )
+    out = {r["doc_id"]: r for r in DD.span_removal_clean(docs).collect()}
+    got = DD.span_removal_clean(docs)
+    assert got.columns == docs.columns
+    assert out[0]["text"] == "a0" and out[0]["n_chars"] == 2
+    assert out[1]["text"] == "b0"
+    assert out[2]["text"] == "short doc"
+    assert out[2]["n_chars"] == len("short doc")
+    assert out[0]["lang"] == "en" and out[0]["source"] == "s"
+
+
+def test_clean_form_md5_matches_query_form(spark, monkeypatch):
+    shared = [f"z{i}" for i in range(K + 3)]
+    texts = [
+        " ".join(["p0", "p1"] + shared),
+        " ".join(shared + ["q0"]),
+        " ".join(f"u{i}" for i in range(K + 1)),
+    ]
+    docs = _mkdocs(spark, texts)
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
+    query = {
+        r["doc_id"]: r["cleaned_md5"]
+        for r in DD.dedup_span_removal(spark, "ignored").collect()
+    }
+    clean = {
+        r["doc_id"]: _md5(r["text"])
+        for r in DD.span_removal_clean(docs).collect()
+    }
+    for d in query:
+        assert clean[d] == query[d]
