@@ -142,3 +142,49 @@ def test_clean_form_md5_matches_query_form(spark, monkeypatch):
     }
     for d in query:
         assert clean[d] == query[d]
+
+
+def test_incremental_only_cleans_batch_against_index(spark, monkeypatch):
+    # doc below INCR_SPLIT = established corpus (index side, not emitted);
+    # docs above = incoming batch
+    shared = [f"ix{i}" for i in range(K)]
+    b_dup = [f"bd{i}" for i in range(K)]
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(shared + ["old0"]), "en", "s", 0),
+            (DD.INCR_SPLIT + 1, " ".join(["n0"] + shared), "en", "s", 0),
+            (DD.INCR_SPLIT + 2, " ".join(b_dup + ["n1"] + b_dup), "en", "s", 0),
+            (DD.INCR_SPLIT + 3, " ".join(f"u{i}" for i in range(K)), "en", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)
+    out = {
+        r["doc_id"]: r
+        for r in DD.dedup_span_incremental(spark, "ignored").collect()
+    }
+    assert set(out) == {DD.INCR_SPLIT + 1, DD.INCR_SPLIT + 2, DD.INCR_SPLIT + 3}
+    # batch gram seen in the index -> removed from the batch doc
+    assert out[DD.INCR_SPLIT + 1]["cleaned_md5"] == _md5("n0")
+    # batch-internal repetition -> removed even though the index never saw it
+    assert out[DD.INCR_SPLIT + 2]["cleaned_md5"] == _md5("n1")
+    # unseen unique content untouched
+    assert out[DD.INCR_SPLIT + 3]["n_spans"] == 0
+
+
+def test_incremental_equals_full_recompute_on_batch(spark):
+    """The operational invariant: cleaning the batch against the corpus's
+    gram index produces byte-identical results to re-running the full
+    batch recompute over the union — on the real corpus."""
+    from tests.conftest import SF_SMOKE
+
+    full = {
+        r["doc_id"]: tuple(r)
+        for r in DD.dedup_span_removal(spark, SF_SMOKE).collect()
+        if r["doc_id"] >= DD.INCR_SPLIT
+    }
+    incr = {
+        r["doc_id"]: tuple(r)
+        for r in DD.dedup_span_incremental(spark, SF_SMOKE).collect()
+    }
+    assert incr == full
