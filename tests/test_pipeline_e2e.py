@@ -164,3 +164,76 @@ def test_near_dup_state_advances_incrementally_through_catalog(spark, tmp_path):
     assert incr == full
     # and the exact-duplicate pair across days landed in one component
     assert incr[20] == incr[1]
+
+
+def test_span_gram_index_advances_through_catalog(spark, tmp_path):
+    """Third operational loop: the duplicate-span GRAM index persists in
+    the catalog and advances per batch — each day's batch is cleaned
+    against the index via span_incremental_stats, the index is merged
+    with the batch's distinct grams, and after three days the merged
+    index is gram-identical to a fresh rebuild over everything ingested
+    (so the loop never diverges from the batch recompute)."""
+    import hashlib
+
+    from lachesis_spark.functions import text as TX
+    from lachesis_spark.llm import dedup as D
+
+    k = 3
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    cat.create_database("span")
+    boiler = "click here to subscribe"
+    days = [
+        [(1, f"fresh alpha content {boiler}"), (2, "other beta words entirely")],
+        [(10, f"{boiler} new gamma text"), (11, "zeta eta theta iota")],
+        [(20, f"more delta stuff {boiler}"), (21, "zeta eta theta iota")],
+    ]
+
+    def frame(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+
+    def toks(df):
+        return df.select(
+            "doc_id", TX.tokens(F.col("text")).alias("t")
+        ).where(F.size("t") >= k)
+
+    outs = {}
+    for day, rows in enumerate(days, start=1):
+        bt = toks(frame(rows)).localCheckpoint(eager=False)
+        idx = (
+            cat.read_set("span", "gram_index")
+            if cat.exists_set("span", "gram_index")
+            else spark.createDataFrame([], "gh long")
+        )
+        outs[day] = {
+            r["doc_id"]: r
+            for r in D.span_incremental_stats(bt, idx, k).collect()
+        }
+        new_grams = D._gram_stream(bt, k).select("gh").distinct()
+        cat.merge_set(new_grams, "span", "gram_index", ["gh"])
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # day 1: empty index, no internal repetition -> everything untouched
+    assert outs[1][1]["n_spans"] == 0 and outs[1][2]["n_spans"] == 0
+    # day 2: doc 10 leads with day-1 boilerplate -> its two overlapping
+    # k-grams merge to ONE 4-token span, the rest survives in order
+    assert outs[2][10]["n_spans"] == 1
+    assert outs[2][10]["tokens_removed"] == 4
+    assert outs[2][10]["cleaned_md5"] == md5("new gamma text")
+    assert outs[2][11]["n_spans"] == 0
+    # day 3: doc 21 redelivers day-2 content verbatim -> fully excised
+    assert outs[3][21]["tokens_kept"] == 0
+    assert outs[3][21]["cleaned_md5"] == md5("")
+    assert outs[3][20]["cleaned_md5"] == md5("more delta stuff")
+    # loop-vs-recompute invariant: the catalog-merged index == a fresh
+    # gram rebuild over all three days
+    fresh = (
+        D._gram_stream(toks(frame([r for d in days for r in d])), k)
+        .select("gh")
+        .distinct()
+    )
+    merged = cat.read_set("span", "gram_index")
+    assert merged.count() == fresh.count()
+    assert merged.join(fresh, "gh", "left_anti").count() == 0
