@@ -86,15 +86,15 @@ def quality_score(col: Column | str) -> Column:
     return (len_ok + atl_ok + punct_ok) / 3.0
 
 
-def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
-    """n-word shingles (the dedup unit).  Expression-only.
+def token_shingles(ts: Column, n: int) -> Column:
+    """n-token shingles over an EXISTING token-array column.
 
     Built as zip_with over n shifted slices of the token array, NOT as a
     transform over an index sequence: an index-lambda would embed the token
     expression inside the lambda body, re-evaluating the whole tokenize per
     element (quadratic per document).  Slices evaluate the token array a
-    constant number of times, keeping shingling linear."""
-    ts = tokens(col, sep)
+    constant number of times, keeping shingling linear.  Element i is the
+    shingle STARTING at token i (0-based via posexplode)."""
     m = F.size(ts) - (n - 1)
     acc = F.slice(ts, 1, m)
     for k in range(1, n):
@@ -102,6 +102,12 @@ def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
             acc, F.slice(ts, 1 + k, m), lambda a, b: F.concat(a, F.lit(" "), b)
         )
     return F.when(F.size(ts) >= n, acc).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3, sep: str = " ") -> Column:
+    """n-word shingles (the dedup unit).  Expression-only; see
+    :func:`token_shingles` for the construction."""
+    return token_shingles(tokens(col, sep), n)
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -113,9 +113,9 @@ def test_clean_form_rewrites_and_preserves_columns(spark):
             "short doc",  # < K tokens: passes through untouched
         ],
     )
-    out = {r["doc_id"]: r for r in DD.span_removal_clean(docs).collect()}
     got = DD.span_removal_clean(docs)
     assert got.columns == docs.columns
+    out = {r["doc_id"]: r for r in got.collect()}
     assert out[0]["text"] == "a0" and out[0]["n_chars"] == 2
     assert out[1]["text"] == "b0"
     assert out[2]["text"] == "short doc"
@@ -124,11 +124,16 @@ def test_clean_form_rewrites_and_preserves_columns(spark):
 
 
 def test_clean_form_md5_matches_query_form(spark, monkeypatch):
+    """Every span-SCANNED doc (>= K tokens) — spanned or untouched, even
+    with irregular whitespace — comes out token-normalized and md5-equal
+    to the query form's cleaned_md5."""
     shared = [f"z{i}" for i in range(K + 3)]
     texts = [
         " ".join(["p0", "p1"] + shared),
         " ".join(shared + ["q0"]),
         " ".join(f"u{i}" for i in range(K + 1)),
+        # untouched doc with DOUBLE spaces: normalized, not passed raw
+        "  ".join(f"w{i}" for i in range(K + 2)),
     ]
     docs = _mkdocs(spark, texts)
     monkeypatch.setattr(DD, "_docs", lambda spark, sf_dir, **kw: docs)

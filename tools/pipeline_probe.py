@@ -8,9 +8,15 @@ output is the next stage's input and the restart point).  This probe runs
 the canonical pretraining-curation chain over the documents corpus:
 
     1. quality_filter   — codegen quality score, keep q >= 0.5
-    2. span_removal     — duplicated overlapping 8-gram spans excised
+    2. exact_dedup      — keep min-doc_id per content md5.  MUST precede
+                          span removal: the span rule removes ALL
+                          occurrences of a repeated window, so feeding it
+                          byte-identical documents would erase every copy
+                          of their content; deduping to one canonical copy
+                          first means the span stage only fires on genuine
+                          cross-document span duplication
+    3. span_removal     — duplicated overlapping 8-gram spans excised
                           (Lee et al. 2022 form), text rewritten
-    3. exact_dedup      — keep min-doc_id per content md5
     4. near_dedup       — MinHash-LSH pairs -> convergent connected
                           components -> keep canonical per component
     5. pack             — concat-and-chunk sequence packing (terminal
@@ -107,8 +113,8 @@ def stage_pack(spark, src, dst):
 
 STAGES = [
     ("quality_filter", stage_quality_filter),
+    ("exact_dedup", stage_exact_dedup),  # before span removal — see header
     ("span_removal", stage_span_removal),
-    ("exact_dedup", stage_exact_dedup),
     ("near_dedup", stage_near_dedup),
     ("pack", stage_pack),
 ]
