@@ -1216,3 +1216,66 @@ def test_keep_flat_layout_applies_as_noop(spark, tmp_path):
     assert sig_after == sig_before  # not rewritten, not even touched
     assert cat.read_set("db", "t").count() == 1_000
     assert [a.action for a in actions] == ["keep_flat"]
+
+
+def test_paired_stats_detects_uniform_speedup():
+    """Paired measurement statistics: a uniform 25% placed-side win must
+    produce a CI bracketing x1.25, all-wins, and agreeing order-split
+    halves (the tool's drift-cancellation report depends on all three)."""
+    from tools.advisor_workload_bench import paired_stats
+
+    names = [f"q{i:02d}" for i in range(40)]
+    flat = {n: 1.0 + (i % 5) * 0.1 for i, n in enumerate(names)}
+    placed = {n: flat[n] / 1.25 for n in names}
+    s = paired_stats(names, flat, placed)
+    lo, hi = s["speedup_ci95"]
+    assert lo <= 1.25 <= hi
+    assert hi - lo < 0.05  # uniform effect, zero noise: tight CI
+    assert s["wins"] == 40 and s["losses"] == 0
+    assert s["order_split"]["flat_first_speedup"] == pytest.approx(
+        1.25, abs=0.01)
+    assert s["order_split"]["placed_first_speedup"] == pytest.approx(
+        1.25, abs=0.01)
+
+
+def test_run_paired_alternates_arm_order_and_compares_counts(
+    spark, monkeypatch
+):
+    """The paired pass must (a) route each arm through ITS resolver,
+    (b) alternate which arm runs first by query index so warmth can't
+    systematically favor one side, and (c) report per-arm row counts
+    for the parity check."""
+    import lachesis_spark.registry as registry
+    from lachesis_spark import binding
+    from tools.advisor_workload_bench import run_paired
+
+    calls: list[tuple[str, str]] = []
+
+    def make_query(name):
+        def q(spark_, sf_dir):
+            df = binding.base_table(spark_, sf_dir, "probe")
+            calls.append((name, df.columns[0]))
+            return df
+        return q
+
+    names = ["qa", "qb"]
+    for n in names:
+        monkeypatch.setitem(registry.QUERIES, n, make_query(n))
+
+    def resolver(tag, rows):
+        def r(spark_, sf_dir, name):
+            return spark_.range(rows).select(F.col("id").alias(tag))
+        return r
+
+    flat_t, placed_t, flat_c, placed_c = run_paired(
+        spark, "/nonexistent", names,
+        resolver("flat", 3), resolver("placed", 3), reps=1,
+    )
+    assert set(flat_t) == set(placed_t) == set(names)
+    assert all(v >= 0 for v in flat_t.values())
+    assert flat_c == {"qa": 3, "qb": 3} and placed_c == {"qa": 3, "qb": 3}
+    # arm order: query index 0 runs flat first, index 1 placed first
+    assert [c for c in calls if c[0] == "qa"] == [
+        ("qa", "flat"), ("qa", "placed")]
+    assert [c for c in calls if c[0] == "qb"] == [
+        ("qb", "placed"), ("qb", "flat")]

