@@ -84,7 +84,12 @@ BASE_TABLES = (
 )
 N_BUCKETS = 32      # == local cores so parallelism_floor no-ops on buckets
 REP_CAP_SEC = 5.0   # representatives cost-capped: arbitration is O(reps)
-REP_TOP = 3         # top recorded consumers measured per candidate
+REP_FAMILIES = 5    # top consumer from each of the dataset's heaviest
+# consumer FAMILIES measured per candidate — top-N-global reps let a
+# layout win big on one family while silently taxing every other reader
+# (round 11's paired pass caught events' bucket_by winning 2.0x on its
+# top-3 reps while the full evt family regressed 0.79x: the cost fell
+# on consumers the reps never sampled)
 REP_RUNS = 3        # 1 warm + 2 timed (min) per representative
 GUARD_MARGIN = 0.03  # a rewrite must beat doing nothing by >3% measured —
 # at 100 TB a relayout has a real write cost and a near-tie is noise, so
@@ -147,35 +152,46 @@ def run_paired(spark, sf_dir, names, res_flat, res_placed,
     first order."""
     from lachesis_spark.registry import QUERIES
 
-    flat_t, placed_t, flat_c, placed_c = {}, {}, {}, {}
-    for i, name in enumerate(names):
-        order = [("flat", res_flat), ("placed", res_placed)]
-        if i % 2:
-            order.reverse()
-        times: dict[str, list[float]] = {"flat": [], "placed": []}
-        counts: dict[str, int] = {}
-        for _ in range(reps):
+    times: dict[str, dict[str, list[float]]] = {
+        n: {"flat": [], "placed": []} for n in names
+    }
+    flat_c, placed_c = {}, {}
+    # reps are SEPARATED full-registry rounds (minutes apart), not
+    # adjacent runs: a transient session pathology (round-11 observed a
+    # Python-worker stall inflating one query 12x across two adjacent
+    # reps) must persist for the whole pass to survive the cross-round
+    # min.  Arm order flips with the round index too, so every query is
+    # measured in BOTH orders and per-query order bias cancels in the
+    # min, not just in the alternating-index aggregate.
+    for rnd in range(reps):
+        for i, name in enumerate(names):
+            order = [("flat", res_flat), ("placed", res_placed)]
+            if (i + rnd) % 2:
+                order.reverse()
             for arm, res in order:
                 with bound(res):
                     t0 = time.perf_counter()
                     n = QUERIES[name](spark, sf_dir).count()
-                    times[arm].append(time.perf_counter() - t0)
-                counts[arm] = n
+                    times[name][arm].append(time.perf_counter() - t0)
+                (flat_c if arm == "flat" else placed_c)[name] = n
                 _release_all_blocks(spark)
-        flat_t[name] = round(min(times["flat"]), 3)
-        placed_t[name] = round(min(times["placed"]), 3)
-        flat_c[name], placed_c[name] = counts["flat"], counts["placed"]
-        print(f"   pair {name}: flat {flat_t[name]:.2f}s / placed "
-              f"{placed_t[name]:.2f}s", file=sys.stderr, flush=True)
+        print(f"   paired round {rnd + 1}/{reps} done",
+              file=sys.stderr, flush=True)
+    flat_t = {n: round(min(times[n]["flat"]), 3) for n in names}
+    placed_t = {n: round(min(times[n]["placed"]), 3) for n in names}
+    for n in names:
+        print(f"   pair {n}: flat {flat_t[n]:.2f}s / placed "
+              f"{placed_t[n]:.2f}s", file=sys.stderr, flush=True)
     return flat_t, placed_t, flat_c, placed_c
 
 
 def paired_stats(names, flat_t, placed_t):
     """Bootstrap 95% CI on the total-ratio speedup (resampling query
-    PAIRS, so the per-query pairing is preserved) plus the order-split
-    check: the speedup computed on flat-first-index queries vs
-    placed-first-index queries separately — agreement bounds any
-    residual order effect."""
+    PAIRS, so the per-query pairing is preserved) plus the index-split
+    check: the speedup computed on even-index vs odd-index queries
+    separately.  With round-flipped arm orders every query is measured
+    in both orders, so the two halves are symmetric by construction and
+    disagreement flags residual session effects, not order bias."""
     import numpy as np
 
     f = np.array([flat_t[n] for n in names])
@@ -292,8 +308,16 @@ def main() -> None:
             """,
             (dataset,),
         ).fetchall()
-        picked = [n for n, rt in rows if n in before and rt <= REP_CAP_SEC]
-        return picked[:REP_TOP]
+        fam_top: dict[str, str] = {}
+        fam_rt: dict[str, float] = {}
+        for n, rt in rows:
+            if n not in before or rt > REP_CAP_SEC:
+                continue
+            f = n.split("_", 1)[0]
+            fam_top.setdefault(f, n)  # rows ordered rt desc → family top
+            fam_rt[f] = fam_rt.get(f, 0.0) + rt
+        fams = sorted(fam_top, key=lambda f: -fam_rt[f])[:REP_FAMILIES]
+        return [fam_top[f] for f in fams]
 
     def measure_reps(reps: list[str]) -> float:
         total = 0.0
@@ -356,11 +380,13 @@ def main() -> None:
             )
             for c in cands
         }
-        reset_flat((dataset,))
-        base = measure_reps(reps)
-
         def measure_candidate(cand):
+            # the base is re-measured immediately before EACH candidate
+            # (paired, like the whole-workload pass): a single base taken
+            # at arbitration start lets session drift accumulate into
+            # every later arm's reward
             reset_flat((dataset,))
+            base = measure_reps(reps)
             partner = None
             rewrite_layout(
                 cat, "db", dataset, cand.kind, cand.key_cols,
@@ -389,17 +415,20 @@ def main() -> None:
 
         win = arbitrate_by_reward(linucb, dataset, cands, contexts,
                                   measure_candidate)
-        secs = {e["candidate"]: e["after_sec"] for e in arb_log
-                if e.get("dataset") == dataset and "candidate" in e}
-        flat_sec = secs.get("keep_flat:")
+        # margin on REWARDS (each arm paired to its own just-measured
+        # base, so rewards are drift-free; keep_flat's reward is the
+        # session noise floor — flat measured against flat)
+        rewards = {e["candidate"]: e["reward"] for e in arb_log
+                   if e.get("dataset") == dataset and "candidate" in e}
+        flat_rw = rewards.get("keep_flat:")
         if (
-            win.kind != "keep_flat" and flat_sec is not None
-            and not secs[candidate_id(win)] < flat_sec * (1 - GUARD_MARGIN)
+            win.kind != "keep_flat" and flat_rw is not None
+            and not rewards[candidate_id(win)] > flat_rw + GUARD_MARGIN
         ):
             win = next(c for c in cands if c.kind == "keep_flat")
             arb_log.append({"dataset": dataset,
                             "margin": f"winner within {GUARD_MARGIN:.0%} of"
-                                      " keep_flat — staying flat"})
+                                      " keep_flat's reward — staying flat"})
         arb_log.append({"dataset": dataset, "chosen": candidate_id(win)})
         if win.kind in ("bucket_by", "bucket_range_grid"):
             for d, cols in bucketworthy_partners(dataset, win.key_cols):
@@ -673,17 +702,20 @@ Generated by `python tools/advisor_workload_bench.py {sf_dir} --paired --md`.
 The sequential BEFORE/AFTER/CONTROL protocol above measures layout +
 session drift entangled (±8-11% per pass — the run-C/run-D paragraphs);
 this run instead measures each query's two arms BACK-TO-BACK (seconds
-apart), order alternating by query index, {out['paired_reps']} reps per
-arm (min), after the same warm+record / measured-arbitration / placement
-steps.  Drift cancels inside each pair; what remains is the layout.
+apart), in {out['paired_reps']} full-registry rounds separated by
+minutes with the arm order flipping per round (min per arm across
+rounds), after the same warm+record / measured-arbitration / placement
+steps.  Drift cancels inside each pair, order bias cancels across
+rounds, and a transient session pathology must persist for the whole
+pass to survive the cross-round min.
 
 **Paired workload speedup: x{out['workload_speedup']}** (flat
 {out['total_before_sec']} s vs placed {out['total_after_sec']} s;
 bootstrap 95% CI over query resamples **x{lo}–x{hi}**; placed wins
 {out['wins']} / loses {out['losses']} of {out['n_queries']} queries).
-Order-split check: flat-first-half x{osplit['flat_first_speedup']},
-placed-first-half x{osplit['placed_first_speedup']} — the two halves
-agree, so residual order/warmth effects are inside the CI.
+Index-split consistency check (both halves saw both orders):
+even-half x{osplit['flat_first_speedup']}, odd-half
+x{osplit['placed_first_speedup']}.
 
 Placement chosen by the advisor (measured arbitration, keep_flat arm
 included): {placed}.
