@@ -595,6 +595,45 @@ def main() -> None:
         mismatches = sorted(
             n for n in names if before_counts[n] != after_counts[n]
         )
+
+        # ---- 5V. post-validation: the paired pass is the FULL-workload
+        # measurement the per-dataset arbitration (bounded to ~5 family
+        # representatives) approximated — so close the loop with it: a
+        # placed dataset whose READERS net-lose under pairing is
+        # REVERTED to flat.  This is the reference's self-learning shape
+        # end-to-end: rule -> representative arbitration -> whole-
+        # workload validation -> correction, every step measured.
+        validation = []
+        for p in placement:
+            if p["action"] == "keep_flat":
+                continue
+            ds = p["dataset"]
+            readers = sorted(set(n for (n,) in history.con.execute(
+                """
+                SELECT DISTINCT j.name FROM jobs j
+                JOIN key_usage u ON u.job_id = j.id
+                WHERE u.dataset = ? AND u.op != 'joinpair'
+                """, (ds,),
+            ).fetchall()) & set(names))
+            fsec = sum(before[q] for q in readers)
+            psec = sum(after[q] for q in readers)
+            confirmed = psec < fsec
+            validation.append({
+                "dataset": ds, "layout": f"{p['action']}:{p['detail']}",
+                "n_readers": len(readers),
+                "readers_flat_sec": round(fsec, 2),
+                "readers_placed_sec": round(psec, 2),
+                "net_sec": round(fsec - psec, 2),
+                "verdict": "confirmed" if confirmed else "reverted",
+            })
+            print(f"   validate {ds}: readers flat {fsec:.1f}s vs placed "
+                  f"{psec:.1f}s -> "
+                  f"{'confirmed' if confirmed else 'REVERTED'}",
+                  file=sys.stderr, flush=True)
+            if not confirmed:
+                reset_flat((ds,))
+                p["action"], p["detail"] = "keep_flat", ""
+                p["note"] = "reverted by paired whole-workload validation"
     else:
         # ---- 5. AFTER
         print("== pass 2: AFTER (placed) ==", file=sys.stderr, flush=True)
@@ -653,6 +692,7 @@ def main() -> None:
     }
     if paired:
         out["paired_reps"] = PAIRED_REPS
+        out["validation"] = validation
         out.update(paired_stats(names, before, after))
     else:
         tc = sum(control.values())
@@ -684,8 +724,15 @@ def _write_md_paired(out, sf_dir) -> None:
     )
     placed = "; ".join(
         f"{p['dataset']}: {p['action']}({p['detail']})"
+        + (" [reverted]" if "note" in p else "")
         for p in out["placement"]
     ) or "none"
+    val_rows = "\n".join(
+        f"| {v['dataset']} | `{v['layout']}` | {v['n_readers']} | "
+        f"{v['readers_flat_sec']} | {v['readers_placed_sec']} | "
+        f"{v['net_sec']} | **{v['verdict']}** |"
+        for v in out["validation"]
+    ) or "| (nothing placed) | | | | | | |"
     reg_rows = "\n".join(
         f"| `{r['query']}` | {r['before_sec']} | {r['after_sec']} | "
         f"x{r['ratio']} |"
@@ -717,8 +764,18 @@ Index-split consistency check (both halves saw both orders):
 even-half x{osplit['flat_first_speedup']}, odd-half
 x{osplit['placed_first_speedup']}.
 
-Placement chosen by the advisor (measured arbitration, keep_flat arm
-included): {placed}.
+Final placement after paired validation (measured arbitration chose,
+the paired whole-workload pass confirmed or REVERTED — a placed
+dataset whose readers net-lose under pairing goes back to flat):
+{placed}.
+
+Validation verdicts (per placed dataset, net paired effect over ALL its
+recorded reader queries — the full-workload check the ~5-representative
+arbitration approximated):
+
+| dataset | layout | readers | flat s | placed s | net s | verdict |
+|---|---|---|---|---|---|---|
+{val_rows}
 
 | dataset | candidate | reps before s | reps after s | reward |
 |---|---|---|---|---|
