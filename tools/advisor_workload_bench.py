@@ -319,8 +319,12 @@ def main() -> None:
         fams = sorted(fam_top, key=lambda f: -fam_rt[f])[:REP_FAMILIES]
         return [fam_top[f] for f in fams]
 
-    def measure_reps(reps: list[str]) -> float:
-        total = 0.0
+    def measure_reps(reps: list[str]) -> tuple[float, dict[str, float]]:
+        """(total_sec, per-rep-query seconds) — the breakdown makes a
+        blown-up arm attributable to the query that carried it (a
+        round-11 guard measured one arm 2.5x its other-run level and
+        the total alone could not say which rep was responsible)."""
+        per: dict[str, float] = {}
         from lachesis_spark.registry import QUERIES as Q
 
         with bound(res_placed):
@@ -331,8 +335,8 @@ def main() -> None:
                     Q[name](spark, sf_dir).count()
                     ts.append(time.perf_counter() - t0)
                     _release_all_blocks(spark)
-                total += min(ts[1:])
-        return total
+                per[name] = round(min(ts[1:]), 3)
+        return sum(per.values()), per
 
     # ---- 3. advise with measured arbitration (keep_flat arm included)
     from lachesis_spark.advisor import advise_all
@@ -367,6 +371,28 @@ def main() -> None:
         if not reps:
             return None
         flat = cat.read_set("db", f"{dataset}_flat")
+        # bucket-kind candidates need bucket-worthy key cardinality —
+        # the same floor bucketworthy_partners enforces for pins.
+        # Round-11 run: orders' own arbitration chose
+        # bucket_by(o_orderstatus), 3 distinct values over 32 buckets =
+        # 29 empty buckets, a parallelism collapse no join win repays
+        # at any scale.  A layout that CANNOT be right at 1000
+        # executors must not be measurable into winning at sf0.1.
+        kept_cands = []
+        for c in cands:
+            if (
+                c.kind in ("bucket_by", "bucket_range_grid")
+                and measure_key_cardinality(flat, c.key_cols) < N_BUCKETS
+            ):
+                arb_log.append({
+                    "dataset": dataset, "dropped": candidate_id(c),
+                    "why": f"key cardinality < {N_BUCKETS} buckets",
+                })
+                continue
+            kept_cands.append(c)
+        cands = kept_cands
+        if all(c.kind == "keep_flat" for c in cands):
+            return next(c for c in cands if c.kind == "keep_flat")
         prof = history.scan_profile(dataset) or (1, 1, 0.0)
         contexts = {
             candidate_id(c): PlacementContext(
@@ -386,7 +412,7 @@ def main() -> None:
             # at arbitration start lets session drift accumulate into
             # every later arm's reward
             reset_flat((dataset,))
-            base = measure_reps(reps)
+            base, base_per = measure_reps(reps)
             partner = None
             rewrite_layout(
                 cat, "db", dataset, cand.kind, cand.key_cols,
@@ -400,13 +426,14 @@ def main() -> None:
                         cat, "db", partner[0], "bucket_by", partner[1],
                         n_buckets=N_BUCKETS,
                     )
-            after = measure_reps(reps)
+            after, after_per = measure_reps(reps)
             if partner is not None:
                 reset_flat((partner[0],))
             arb_log.append({
                 "dataset": dataset, "candidate": candidate_id(cand),
                 "reps": reps, "before_sec": round(base, 3),
                 "after_sec": round(after, 3),
+                "before_per": base_per, "after_per": after_per,
                 "reward": round((base - after) / max(base, 1e-9), 3),
             })
             print(f"   arb {dataset} {candidate_id(cand)}: "
@@ -421,14 +448,19 @@ def main() -> None:
         rewards = {e["candidate"]: e["reward"] for e in arb_log
                    if e.get("dataset") == dataset and "candidate" in e}
         flat_rw = rewards.get("keep_flat:")
-        if (
-            win.kind != "keep_flat" and flat_rw is not None
-            and not rewards[candidate_id(win)] > flat_rw + GUARD_MARGIN
-        ):
-            win = next(c for c in cands if c.kind == "keep_flat")
-            arb_log.append({"dataset": dataset,
-                            "margin": f"winner within {GUARD_MARGIN:.0%} of"
-                                      " keep_flat's reward — staying flat"})
+        if win.kind != "keep_flat" and flat_rw is not None:
+            # keep_flat's arm measures flat against a flat base, so its
+            # |reward| is the session's live measurement-noise floor for
+            # THIS dataset's reps (observed swinging -0.10..+0.03 across
+            # round-11 runs); a real layout effect must clear 2x that
+            # floor, not just the static 3% margin
+            floor = max(GUARD_MARGIN, 2.0 * abs(flat_rw))
+            if not rewards[candidate_id(win)] > flat_rw + floor:
+                win = next(c for c in cands if c.kind == "keep_flat")
+                arb_log.append({
+                    "dataset": dataset,
+                    "margin": f"winner within the measured noise floor "
+                              f"({floor:.0%}) of keep_flat — staying flat"})
         arb_log.append({"dataset": dataset, "chosen": candidate_id(win)})
         if win.kind in ("bucket_by", "bucket_range_grid"):
             for d, cols in bucketworthy_partners(dataset, win.key_cols):
@@ -480,16 +512,33 @@ def main() -> None:
         if not reps:
             guarded.append(r)
             continue
+        # same bucket-cardinality floor as the arbiter: an uncontested
+        # rule pick can carry a low-cardinality bucket key too
+        if (
+            lay.kind in ("bucket_by", "bucket_range_grid")
+            and measure_key_cardinality(
+                cat.read_set("db", f"{r.dataset}_flat"), lay.key_cols
+            ) < N_BUCKETS
+        ):
+            arb_log.append({
+                "dataset": r.dataset, "dropped": candidate_id(lay),
+                "why": f"key cardinality < {N_BUCKETS} buckets",
+                "kept": "keep_flat:",
+            })
+            guarded.append(_dc.replace(
+                r, layout=_LR(r.dataset, "keep_flat", (), lay.weight)))
+            continue
         reset_flat((r.dataset,))
-        base = measure_reps(reps)
+        base, base_per = measure_reps(reps)
         rewrite_layout(cat, "db", r.dataset, lay.kind, lay.key_cols,
                        n_buckets=N_BUCKETS, range_cols=lay.range_cols)
-        placed_sec = measure_reps(reps)
+        placed_sec, placed_per = measure_reps(reps)
         reset_flat((r.dataset,))
         win = placed_sec < base * (1 - GUARD_MARGIN)
         arb_log.append({
             "dataset": r.dataset, "guard": candidate_id(lay), "reps": reps,
             "flat_sec": round(base, 3), "placed_sec": round(placed_sec, 3),
+            "flat_per": base_per, "placed_per": placed_per,
             "kept": candidate_id(lay) if win else "keep_flat:",
         })
         print(f"   guard {r.dataset} {candidate_id(lay)}: flat {base:.2f}s"
@@ -539,11 +588,11 @@ def main() -> None:
                             cat, "db", r.dataset, lay.kind, lay.key_cols,
                             n_buckets=N_BUCKETS, range_cols=lay.range_cols,
                         )
-                    own_sec = measure_reps(reps)
+                    own_sec, own_per = measure_reps(reps)
                     reset_flat((r.dataset,))
                     rewrite_layout(cat, "db", r.dataset, "bucket_by",
                                    pin_cols, n_buckets=N_BUCKETS)
-                    pin_sec = measure_reps(reps)
+                    pin_sec, pin_per = measure_reps(reps)
                     reset_flat((r.dataset, pinner.dataset))
                     take_pin = pin_sec < own_sec * (1 - GUARD_MARGIN)
                     arb_log.append({
@@ -552,6 +601,7 @@ def main() -> None:
                         "pinner": f"{pinner.dataset}:{candidate_id(pinner)}",
                         "own_sec": round(own_sec, 3),
                         "pin_sec": round(pin_sec, 3),
+                        "own_per": own_per, "pin_per": pin_per,
                         "kept": (f"bucket_by:{','.join(pin_cols)}"
                                  if take_pin else
                                  candidate_id(lay) if lay else "keep_flat:"),
@@ -604,6 +654,7 @@ def main() -> None:
         # end-to-end: rule -> representative arbitration -> whole-
         # workload validation -> correction, every step measured.
         validation = []
+        reader_sets: dict[str, set] = {}
         for p in placement:
             if p["action"] == "keep_flat":
                 continue
@@ -615,6 +666,7 @@ def main() -> None:
                 WHERE u.dataset = ? AND u.op != 'joinpair'
                 """, (ds,),
             ).fetchall()) & set(names))
+            reader_sets[ds] = set(readers)
             fsec = sum(before[q] for q in readers)
             psec = sum(after[q] for q in readers)
             confirmed = psec < fsec
@@ -634,6 +686,26 @@ def main() -> None:
                 reset_flat((ds,))
                 p["action"], p["detail"] = "keep_flat", ""
                 p["note"] = "reverted by paired whole-workload validation"
+
+        # projected total under the VALIDATED placement: a query reading
+        # only reverted datasets runs at its measured flat time; a query
+        # touching any confirmed placement keeps its measured placed
+        # time (conservative for mixed readers — their reverted-side
+        # loss stays priced in)
+        revset = {v["dataset"] for v in validation
+                  if v["verdict"] == "reverted"}
+        confset = {v["dataset"] for v in validation
+                   if v["verdict"] == "confirmed"}
+        projected = {}
+        for q in names:
+            in_rev = any(q in reader_sets[ds] for ds in revset)
+            in_conf = any(q in reader_sets[ds] for ds in confset)
+            projected[q] = before[q] if (in_rev and not in_conf) else after[q]
+        validated_projection = {
+            "projected_placed_sec": round(sum(projected.values()), 1),
+            "projected_speedup": round(
+                sum(before.values()) / sum(projected.values()), 3),
+        }
     else:
         # ---- 5. AFTER
         print("== pass 2: AFTER (placed) ==", file=sys.stderr, flush=True)
@@ -693,6 +765,7 @@ def main() -> None:
     if paired:
         out["paired_reps"] = PAIRED_REPS
         out["validation"] = validation
+        out["validated_projection"] = validated_projection
         out.update(paired_stats(names, before, after))
     else:
         tc = sum(control.values())
@@ -776,6 +849,11 @@ arbitration approximated):
 | dataset | layout | readers | flat s | placed s | net s | verdict |
 |---|---|---|---|---|---|---|
 {val_rows}
+
+Projected total under the VALIDATED placement (reverted datasets'
+readers at their measured flat times):
+**x{out['validated_projection']['projected_speedup']}**
+({out['validated_projection']['projected_placed_sec']} s).
 
 | dataset | candidate | reps before s | reps after s | reward |
 |---|---|---|---|---|
