@@ -112,12 +112,13 @@ def instrumented_run(spark, sf_dir: str, k: int = 20):
     visited: list[float] = []
     orig = D._containment_threshold_descent
 
-    def recorder(spark_, sh, prefix_for, sa, sb, k_, thresholds):
+    def recorder(spark_, sh, arr, prefix_for, k_, thresholds, backstop=True):
         def spy_prefix_for(t):
             visited.append(t)
             return prefix_for(t)
 
-        return orig(spark_, sh, spy_prefix_for, sa, sb, k_, thresholds)
+        return orig(spark_, sh, arr, spy_prefix_for, k_, thresholds,
+                    backstop=backstop)
 
     D._containment_threshold_descent = recorder
     try:
