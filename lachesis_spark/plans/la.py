@@ -279,11 +279,17 @@ def inverse_newton(
             F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv")
         )
         if small:
-            # hinted broadcast join: checkpointed leaves carry no static
-            # stats, so without the hint Catalyst plans sort-merge with
-            # exchanges on both sides — measured ~35% slower end-to-end
-            # than the one build job per step the hint costs.
-            m_side = F.broadcast(m_side)
+            # hinted SHUFFLED-HASH join: both sides are SinglePartition
+            # (the pair frame is coalesce(1)+checkpointed, and checkpoint
+            # preserves output partitioning), which satisfies the join's
+            # clustered distribution — so the hint plans a hash join with
+            # NO exchange AND no broadcast-build job.  The earlier
+            # broadcast hint avoided the exchanges too but paid one
+            # detached build JOB per step (~0.3-0.5 s of pure job-launch
+            # overhead on a reduced-dim matrix); unhinted, Catalyst plans
+            # sort-merge with exchanges on both sides — measured ~35%
+            # slower end-to-end than either hint.
+            m_side = m_side.hint("shuffle_hash")
         prod_terms = (
             mq.select("t", F.col("i").alias("ai"), F.col("j").alias("k"), F.col("v").alias("av"))
             .join(m_side, F.col("k") == F.col("k2"))
