@@ -517,40 +517,71 @@ def project_embeddings(
     return emb.select(F.col(id_col), proj.alias("proj"))
 
 
+JL_PAIR_BLOCKS = 32  # block-pair fan-out for the probe self-pairing
+
+
 def ann_jl_distortion(spark, sf_dir, probe_mod: int = JL_PROBE_MOD):
     emb = _emb(spark, sf_dir).where(F.col("vec_id") % probe_mod == 0)
-    # full-width COO (doubles) and projected COO
-    full = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(F.col("embedding"), lambda v: v.cast("double"))
-        ).alias("j", "v"),
+    # One row per probe vector carrying BOTH representations as arrays:
+    # the full-width doubles and the JL projection (the same fold
+    # expressions project_embeddings emits).  Pairing then moves n·B
+    # array rows instead of n·(d_in+d_out) COO rows, and the per-pair
+    # squared distances are ROW-LEVEL folds — the old COO form expanded
+    # every pair 64-fold (resp. 16-fold) through a sort-merge join on
+    # the 64-value dimension index and collapsed it right back with two
+    # pair-keyed groupBys (≈2.5M intermediate rows, 2 extra shuffles,
+    # and a d_full⋈d_proj re-join that this form never needs).
+    r = _jl_matrix()
+    inv_sqrt = 1.0 / (JL_D_OUT ** 0.5)
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    x,
+                    F.lit([r[j][k] for j in range(JL_D_IN)]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            * F.lit(inv_sqrt)
+            for k in range(JL_D_OUT)
+        ]
     )
-    proj = project_embeddings(emb).select(
-        "vec_id", F.posexplode("proj").alias("j", "v")
+    base = emb.select("vec_id", x.alias("x"), proj.alias("p"))
+    # Scale-safe all-pairs over the probe set: every unordered pair is
+    # produced EXACTLY once through two equi-joins on a B-way blocking
+    # key ((vec_id / probe_mod) % B — dense and deterministic), never a
+    # cartesian/BNLJ: 'a' fans out to its B ordered block combos, 'b'
+    # equi-joins on its own block, and the vec_id< filter keeps each
+    # pair once.  Shuffle volume is n·B + n rows of array payload;
+    # parallelism is the B² combo grid, independent of key skew.
+    combos = spark.createDataFrame(
+        [(ga, gb) for ga in range(JL_PAIR_BLOCKS) for gb in range(JL_PAIR_BLOCKS)],
+        "ga int, gb int",
     )
-
-    def pair_d2(coo):
-        a = coo.select(
-            F.col("vec_id").alias("a"), "j", F.col("v").alias("va")
-        )
-        b = coo.select(
-            F.col("vec_id").alias("b"),
-            F.col("j").alias("j2"),
-            F.col("v").alias("vb"),
-        )
-        return (
-            a.join(b, (F.col("j") == F.col("j2")) & (F.col("a") < F.col("b")))
-            .groupBy("a", "b")
-            .agg(F.sum((F.col("va") - F.col("vb")) ** 2).alias("d2"))
-        )
-
-    d_full = pair_d2(full).withColumnRenamed("d2", "d2_full")
-    d_proj = pair_d2(proj).withColumnRenamed("d2", "d2_proj")
-    ratios = (
-        d_full.join(d_proj, ["a", "b"])
-        .where(F.col("d2_full") > 0)
-        .select((F.col("d2_proj") / F.col("d2_full")).alias("r"))
+    blk = ((F.col("vec_id") / probe_mod) % JL_PAIR_BLOCKS).cast("int")
+    a = base.select(
+        F.col("vec_id").alias("a"), F.col("x").alias("xa"),
+        F.col("p").alias("pa"), blk.alias("ga"),
+    ).join(F.broadcast(combos), "ga")
+    b = base.select(
+        F.col("vec_id").alias("b"), F.col("x").alias("xb"),
+        F.col("p").alias("pb"), blk.alias("gb"),
+    )
+    d2 = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(v), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, w: acc + w,
+    )
+    pairs = (
+        a.join(b, "gb")
+        .where(F.col("a") < F.col("b"))
+        .select(d2("xa", "xb").alias("d2_full"), d2("pa", "pb").alias("d2_proj"))
+    )
+    ratios = pairs.where(F.col("d2_full") > 0).select(
+        (F.col("d2_proj") / F.col("d2_full")).alias("r")
     )
     return ratios.agg(
         F.count(F.lit(1)).alias("n_pairs"),
