@@ -400,41 +400,66 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
     O(log n) on heavy-tailed graphs); the alive frame only shrinks, so
     per-sweep cost falls monotonically."""
     spark = und.sparkSession
+    # edges live partitioned by the NEIGHBOR endpoint v: the per-sweep
+    # alive-filter join (on v) is then co-partitioned and exchange-free,
+    # and the only shuffle a sweep pays is the degree groupBy on u.  The
+    # earlier u-partitioned layout filtered u first and paid two more
+    # edge-sized exchanges per sweep (re-hash on v, then back on u);
+    # filtering dead u's is NOT needed before the groupBy — their degree
+    # rows are dropped by the alive-side join below, and the bytes they
+    # add to the one shuffle are less than the exchanges they saved.
     e = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .repartition(n_parts, "u")
+        .repartition(n_parts, "v")
         .localCheckpoint(eager=True)
     )
     alive = (
-        e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+        e.select(F.col("u").alias("node")).distinct()
+        .repartition(n_parts, "node")
+        .localCheckpoint(eager=True)
     )
     layers = None
     r = 0
     while True:
         r += 1
         deg = (
-            e.join(alive.select(F.col("node").alias("u")), "u")
-            .join(alive.select(F.col("node").alias("v")), "v")
+            e.join(alive.select(F.col("node").alias("v")), "v")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select(F.col("u").alias("node"))
-        removed = alive.join(keep, "node", "left_anti").select(
-            "node", F.lit(r).cast("long").alias("layer")
+        # ONE materializing action per sweep (the cc_converged fusion
+        # pattern): annotate every alive node with its keep/remove verdict
+        # in a single lazily-checkpointed frame — the exit-check count is
+        # the job that materializes it, and the next sweep's alive plus
+        # this sweep's removed layer are both cheap filters over the
+        # persisted RDD.  The previous shape re-executed the whole
+        # degree join a second time per sweep (removed.count() for the
+        # exit check, then the eager alive checkpoint recomputing
+        # alive⋈keep from scratch).  Nodes with zero alive neighbors are
+        # absent from deg — the left join's coalesce(0) removes them.
+        ann = (
+            alive.join(
+                deg.select(F.col("u").alias("node"), "d"), "node", "left"
+            )
+            .select(
+                "node", (F.coalesce(F.col("d"), F.lit(0)) >= k).alias("keep")
+            )
+            .repartition(n_parts, "node")
+            .localCheckpoint(eager=False)
         )
-        # one bounded action per sweep: the removed count is the exit check
-        n_removed = removed.count()
+        n_removed = ann.filter(~F.col("keep")).count()
         if n_removed == 0:
             break
+        removed = ann.filter(~F.col("keep")).select(
+            "node", F.lit(r).cast("long").alias("layer")
+        )
         layers = (
             removed
             if layers is None
             else layers.unionByName(removed).localCheckpoint(eager=False)
         )
-        alive = alive.join(removed.select("node"), "node", "left_anti").repartition(
-            n_parts, "node"
-        ).localCheckpoint(eager=True)
+        alive = ann.filter(F.col("keep")).select("node")
     core = alive.select("node", F.lit(0).cast("long").alias("layer"))
     out = core if layers is None else layers.unionByName(core)
     return out.orderBy("node")
@@ -445,11 +470,18 @@ def graph_kcore(spark, sf_dir):
     loop run engine-side; only the 2-number (m, n) aggregate reaches the
     driver to fix k (bounded collect, the k-means pattern)."""
     und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
-    m = und.count()
-    n = und.select(F.col("a").alias("x")).unionAll(
-        und.select(F.col("b").alias("x"))
-    ).distinct().count()
-    k = int(2 * m / n)
+    # one job for BOTH scalars: edge count = half the endpoint rows,
+    # node count = exact distinct endpoints (was two sequential counts)
+    mn = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("m"),
+            F.count_distinct(F.col("x")).alias("n"),
+        )
+        .first()
+    )
+    k = int(2 * mn["m"] / mn["n"])
     return kcore_layers(und, k)
 
 
@@ -518,21 +550,36 @@ def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     frontier = dist
+    prev_frontier = None
     level = 0
     while True:
         level += 1
+        # BFS locality (undirected graph): a neighbor of a distance-L node
+        # has distance in {L-1, L, L+1}, so the "already visited" check
+        # only needs the CURRENT and PREVIOUS frontiers — two
+        # frontier-sized co-partitioned anti-joins — never the whole dist
+        # accumulation (whose growing union carried UnknownPartitioning
+        # and re-shuffled every level).  Per level: one exchange (the
+        # expansion distinct); the expansion join, both anti-joins and
+        # the exit count ride the pinned hash(node) layout, and the lazy
+        # checkpoint makes the exit count the level's only action.
         nxt = (
             e.join(frontier.select(F.col("node").alias("u")), "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(level).cast("long").alias("dist"))
             .repartition(n_parts, "node")
-            .localCheckpoint(eager=True)
+            .join(frontier.select("node"), "node", "left_anti")
+        )
+        if prev_frontier is not None:
+            nxt = nxt.join(prev_frontier.select("node"), "node", "left_anti")
+        nxt = (
+            nxt.select("node", F.lit(level).cast("long").alias("dist"))
+            .localCheckpoint(eager=False)
         )
         if nxt.count() == 0:  # one bounded action per level — the exit check
             break
-        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        dist = dist.unionByName(nxt)
+        prev_frontier = frontier
         frontier = nxt
     return dist
 
@@ -607,17 +654,24 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
     (node, label)-count aggregation + one per-node argmax — all keyed on
     the node id, label frame checkpointed per round (the kcore/cc loop
     pattern); rounds are FIXED, not data-dependent."""
+    # FIXED round count and every frame used exactly once downstream, so
+    # the whole loop runs LAZILY: all checkpoints are eager=False and the
+    # caller's single final action materializes the full 4-round chain in
+    # ONE Spark job (each round's checkpoint persists as a byproduct,
+    # keeping lineage shallow for any re-reference).  The previous
+    # eager-per-round cadence paid rounds+2 sequential job launches for
+    # identical work — pure fixed overhead on a reduced-size label frame.
     e = (
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition(n_parts, "v")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     lab = (
         e.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
         .repartition(n_parts, "node")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         votes = (
@@ -631,7 +685,7 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("s"))
             .select("node", (-F.col("s.neg")).alias("lbl"))
             .repartition(n_parts, "node")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return lab
 
@@ -639,8 +693,10 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
 def graph_lpa(spark, sf_dir):
     """Community-size distribution after LPA_ROUNDS of label propagation:
     (community_size, n_communities) — the model-sized summary a community
-    dashboard renders (per-node labels stay engine-side)."""
-    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    dashboard renders (per-node labels stay engine-side).  und is consumed
+    exactly once (the edge build inside lpa_labels), so its checkpoint is
+    lazy too — the query's one action runs everything."""
+    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
     lab = lpa_labels(und)
     sizes = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("csize"))
     return (
