@@ -750,15 +750,25 @@ def _lda_step(counts: DataFrame, theta: DataFrame, phi: DataFrame, nv: int):
     unnormalized.  M: φ'_t(w) ∝ β + Σ_d n·γ (β=1 Laplace over the observed
     vocab), θ'_d(t) = α + Σ_w n·γ (α=1, unnormalized on purpose).
     Returns (phi_out, theta_new, phi_new_unnorm-as-next-phi).
+
+    ``theta=None`` means "the deterministic init": θ₀ is a pure
+    expression of (d, t), so the first step computes it INLINE instead
+    of joining a doc×topic frame — that drops the theta-init subtree
+    (distinct + crossJoin + shuffle join, doc-sized at scale) from the
+    plan, and with the join gone the γ window's (d, word_id) clustering
+    is exactly counts' groupBy partitioning, so the window plans with
+    zero Exchange.  Later steps (θ now data-dependent) keep the join.
     """
     from pyspark.sql import Window
 
     w_dw = Window.partitionBy("d", "word_id")
-    gamma = (
-        counts.join(F.broadcast(phi), "word_id")
-        .join(theta, ["d", "t"])
-        .withColumn("u", F.col("th") * F.col("phi"))
-        .withColumn("g", F.col("u") / F.sum("u").over(w_dw))
+    gamma = counts.join(F.broadcast(phi), "word_id")
+    if theta is None:
+        gamma = gamma.withColumn("th", _lda_init_u(F.col("d"), F.col("t")))
+    else:
+        gamma = gamma.join(theta, ["d", "t"])
+    gamma = gamma.withColumn("u", F.col("th") * F.col("phi")).withColumn(
+        "g", F.col("u") / F.sum("u").over(w_dw)
     )
     wsum = gamma.groupBy("t", "word_id").agg(
         F.sum(F.col("g") * F.col("n")).alias("c")
@@ -792,19 +802,25 @@ def lda_em_run(spark, sf_dir, iters: int = 1) -> DataFrame:
 
     topics = spark.range(LDA_K).select(F.col("id").alias("t"))
     # φ normalized over the observed vocabulary (the hashed-vocab normalizer
-    # is only constant in expectation)
+    # is only constant in expectation).  The per-topic normalizer is a
+    # window over t rather than a groupBy+join so the vocab×K init frame
+    # is scanned ONCE (the join form pasted the whole vocab-distinct +
+    # crossJoin subtree into the plan twice); K partitions of ≤LDA_VOCAB
+    # rows each — a constant-bounded frame, skew-free by construction.
+    from pyspark.sql import Window as _W
+
     vocab = counts.select("word_id").distinct()
     phi_raw = vocab.crossJoin(F.broadcast(topics)).select(
         "t", "word_id", _lda_init_u(F.col("t"), F.col("word_id")).alias("u")
     )
-    z = phi_raw.groupBy("t").agg(F.sum("u").alias("z"))
-    phi = phi_raw.join(F.broadcast(z), "t").select(
-        "t", "word_id", (F.col("u") / F.col("z")).alias("phi")
+    phi = phi_raw.select(
+        "t", "word_id",
+        (F.col("u") / F.sum("u").over(_W.partitionBy("t"))).alias("phi"),
     )
-    # θ starts at the deterministic init, unnormalized (normalizer cancels)
-    theta = counts.select("d").distinct().crossJoin(F.broadcast(topics)).select(
-        "d", "t", _lda_init_u(F.col("d"), F.col("t")).alias("th")
-    )
+    # θ starts at the deterministic init, unnormalized (normalizer
+    # cancels) — None tells the first step to fold it in as an inline
+    # expression instead of materializing a doc×topic frame
+    theta = None
     nv = vocab.count()
     phi_out = None
     for it in range(iters):
