@@ -490,29 +490,50 @@ def _jl_matrix(d_out: int = JL_D_OUT):
 _JL_R = _jl_matrix()
 
 
+def _jl_lit(d_out: int = JL_D_OUT):
+    """The transposed R matrix (row k = output dim k's ±1 weights) as ONE
+    parsed SQL nested-array literal.  ``F.lit`` of the same nested list
+    converts 64·d_out doubles element-by-element over py4j — measured
+    1.2–1.6 s of pure driver time at d_out=32; one ``F.expr`` parse of
+    the equivalent literal is ~20 ms and value-identical (entries are
+    ±1.0, exact in binary; repr round-trips)."""
+    r = _jl_matrix(d_out)
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(repr(float(r[j][k])) + "D" for j in range(JL_D_IN))
+            + ")"
+            for k in range(d_out)
+        )
+        + ")"
+    )
+
+
 def project_embeddings(
     emb: DataFrame, id_col: str = "vec_id", d_out: int = JL_D_OUT
 ) -> DataFrame:
-    """(id, proj: array<double> of d_out) — one codegen expression per
-    output dim: fold of zip_with(x, sign column) scaled once by 1/√d_out.
-    No shuffle, no Python."""
-    r = _jl_matrix(d_out)
+    """(id, proj: array<double> of d_out) — the whole d_out-wide
+    projection is ONE transform-over-sequence expression against a
+    nested-literal R matrix: per output dim k it folds
+    zip_with(x, R[k]) and scales by 1/√d_out, element-for-element the
+    same arithmetic as d_out separate fold columns.  The earlier
+    per-dim form built d_out copies of the fold (each with its own
+    64-double literal) — ~2k py4j literal conversions that made the
+    DRIVER-side plan construction the dominant cost (3–4.6 s of the
+    ann_jl_rerank wall clock at d_out=32).  No shuffle, no Python."""
     inv_sqrt = 1.0 / (d_out ** 0.5)
+    # row k of the literal = output dim k's weights over the input dims
+    r_t = _jl_lit(d_out)
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    x,
-                    F.lit([r[j][k] for j in range(JL_D_IN)]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(inv_sqrt)
-            for k in range(d_out)
-        ]
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(d_out - 1)),
+        lambda k: F.aggregate(
+            F.zip_with(x, F.element_at(r_t, k + 1), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(inv_sqrt),
     )
     return emb.select(F.col(id_col), proj.alias("proj"))
 
@@ -531,23 +552,20 @@ def ann_jl_distortion(spark, sf_dir, probe_mod: int = JL_PROBE_MOD):
     # the 64-value dimension index and collapsed it right back with two
     # pair-keyed groupBys (≈2.5M intermediate rows, 2 extra shuffles,
     # and a d_full⋈d_proj re-join that this form never needs).
-    r = _jl_matrix()
     inv_sqrt = 1.0 / (JL_D_OUT ** 0.5)
+    # one transform-over-sequence fold against the nested-literal R —
+    # same arithmetic, ~JL_D_OUT× fewer py4j expression builds (the
+    # driver-side construction cost project_embeddings documents)
+    r_t = _jl_lit()
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    x,
-                    F.lit([r[j][k] for j in range(JL_D_IN)]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            * F.lit(inv_sqrt)
-            for k in range(JL_D_OUT)
-        ]
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(JL_D_OUT - 1)),
+        lambda k: F.aggregate(
+            F.zip_with(x, F.element_at(r_t, k + 1), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.lit(inv_sqrt),
     )
     base = emb.select("vec_id", x.alias("x"), proj.alias("p"))
     # Scale-safe all-pairs over the probe set: every unordered pair is
