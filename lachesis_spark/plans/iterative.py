@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lachesis_spark.functions import hashing as H
+from lachesis_spark.functions import vectors as V
 
 from lachesis_spark.binding import base_table
 
@@ -477,28 +478,14 @@ LSTM_T = 8
 LSTM_CHECKPOINT_EVERY = 2
 
 
-def _lstm_weights(spark: SparkSession):
-    """W (input->gates), U (hidden->gates), b (gate biases): four weight
-    columns per row, one per gate (i, f, o, g)."""
-    def wcols(tag, a, b):
-        return [
-            _wexpr(f"{tag}{gate}", a, b).alias(f"w{gate}") for gate in "ifog"
-        ]
+def _lstm_py_w(tag: str, a: int, b: int) -> float:
+    """The _wexpr weight as a Python float: identical md5-derived value
+    (h60 = first 15 md5 hex digits; % 2001 - 1000 over 1000.0 is the
+    same IEEE division both engines perform on the same integer)."""
+    import hashlib
 
-    W = (
-        spark.range(FF_DIM).select(F.col("id").alias("j"))
-        .crossJoin(spark.range(LSTM_HID).select(F.col("id").alias("h")))
-        .select("j", "h", *wcols("W", F.col("j"), F.col("h")))
-    )
-    U = (
-        spark.range(LSTM_HID).select(F.col("id").alias("hj"))
-        .crossJoin(spark.range(LSTM_HID).select(F.col("id").alias("h")))
-        .select("hj", "h", *wcols("U", F.col("hj"), F.col("h")))
-    )
-    b = spark.range(LSTM_HID).select(
-        F.col("id").alias("h"), *wcols("b", F.lit(0), F.col("id"))
-    )
-    return W, U, b
+    h = int(hashlib.md5(f"{tag}|{a}|{b}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
 
 
 def _sigmoid(c):
@@ -507,61 +494,102 @@ def _sigmoid(c):
 
 def lstm_inference(spark, sf_dir):
     """h_T for each embedding vector after LSTM_T steps with x_t = the
-    vector at every step, h_0 = c_0 = 0.  Output (vec_id, h, hv)."""
-    coo = _emb_arr(spark, sf_dir).select(
-        F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v")
-    )
-    W, U, b = _lstm_weights(spark)
-    # x·W once (x is the same at every step): (i, h, xi, xf, xo, xg)
-    xw = (
-        coo.join(F.broadcast(W), "j")
-        .groupBy("i", "h")
-        .agg(*[F.sum(F.col("v") * F.col(f"w{gt}")).alias(f"x{gt}") for gt in "ifog"])
-        # referenced by every timestep: materialize once (n x LSTM_HID rows,
-        # distributed) instead of re-deriving the embedding scan T times
-        .localCheckpoint(eager=True)
+    vector at every step, h_0 = c_0 = 0.  Output (vec_id, h, hv).
+
+    The gate weights are deterministic hash literals, so the whole
+    recurrence is PER-ROW array arithmetic against parsed weight-matrix
+    literals (V.mat_lit): x·W once, then T steps of hh·U plus
+    elementwise gates — zero joins and zero shuffles; one narrow map
+    over the embeddings scan replaces the old COO form's per-step
+    broadcast-U join + (i, h) groupBy exchange (7 exchanges and ~30
+    jobs for T=8).  Every step ends in a LAZY localCheckpoint: planning
+    happens per step against the previous step's LogicalRDD, which (a)
+    stops projection collapse from inlining each step's hh into ~4
+    references in the next — unchecked, the collapsed tree grows ~4^T
+    and analysis hangs — and (b) keeps the whole recurrence ONE Spark
+    job, since the chained narrow RDDs only materialize at the caller's
+    final action (the graph_lpa lazy-loop pattern)."""
+    H_, T = LSTM_HID, LSTM_T
+    wt = {
+        g: V.mat_lit(
+            [[_lstm_py_w(f"W{g}", j, h) for j in range(FF_DIM)] for h in range(H_)]
+        )
+        for g in "ifog"
+    }
+    ut = {
+        g: V.mat_lit(
+            [[_lstm_py_w(f"U{g}", hj, h) for hj in range(H_)] for h in range(H_)]
+        )
+        for g in "ifog"
+    }
+    # bias literal COLUMNS hoisted: each V.arr_lit pays an expr parse,
+    # so build the four of them once, not once per step reference
+    bl = {g: V.arr_lit([_lstm_py_w(f"b{g}", 0, h) for h in range(H_)]) for g in "ifog"}
+
+    # x·W once (x is the same at every step): four H_-wide gate arrays.
+    # The recurrence is expensive-per-row expression work, so floor the
+    # scan parallelism (single-file testdata scans as one split; no-op
+    # at scale — see operators.core.parallelism_floor).
+    from lachesis_spark.operators.core import parallelism_floor
+
+    base = parallelism_floor(_emb_arr(spark, sf_dir), spark).select(
+        "vec_id",
+        *[V.matvec(wt[g], F.col("e"), H_).alias(f"x{g}") for g in "ifog"],
     )
 
-    state = None  # (i, h, c, hh)
-    for _t in range(LSTM_T):
-        if state is None:
-            pre = xw.join(F.broadcast(b), "h").select(
-                "i", "h",
-                *[(F.col(f"x{gt}") + F.col(f"w{gt}")).alias(f"p{gt}") for gt in "ifog"],
-            )
-        else:
-            hu = (
-                state.select(F.col("i"), F.col("h").alias("hj"), F.col("hh"))
-                .join(F.broadcast(U), "hj")
-                .groupBy("i", "h")
-                .agg(*[
-                    F.sum(F.col("hh") * F.col(f"w{gt}")).alias(f"u{gt}")
-                    for gt in "ifog"
-                ])
-            )
-            pre = (
-                xw.join(hu, ["i", "h"])
-                .join(F.broadcast(b), "h")
-                .select(
-                    "i", "h",
-                    *[
-                        (F.col(f"x{gt}") + F.col(f"u{gt}") + F.col(f"w{gt}")).alias(f"p{gt}")
-                        for gt in "ifog"
-                    ],
-                )
-            )
-        gi, gf, go = (_sigmoid(F.col(f"p{g}")) for g in "ifo")
-        gg = F.tanh(F.col("pg"))
-        if state is None:
-            c = gi * gg
-        else:
-            c = gf * F.col("c") + gi * gg
-            pre = pre.join(state.select("i", "h", "c"), ["i", "h"])
-        state = _maybe_checkpoint(
-            pre.select("i", "h", c.alias("c"), (go * F.tanh(c)).alias("hh")),
-            _t, LSTM_T, every=LSTM_CHECKPOINT_EVERY,
+    def el(name, k):
+        return F.element_at(F.col(name), k + 1)
+
+    seq = F.sequence(F.lit(0), F.lit(H_ - 1))
+    # step 0 (c_0 = h_0 = 0): p_g = x_g + b_g, c = σ(pi)·tanh(pg)
+    c0 = F.transform(
+        seq,
+        lambda k: _sigmoid(el("xi", k) + F.element_at(bl["i"], k + 1))
+        * F.tanh(el("xg", k) + F.element_at(bl["g"], k + 1)),
+    )
+    state = base.select(
+        "vec_id", "xi", "xf", "xo", "xg", c0.alias("c")
+    ).select(
+        "vec_id", "xi", "xf", "xo", "xg", "c",
+        F.transform(
+            seq,
+            lambda k: _sigmoid(el("xo", k) + F.element_at(bl["o"], k + 1))
+            * F.tanh(el("c", k)),
+        ).alias("hh"),
+    )
+    state = state.localCheckpoint(eager=False)
+    for _t in range(1, T):
+        with_u = state.select(
+            "vec_id", "xi", "xf", "xo", "xg", "c", "hh",
+            *[V.matvec(ut[g], F.col("hh"), H_).alias(f"u{g}") for g in "ifog"],
         )
-    return state.select(F.col("i").alias("vec_id"), "h", F.col("hh").alias("hv"))
+        pre = lambda g, k: (  # noqa: E731 — p_g[k] = x_g[k] + u_g[k] + b_g[k]
+            el(f"x{g}", k) + el(f"u{g}", k)
+            + F.element_at(bl[g], k + 1)
+        )
+        cn = F.transform(
+            seq,
+            lambda k: _sigmoid(pre("f", k)) * el("c", k)
+            + _sigmoid(pre("i", k)) * F.tanh(pre("g", k)),
+        )
+        nxt = with_u.select(
+            "vec_id", "xi", "xf", "xo", "xg", "uo", cn.alias("c")
+        ).select(
+            "vec_id", "xi", "xf", "xo", "xg", "c",
+            F.transform(
+                seq,
+                lambda k: _sigmoid(
+                    el("xo", k) + el("uo", k)
+                    + F.element_at(bl["o"], k + 1)
+                )
+                * F.tanh(el("c", k)),
+            ).alias("hh"),
+        )
+        state = nxt if _t == T - 1 else nxt.localCheckpoint(eager=False)
+    return state.select(
+        "vec_id",
+        F.posexplode("hh").alias("h", "hv"),
+    ).select("vec_id", F.col("h").cast("long").alias("h"), "hv")
 
 
 def _lstm_sql() -> str:
