@@ -503,47 +503,80 @@ DSIR_TARGET_LANG = "en"
 
 def dsir_logweights(
     docs: DataFrame,
-    target: DataFrame,
+    target_pred,
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    carry: tuple = (),
 ) -> DataFrame:
-    """Per-doc DSIR log importance weight of ``docs`` against ``target``."""
+    """Per-doc DSIR log importance weight of ``docs`` against the subset
+    selected by ``target_pred`` (a boolean Column over ``docs``).
 
-    def doc_buckets(df: DataFrame) -> DataFrame:
-        toks = df.select(
-            "doc_id", F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("w")
+    ONE corpus tokenize pass: the per-doc bucket counts carry the target
+    marker (plus any ``carry`` passthrough columns), the raw LM is a
+    256-row fold OF those per-doc counts, and the target LM the same
+    fold over the marked subset.  The previous (docs, target-frame) form
+    re-tokenized the corpus for the raw LM and the target subset for the
+    target LM — three corpus-scale explodes where one suffices — and the
+    caller re-joined the corpus for passthrough columns it can now
+    carry for free."""
+    toks = docs.select(
+        "doc_id",
+        target_pred.alias("is_t"),
+        *[F.col(c) for c in carry],
+        F.explode(TX.tokens(F.lower(F.col(text_col)))).alias("w"),
+    )
+    nb = (
+        toks.select(
+            "doc_id", "is_t", *carry, (H.h60("w") % n_buckets).alias("b")
         )
-        return toks.select("doc_id", (H.h60("w") % n_buckets).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("is_t").alias("is_t"),  # constant per doc
+            *[F.first(c).alias(c) for c in carry],
+        )
+        # three consumers (raw LM, target LM, the weight join) — without
+        # a barrier Catalyst prunes each copy differently, the exchange
+        # subtrees stop being equal, runtime exchange reuse never fires,
+        # and the corpus tokenize runs three times (seen in the executed
+        # plan: 3 Generate+scan subtrees, 0 ReusedExchange).  A lazy
+        # localCheckpoint plans nb once; the first consumer materializes
+        # it and the rest read the persisted RDD.
+        .localCheckpoint(eager=False)
+    )
 
-    def lm(df_buckets: DataFrame) -> DataFrame:
+    def lm(counts: DataFrame) -> DataFrame:
         # add-one smoothing over the fixed bucket space
-        counts = df_buckets.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
         tot = counts.agg(F.sum("c").alias("tot"))
         return counts.crossJoin(F.broadcast(tot)).select(
             "b",
             F.log((F.col("c") + 1.0) / (F.col("tot") + float(n_buckets))).alias("lp"),
         )
 
-    raw_b = doc_buckets(docs)
-    lm_t = lm(doc_buckets(target)).withColumnRenamed("lp", "lp_t")
-    lm_r = lm(raw_b).withColumnRenamed("lp", "lp_r")
+    lm_r = lm(nb.groupBy("b").agg(F.sum("n").alias("c"))).withColumnRenamed(
+        "lp", "lp_r"
+    )
+    lm_t = lm(
+        nb.where(F.col("is_t")).groupBy("b").agg(F.sum("n").alias("c"))
+    ).withColumnRenamed("lp", "lp_t")
     ratio = F.broadcast(lm_t.join(lm_r, "b"))  # <= n_buckets rows
     return (
-        raw_b.groupBy("doc_id", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .join(ratio, "b")
+        nb.join(ratio, "b")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("n") * (F.col("lp_t") - F.col("lp_r"))).alias("logw"))
+        .agg(
+            F.sum(F.col("n") * (F.col("lp_t") - F.col("lp_r"))).alias("logw"),
+            *[F.first(c).alias(c) for c in carry],
+        )
     )
 
 
 def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    target = docs.where(F.col("lang") == DSIR_TARGET_LANG)
-    lw = dsir_logweights(docs, target)
+    lw = dsir_logweights(
+        docs, F.col("lang") == DSIR_TARGET_LANG, carry=("lang",)
+    )
     return (
-        lw.join(docs.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", F.round("logw", 6).alias("logw"))
+        lw.select("doc_id", "lang", F.round("logw", 6).alias("logw"))
         .orderBy(F.desc("logw"), F.asc("doc_id"))
         .limit(DSIR_N)
     )
