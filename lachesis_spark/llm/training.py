@@ -1110,11 +1110,23 @@ def nb_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     test = docs.where(F.col("h") >= NB_TRAIN_FRAC)
 
     ttoks = train.select("lang", F.explode(TX.tokens("text")).alias("w"))
-    wc = ttoks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    # wc (the vocab×|classes| model frame) feeds three consumers that
+    # each prune it differently, so without a barrier the exchange
+    # subtrees are unequal, runtime exchange reuse never fires, and the
+    # train-side tokenize runs once PER consumer (the sample_dsir
+    # finding).  The lazy localCheckpoint plans it once; the first
+    # consumer materializes it and the rest read the persisted RDD.
+    wc = (
+        ttoks.groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))  # |classes| rows
-    vocab = wc.select("w").distinct().agg(F.count(F.lit(1)).alias("v"))  # 1 row
+    vocab = wc.agg(F.count_distinct(F.col("w")).alias("v"))  # 1 row, 1 pass
     priors = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    n_train = train.agg(F.count(F.lit(1)).alias("n"))  # 1 row
+    # total train docs = Σ per-class doc counts — derived from the
+    # |classes|-row priors frame instead of a second corpus-sized scan
+    n_train = priors.agg(F.sum("n_docs").alias("n"))  # 1 row
 
     classes = (
         priors.crossJoin(F.broadcast(n_train))
