@@ -365,61 +365,50 @@ FF_HID = 16
 FF_CLS = 4
 
 
-def _wexpr(tag: str, a, b):
-    s = F.concat(F.lit(f"{tag}|"), a.cast("string"), F.lit("|"), b.cast("string"))
-    return ((H.h60(s) % 2001 - 1000) / 1000.0).alias("w")
-
-
 def _sql_w(tag: str, a: str, b: str) -> str:
     h = H.sql_h60(f"'{tag}|' || CAST({a} AS VARCHAR) || '|' || CAST({b} AS VARCHAR)")
     return f"(({h} % 2001 - 1000) / 1000.0)"
 
 
 def ff_inference(spark, sf_dir):
-    """Two COO matmuls + relu/bias, final per-vector argmax class."""
-    coo = _emb_arr(spark, sf_dir).select(
-        F.col("vec_id").alias("i"), F.posexplode("e").alias("j", "v")
-    )
-    w1 = (
-        spark.range(FF_DIM).select(F.col("id").alias("j"))
-        .crossJoin(spark.range(FF_HID).select(F.col("id").alias("h")))
-        .select("j", "h", _wexpr("w1", F.col("j"), F.col("h")))
-    )
-    b1 = spark.range(FF_HID).select(
-        F.col("id").alias("h"), _wexpr("b1", F.lit(0), F.col("id"))
-    )
-    hid = (
-        coo.join(F.broadcast(w1), "j")
-        .groupBy("i", "h")
-        .agg(F.sum(F.col("v") * F.col("w")).alias("x"))
-        .join(F.broadcast(b1), "h")
-        .select("i", "h", F.greatest(F.col("x") + F.col("w"), F.lit(0.0)).alias("hv"))
-    )
-    w2 = (
-        spark.range(FF_HID).select(F.col("id").alias("h"))
-        .crossJoin(spark.range(FF_CLS).select(F.col("id").alias("cls")))
-        .select("h", "cls", _wexpr("w2", F.col("h"), F.col("cls")))
-    )
-    b2 = spark.range(FF_CLS).select(
-        F.col("id").alias("cls"), _wexpr("b2", F.lit(0), F.col("id"))
-    )
-    scores = (
-        hid.join(F.broadcast(w2), "h")
-        .groupBy("i", "cls")
-        .agg(F.sum(F.col("hv") * F.col("w")).alias("s"))
-        .join(F.broadcast(b2), "cls")
-        .select("i", "cls", (F.col("s") + F.col("w")).alias("score"))
-    )
-    from pyspark.sql import Window
+    """relu(x·W1 + b1)·W2 + b2 per vector, argmax class (ties -> lowest
+    class id, matching the oracle's row_number ORDER BY score DESC, cls).
 
-    w = Window.partitionBy("i").orderBy(F.col("score").desc(), F.col("cls").asc())
+    The weights are deterministic hash literals, so — like
+    lstm_inference — the whole network is PER-ROW array arithmetic
+    against parsed weight-matrix literals (V.mat_lit/matvec): no COO
+    explode, no broadcast weight joins, no (i, h)/(i, cls) groupBy
+    exchanges, no argmax window shuffle.  The argmax itself is
+    array_max + array_position (first occurrence == lowest cls on
+    ties).  The old COO form planned 18 Exchanges / 12 jobs; this is a
+    single narrow map over the embeddings scan."""
+    w1t = V.mat_lit(
+        [[_lstm_py_w("w1", j, h) for j in range(FF_DIM)] for h in range(FF_HID)]
+    )
+    b1 = V.arr_lit([_lstm_py_w("b1", 0, h) for h in range(FF_HID)])
+    w2t = V.mat_lit(
+        [[_lstm_py_w("w2", h, c) for h in range(FF_HID)] for c in range(FF_CLS)]
+    )
+    b2 = V.arr_lit([_lstm_py_w("b2", 0, c) for c in range(FF_CLS)])
+
+    from lachesis_spark.operators.core import parallelism_floor
+
+    base = parallelism_floor(_emb_arr(spark, sf_dir), spark)
+    hid = F.zip_with(
+        V.matvec(w1t, F.col("e"), FF_HID), b1,
+        lambda x, b: F.greatest(x + b, F.lit(0.0)),
+    )
+    scores = F.zip_with(
+        V.matvec(w2t, F.col("hv"), FF_CLS), b2, lambda s, b: s + b
+    )
     return (
-        scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        base.select("vec_id", hid.alias("hv"))
+        .select("vec_id", scores.alias("scores"))
         .select(
-            F.col("i").alias("vec_id"),
-            F.col("cls").cast("int").alias("pred_class"),
-            "score",
+            "vec_id",
+            (F.array_position(F.col("scores"), F.array_max(F.col("scores"))) - 1)
+            .cast("int").alias("pred_class"),
+            F.array_max(F.col("scores")).alias("score"),
         )
     )
 
