@@ -281,38 +281,45 @@ ORACLE = {
 # 7. Char-n-gram language ID: argmax over languages of the fraction of the
 #    document's distinct character trigrams found in that language's
 #    stopword-derived trigram profile — the classic n-gram LID heuristic
-#    (profiles are deterministic, no external models).  Trigrams are built
-#    over a barrier-materialized lowercase column so extraction stays linear.
+#    (profiles are deterministic, no external models).  The lowercase text
+#    and the trigram set are bound as LAMBDA VARIABLES (transform over a
+#    1-element array), so each is evaluated once per row even though the
+#    downstream expressions reference them many times — projection collapse
+#    cannot inline into a lambda binding.  The old form forced the same
+#    once-per-row evaluation with two full-corpus repartition("doc_id")
+#    barriers; those exchanges are gone and the whole query is one narrow
+#    map plus the final per-(lang, pred) aggregation.
 def text_langid_ngram(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    lowered = docs.select(
-        "doc_id", "lang", F.lower("text").alias("lt")
-    ).repartition("doc_id")
-    tri = lowered.select(
-        "doc_id", "lang", TX.char_trigrams(F.col("lt")).alias("tris")
-    ).repartition("doc_id")
     profiles = TX.lang_trigram_profiles()
     langs = sorted(profiles)
+    plits = {lg: F.array(*[F.lit(t) for t in profiles[lg]]) for lg in langs}
+
     # tris is distinct (char_trigrams applies array_distinct), so the match
     # count is |tris ∩ profile|; array_intersect hash-builds the profile side
     # once instead of isin's O(|tris|×|profile|) OR-chain per document
-    scored = tri.select(
-        "doc_id",
-        "lang",
-        *[
-            (
-                F.size(F.array_intersect("tris", F.array(*[F.lit(t) for t in profiles[lg]])))
-                / F.size("tris")
-            ).alias(f"r_{lg}")
-            for lg in langs
-        ],
+    def best_lang(ts):
+        return F.array_max(
+            F.array(*[
+                F.struct(
+                    (F.size(F.array_intersect(ts, plits[lg])) / F.size(ts)).alias("r"),
+                    F.lit(lg).alias("lg"),
+                )
+                for lg in langs
+            ])
+        )["lg"]
+
+    pred = F.element_at(
+        F.transform(
+            F.array(F.lower(F.col("text"))),
+            lambda lt: F.element_at(
+                F.transform(F.array(TX.char_trigrams(lt)), best_lang), 1
+            ),
+        ),
+        1,
     )
-    ratios = F.array(*[
-        F.struct(F.col(f"r_{lg}").alias("r"), F.lit(lg).alias("lg")) for lg in langs
-    ])
-    pred = F.array_max(ratios)["lg"]
     return (
-        scored.withColumn("pred_lang", pred)
+        docs.select("lang", pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
