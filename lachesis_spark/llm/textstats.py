@@ -240,7 +240,16 @@ _SQL_Q = f"""((CASE WHEN length(text) BETWEEN 100 AND 2000 THEN 1.0 ELSE 0.5 END
 
 def text_quality_filter(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    scored = docs.select("doc_id", "lang", TX.quality_score("text").alias("q"))
+    # The exact-percentile cut is inherently two-pass (threshold pass +
+    # filter pass), but both passes need only (doc_id, lang, q) — a lazy
+    # localCheckpoint materializes that narrow scored frame once, so the
+    # full-width text scan and the per-row quality_score expression run
+    # ONCE instead of once per pass (the sample_dsir scan-dedup pattern;
+    # a plain .cache() measured slower on text_nb_langid, see
+    # OPTIMIZATION_r11.md).
+    scored = docs.select(
+        "doc_id", "lang", TX.quality_score("text").alias("q")
+    ).localCheckpoint(eager=False)
     thr = scored.agg(F.expr("percentile(q, 0.75)").alias("thr"))
     kept = scored.join(F.broadcast(thr), scored["q"] >= F.col("thr"))
     return kept.groupBy("lang").agg(
