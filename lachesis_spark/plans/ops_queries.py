@@ -198,10 +198,15 @@ OP_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 def op_jaccard_topk(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # cp feeds three consumers (q_size's count, the broadcast build of q,
+    # and the scored side) — un-materialized, each re-ran the join +
+    # distinct from the parquet scans.  The lazy localCheckpoint computes
+    # the distinct pair set once; all three read the persisted RDD.
     cp = (
         core.join([li, orders], equi=[F.col("l_orderkey") == F.col("o_orderkey")])
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     q = cp.filter(F.col("custkey") == 1).select(F.col("partkey").alias("q_partkey"))
     q_size = q.count()  # tiny driver-side scalar, same as the reference's query set
