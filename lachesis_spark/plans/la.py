@@ -184,7 +184,7 @@ LAST_INVERSE_STATS: dict[str, int] = {}
 
 def inverse_newton(
     a: DataFrame, n: int | None = None, iters: int = 25, tol: float = 1e-9,
-    spd: bool = False, chunk: int = 2,
+    spd: bool = False, chunk: int = 4, materialized: bool = False,
 ) -> DataFrame:
     """Fully DISTRIBUTED inverse via Newton–Schulz iteration:
 
@@ -206,20 +206,25 @@ def inverse_newton(
     associative) and the two right-multiplications by the same P sharing
     one physical join.
 
-    Steps execute in CHUNKS of ``chunk`` with one residual probe and one
-    LAZY ``localCheckpoint`` per chunk (≈1 Spark action per chunk; the
-    probe's job materializes the previous chunk's checkpoint): the scaled
-    iteration's residual recursion is deterministic given a probed
-    residual, so the intra-chunk re-centering scalars are derived
+    Steps execute in CHUNKS of ``chunk`` with one residual probe per
+    chunk and a LAZY ``localCheckpoint`` per STEP (the probe's job
+    materializes the chunk's whole pending RDD chain, so a chunk still
+    costs ≈1 Spark action; the per-step checkpoints bound optimizer/
+    codegen cost at one step — the fused step references mq 3×, so an
+    uncheckpointed chunk grows 3^chunk subtree copies and the probe wall
+    becomes compile time: measured 4.4 s/chunk-2 uncheckpointed vs 2.9 s
+    with per-step checkpoints, 60 s at chunk 6 uncheckpointed vs 2.8 s).
+    The scaled iteration's residual recursion is deterministic given a
+    probed residual, so the intra-chunk re-centering scalars are derived
     analytically and the chunk runs lazily in a single plan.
     Convergence is still only ever declared from a PROBED residual — a
     drifted prediction merely costs a couple of extra scheduled steps.
-    The earlier per-step cadence (probe + eager checkpoint every step)
-    measured 8.3 s vs 5.7 s for the full sf0.1 Gram query: the work is
-    scalar-sized, so job-launch and stage overhead dominated.  A 3-step
-    cadence WITHOUT scheduling was also tried and rejected earlier
-    (round 7) — its checkpoint/residual jobs re-executed 3-deep lineage;
-    the fix is the analytic schedule in M-space, not a shorter cadence.
+    ``materialized=True`` promises the caller already checkpointed ``a``
+    (skips a redundant copy job).  For ``spd``, the ‖A‖∞ probe and the
+    FIRST residual probe are one n-row collect: the residual of
+    M₀ = A/‖A‖∞ is an exact per-row function of (row abs-sum, max
+    off-diagonal |a_ij|, a_ii), so the first chunk schedules without its
+    own probe job.
     """
     spark = a.sparkSession
     # A is referenced by the norm/dimension probes plus M₀ (and the
@@ -231,17 +236,24 @@ def inverse_newton(
     # reduced-dim here (k×k — inverse of the data matrix itself is never
     # the operation), so the checkpoint is model-sized; for an
     # already-trivial input (identity) it costs one no-op job.
-    a = a.localCheckpoint(eager=True)
+    if not materialized:
+        a = a.localCheckpoint(eager=True)
     if n is None:
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
+    # a reduced-dim iterate (n² COO rows ≲ 8 MB) runs the single-partition
+    # exchange-free loop; a distributed-scale matrix shuffles.
+    small = (n * n) <= (1 << 18)
+    if small:
+        # SinglePartition badge + truthful size estimate for every probe
+        # and for M₀'s lineage (the checkpointed LogicalRDD inherits the
+        # pre-checkpoint join-blowup estimate — see the stats-reset note
+        # below).  coalesce(1) on a reduced-dim frame is a narrow no-op.
+        a = a.coalesce(1).limit(n * n)
     norms = (
         a.select(
             F.col("i"), F.col("j"), F.abs(F.col("v")).alias("av")
         )
-    )
-    norm_inf = (
-        norms.groupBy("i").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
     )
     # Init scaling.  SPD: X₀ = I/‖A‖∞ — valid because for symmetric A the
     # spectral norm is bounded by the row-sum norm, so every eigenvalue of
@@ -250,7 +262,37 @@ def inverse_newton(
     # Gram) and X₀ costs no matmul.  Generic: X₀ = Aᵀ/(‖A‖₁·‖A‖∞)
     # (Pan & Schreiber's classic ‖I − A·X₀‖₂ < 1 init).
     norm_1 = None
-    if not spd:
+    res0 = None
+    if spd:
+        # ONE n-row collect supplies ‖A‖∞ AND the exact first residual of
+        # M₀ = A·(1/‖A‖∞): |a_ij·s| == |a_ij|·s exactly for s > 0, so the
+        # per-row max off-diagonal |a_ij| and the diagonal value replay
+        # the old first probe's arithmetic bit-for-bit on the driver.
+        rows = (
+            a.groupBy("i").agg(
+                F.sum(F.abs(F.col("v"))).alias("s"),
+                F.max(
+                    F.when(F.col("i") != F.col("j"), F.abs(F.col("v")))
+                ).alias("moff"),
+                F.max(F.when(F.col("i") == F.col("j"), F.col("v"))).alias("dg"),
+            )
+        ).collect()
+        norm_inf = max(float(r["s"]) for r in rows)
+        scale0 = 1.0 / float(norm_inf)
+        res0 = 0.0
+        ndiag0 = 0
+        for r in rows:
+            if r["moff"] is not None:
+                res0 = max(res0, abs(float(r["moff"]) * scale0))
+            if r["dg"] is not None:
+                ndiag0 += 1
+                res0 = max(res0, abs(float(r["dg"]) * scale0 - 1.0))
+        if ndiag0 < n:
+            res0 = max(res0, 1.0)
+    else:
+        norm_inf = (
+            norms.groupBy("i").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
+        )
         norm_1 = (
             norms.groupBy("j").agg(F.sum("av").alias("s")).agg(F.max("s")).first()[0]
         )
@@ -262,9 +304,7 @@ def inverse_newton(
     # reduced-dim matrices plan exchange-free broadcast joins while
     # distributed-scale matrices shuffle at the session width.
     n_parts = max(2, min(32, (n * n) // 2048))
-    # a reduced-dim iterate (n² COO rows ≲ 8 MB) is broadcast-joined —
-    # exchange-free build per sweep; a distributed-scale matrix shuffles.
-    small = (n * n) <= (1 << 18)
+
     def fused_step(mq: DataFrame, c: float) -> DataFrame:
         # One scaled-Newton step applied to the TAGGED PAIR frame
         # (t = 0 → M_k rows, t = 1 → Q_k rows): both recurrences are the
@@ -303,9 +343,21 @@ def inverse_newton(
             # runs inside one narrow stage chain instead of paying a
             # shuffle stage (plus an AQE re-plan) per step.  coalesce is
             # itself narrow; reduced-dim means ≤ 2n² + n rows per task.
-            u = u.coalesce(1)
-        else:
-            u = u.repartition(n_parts, "i", "j")
+            # The trailing limit (same 2n²+n algebraic row bound — a
+            # semantic no-op) clamps the step's SIZE ESTIMATE: join
+            # estimates multiply per step, and without the clamp the
+            # second step of a chunk is already past
+            # spark.sql.maxSinglePartitionBytes, which makes Spark 4.1's
+            # EnsureRequirements re-shuffle the SinglePartition inputs
+            # (measured: 2-step chunk plan 0 → 2 Exchanges, 11 by the
+            # next chunk, ~5 AQE construction jobs per lazy checkpoint).
+            return (
+                u.coalesce(1)
+                .groupBy("t", "i", "j")
+                .agg(F.sum("v").alias("v"))
+                .limit(2 * n * n + n)
+            )
+        u = u.repartition(n_parts, "i", "j")
         return u.groupBy("t", "i", "j").agg(F.sum("v").alias("v"))
 
     # CHUNKED, SCHEDULED, M-SPACE iteration (round-9: the two inverse
@@ -365,7 +417,29 @@ def inverse_newton(
     # fused_step group-sum is exchange-free (see fused_step).
     # LAZY checkpoint: the next probe's aggregation materializes it, so
     # checkpointing costs no job of its own (same below, per chunk).
+    #
+    # STATS RESET (the `.limit` after each checkpoint): a localCheckpoint
+    # LogicalRDD inherits the PRE-checkpoint plan's size ESTIMATE — for a
+    # corpus-derived Gram that is the un-aggregated join-blowup figure
+    # (hundreds of GiB for a 4096-row frame).  Spark 4.1's
+    # EnsureRequirements re-shuffles any SinglePartition child whose
+    # estimated size exceeds spark.sql.maxSinglePartitionBytes (128 MB),
+    # so the garbage estimate silently defeats the whole exchange-free
+    # single-partition plan AND makes every lazy checkpoint pay its AQE
+    # stage jobs at CONSTRUCTION time (measured: la_inverse_identity 39
+    # construction jobs, 4.7 s).  limit(k) with k >= the frame's exact
+    # algebraic row bound (M and Q are each at most n² entries, plus the
+    # identity's n) is a semantic no-op that injects a truthful
+    # rowCount-based estimate while keeping the captured SinglePartition.
+    # The post-checkpoint coalesce(1) re-asserts SinglePartition: a
+    # checkpoint taken of any AQE-wrapped plan (anything with a join or
+    # aggregate gets wrapped, exchanges or not) captures
+    # UnknownPartitioning, which would force EnsureRequirements to
+    # shuffle the next chunk's single-partition joins.  Coalesce on a
+    # 1-partition RDD is a free narrow node that restores the badge.
     mq = (mq.coalesce(1) if small else mq).localCheckpoint(eager=False)
+    if small:
+        mq = mq.coalesce(1).limit(2 * n * n + n)
     stats["checkpoints"] += 1
     plain_applied = False  # did the last executed step use c == 1.0?
     while stats["steps"] < iters:
@@ -373,24 +447,30 @@ def inverse_newton(
         # already-checkpointed pair frame — ONE exchange-free aggregation
         # (no identity join: diagonal entries contribute |v−1|, off-
         # diagonals |v|, and any ABSENT diagonal entry means a residual of
-        # exactly 1, covered by the presence count).
-        pr = (
-            mq.filter(F.col("t") == 0)
-            .agg(
-                F.max(
-                    F.abs(
-                        F.when(F.col("i") == F.col("j"), F.col("v") - 1.0)
-                        .otherwise(F.col("v"))
-                    )
-                ).alias("mx"),
-                F.count(F.when(F.col("i") == F.col("j"), 1)).alias("ndiag"),
+        # exactly 1, covered by the presence count).  The spd init's first
+        # residual was already computed on the driver from the norm
+        # collect (res0 — bit-identical arithmetic), so the first chunk
+        # schedules without a probe job.
+        if res0 is not None:
+            res, res0 = res0, None
+        else:
+            pr = (
+                mq.filter(F.col("t") == 0)
+                .agg(
+                    F.max(
+                        F.abs(
+                            F.when(F.col("i") == F.col("j"), F.col("v") - 1.0)
+                            .otherwise(F.col("v"))
+                        )
+                    ).alias("mx"),
+                    F.count(F.when(F.col("i") == F.col("j"), 1)).alias("ndiag"),
+                )
+                .first()
             )
-            .first()
-        )
-        res = pr["mx"]
-        if res is not None and int(pr["ndiag"]) < n:
-            res = max(float(res), 1.0)
-        stats["probes"] += 1
+            res = pr["mx"]
+            if res is not None and int(pr["ndiag"]) < n:
+                res = max(float(res), 1.0)
+            stats["probes"] += 1
         converged = res is not None and float(res) < tol
         if converged and plain_applied:
             # the previous chunk already ended with the trailing plain
@@ -421,14 +501,22 @@ def inverse_newton(
                 r_hat = rho * rho
             if not cs:
                 break  # iteration budget exhausted
+        # Lazy checkpoint after EVERY step, probe once per chunk: the
+        # fused step references mq 3×, so an uncheckpointed chunk grows
+        # 3^chunk subtree copies and per-probe wall is dominated by
+        # optimizer+codegen over that tree (measured with clean plans:
+        # 4.4 s at chunk 2, 60 s at chunk 6).  Per-step lazy checkpoints
+        # bound codegen depth at ONE step while the chunk still costs a
+        # single ACTION (the next probe materializes the whole pending
+        # RDD chain inside one job cascade): measured 4.4 → 2.9 s at
+        # chunk 2.  The coalesce(1)+limit after each checkpoint restores
+        # the SinglePartition badge (an AQE-wrapped plan's checkpoint
+        # captures UnknownPartitioning) and re-clamps the size estimate.
         for c in cs:
             mq = fused_step(mq, c)
-        # ONE lazy checkpoint per chunk: the next probe (or the caller's
-        # first action) executes it, so the chunk costs a single action;
-        # the checkpoint still bounds plan-tree size (the fused step
-        # references mq 3×, so an unchunked tree would grow 3^steps) and
-        # truncates lineage as it materializes.
-        mq = mq.localCheckpoint(eager=False)
+            mq = mq.localCheckpoint(eager=False)
+            if small:
+                mq = mq.coalesce(1).limit(2 * n * n + n)
         stats["steps"] += len(cs)
         stats["checkpoints"] += 1
         plain_applied = cs[-1] == 1.0
@@ -453,24 +541,32 @@ def inverse_newton(
 DENSE_INVERSE_MAX_DIM = 32
 
 
-def inverse_auto(a: DataFrame, n: int | None = None) -> DataFrame:
+def inverse_auto(
+    a: DataFrame, n: int | None = None, spd: bool = False
+) -> DataFrame:
     """Size-gated inverse dispatcher — the DSL ``inverse()`` keyword's
     entry point (LAPostfixExpressionNode.h:30-32).  The reference always
     gathers + Eigen-inverts; here only genuinely scalar-sized matrices
     (n <= DENSE_INVERSE_MAX_DIM) do, and everything else runs the fully
     distributed :func:`inverse_newton` iteration, so a ``.pdml`` script
     inverting a corpus-derived Gram/covariance never plans a full
-    collect.  The dimension probe is a 1-row max aggregation."""
+    collect.  The dimension probe is a 1-row max aggregation.
+    ``spd`` is a caller-supplied structural guarantee (e.g. the DSL's
+    ``A '* A`` Gram provenance): it selects the cheaper symmetric Newton
+    init (no ‖A‖₁ probe, no M₀/closing matmuls, ~4 fewer steps) — the
+    result is still convergence-probed, never assumed."""
+    probed = False
     if n is None:
         # materialize before probing: the probe job plus the dense gather
         # or every Newton sweep would otherwise each re-execute the input's
         # lineage (for a .pdml Gram, a full corpus pass per reference)
         a = a.localCheckpoint(eager=True)
+        probed = True
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
     if n <= DENSE_INVERSE_MAX_DIM:
         return inverse(a)
-    return inverse_newton(a, n=n)
+    return inverse_newton(a, n=n, spd=spd, materialized=probed)
 
 
 def duplicate_row(row_vec: DataFrame, n: int) -> DataFrame:
@@ -687,7 +783,8 @@ def la_inverse_identity(spark, sf_dir):
     residual above 5e-7, or diagonal drift, breaks the hash match."""
     g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).localCheckpoint(eager=True)
     prod = matmul(
-        inverse_newton(g, n=64, spd=True), g, n_parts=2, hint_broadcast=True
+        inverse_newton(g, n=64, spd=True, materialized=True), g,
+        n_parts=2, hint_broadcast=True,
     )
     # round so the result is stable: exact zeros off-diagonal modulo 1e-6
     return prod.select(
@@ -753,31 +850,87 @@ POWER_ITERS = 8
 def la_power_iteration(spark, sf_dir):
     import math
 
+    from pyspark.sql.window import Window
+
     a = coo_from_embeddings(spark, sf_dir)
     g = gram(a).localCheckpoint(eager=True)  # d×d; ONE corpus pass
     d = int(g.agg(F.max("j")).collect()[0][0]) + 1  # 1-value bounded collect
-    v = spark.createDataFrame(
-        [(j, 1.0 / math.sqrt(d)) for j in range(d)], "j long, x double"
-    )
+    # The iterate v is d rows and G is d² — scalar-sized whenever d² fits a
+    # single task (d is the embedding WIDTH, corpus-size-independent).  On
+    # the small path both frames land on ONE lazily-checkpointed partition
+    # (hinted ShuffledHashJoin — no broadcast-BUILD job per step), the
+    # per-step normalization rides a whole-frame window on the already-
+    # single partition (no separate norm aggregate, no cross join), and
+    # the loop runs fully LAZILY — per-step lazy localCheckpoints bound
+    # the plan, and the caller's one action materializes the whole K-step
+    # cascade as one job chain.  The old per-step form paid 5 jobs/step
+    # (broadcast build + AQE stages + eager checkpoint): 53 jobs total
+    # for 64-row per-step data; this form runs the same arithmetic in ~6.
+    # A larger d keeps the session-width broadcast-join path below.
+    # v's key is created as INT to match the Gram's posexplode index type:
+    # join keys stay cast-free and the output schema is unchanged.
+    small = (d * d) <= (1 << 18)
+    if small:
+        # range-based init (v is a constant vector): precise tiny stats,
+        # already effectively single-partition after coalesce.
+        v = spark.range(d).select(
+            F.col("id").cast("int").alias("j"),
+            F.lit(1.0 / math.sqrt(d)).alias("x"),
+        ).coalesce(1).localCheckpoint(eager=False)
+        # STATS RESET (see inverse_newton): the checkpointed Gram inherits
+        # the corpus join-blowup size estimate, and Spark 4.1's
+        # EnsureRequirements re-shuffles SinglePartition children it
+        # believes exceed spark.sql.maxSinglePartitionBytes — limit(d²)
+        # (the Gram's exact dense cardinality) is a semantic no-op that
+        # restores a truthful estimate and keeps the loop exchange-free.
+        gj = g.coalesce(1).localCheckpoint(eager=False).limit(d * d)
+    else:
+        gj = g
+        v = spark.createDataFrame(
+            [(j, 1.0 / math.sqrt(d)) for j in range(d)], "j int, x double"
+        )
+    w_all = Window.partitionBy()
     for _ in range(POWER_ITERS):
         gv = (
-            g.join(F.broadcast(v), "j")
+            gj.join(v.hint("shuffle_hash") if small else F.broadcast(v), "j")
             .groupBy("i")
             .agg(F.sum(F.col("v") * F.col("x")).alias("x"))
         )
-        nrm = gv.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
-        v = (
-            gv.join(F.broadcast(nrm))
-            .select(F.col("i").alias("j"), (F.col("x") / F.col("nrm")).alias("x"))
-            .localCheckpoint(eager=True)  # d rows; truncates the K-step lineage
-        )
+        if small:
+            # lazy ckpt: no per-step action; limit(d) = the iterate's
+            # exact cardinality, re-applying the stats reset per step.
+            # post-ckpt coalesce(1): the ckpt of this (AQE-wrapped — it
+            # holds a join+agg+window) plan captures UnknownPartitioning;
+            # the free narrow coalesce restores the SinglePartition badge
+            # so the next iteration keeps planning exchange-free.
+            v = gv.select(
+                F.col("i").alias("j"),
+                (F.col("x") / F.sqrt(F.sum(F.col("x") * F.col("x")).over(w_all)))
+                .alias("x"),
+            ).localCheckpoint(eager=False).coalesce(1).limit(d)
+        else:
+            nrm = gv.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+            v = (
+                gv.join(F.broadcast(nrm))
+                .select(F.col("i").alias("j"), (F.col("x") / F.col("nrm")).alias("x"))
+                .localCheckpoint(eager=True)
+            )
     gv = (
-        g.join(F.broadcast(v), "j")
+        gj.join(v.hint("shuffle_hash") if small else F.broadcast(v), "j")
         .groupBy("i")
         .agg(F.sum(F.col("v") * F.col("x")).alias("x"))
     )
-    # v normalized → Rayleigh quotient v'Gv is the eigenvalue estimate
+    # v normalized → Rayleigh quotient v'Gv is the eigenvalue estimate.
+    # One equi-join attaches v to G·v; the quotient is a whole-frame window
+    # sum over the joined rows — same products, no second join/cross join.
     vr = v.select(F.col("j").alias("vj"), F.col("x").alias("vx"))
+    if small:
+        joined = gv.join(vr.hint("shuffle_hash"), gv.i == vr.vj)
+        return joined.select(
+            F.col("vj").alias("j"),
+            F.round("vx", 6).alias("x"),
+            F.round(F.sum(F.col("x") * F.col("vx")).over(w_all), 6).alias("eigval"),
+        ).orderBy("j")
     lam = gv.join(F.broadcast(vr), gv.i == vr.vj).agg(
         F.sum(F.col("x") * F.col("vx")).alias("eigval")
     )

@@ -71,6 +71,21 @@ class LAInterpreter:
         self.env: dict[str, DataFrame] = {}
         self.toks: list[tuple[str, str]] = []
         self.pos = 0
+        # STRUCTURAL PROVENANCE: ids of DataFrames known symmetric
+        # positive (semi)definite by construction — ``A '* A`` (Gram).
+        # inverse() uses it to pick the cheaper SPD Newton init (the
+        # result is still convergence-probed, never assumed).
+        self._spd: set[int] = set()
+        # RHS reference counts per bound name (filled by a pre-parse
+        # scan): a matrix the script reads twice or more is barriered
+        # with a lazy localCheckpoint at BIND time, so e.g.
+        # ``P = inverse(G) %*% G`` scans the corpus ONCE for G instead
+        # of re-executing the Gram pass per reference (guide §6).
+        # load() results are exempt: persisting the exploded corpus COO
+        # would trade two parquet scans for a corpus-sized block-manager
+        # footprint — the wrong trade at 100 TB.
+        self._refs: dict[str, int] = {}
+        self._loads: set[int] = set()
 
     # -- token stream -------------------------------------------------------
     def _peek(self):
@@ -90,6 +105,7 @@ class LAInterpreter:
     # -- grammar ------------------------------------------------------------
     def run(self, script: str) -> DataFrame:
         self.toks, self.pos = _tokenize(script), 0
+        self._refs = self._count_rhs_refs(self.toks)
         last = None
         while self._peek()[0] != "eof":
             if self._peek()[0] == "nl":
@@ -98,10 +114,44 @@ class LAInterpreter:
             name = self._expect("id")
             self._expect("op", "=")
             last = self._expr()
+            if (
+                self._refs.get(name, 0) >= 2
+                and not isinstance(last, float)
+                and id(last) not in self._loads
+            ):
+                # read-once barrier for multiply-referenced matrices
+                # (lazy: the first consumer's action materializes it)
+                ck = last.localCheckpoint(eager=False)
+                if id(last) in self._spd:
+                    self._spd.add(id(ck))
+                last = ck
             self.env[name] = last
         if last is None:
             raise SyntaxError("empty LA script")
         return last
+
+    @staticmethod
+    def _count_rhs_refs(toks) -> dict[str, int]:
+        """How many times each id is READ (RHS occurrences; LHS binding
+        positions and ``load(<table>)`` arguments excluded)."""
+        counts: dict[str, int] = {}
+        stmt_start = True
+        for idx, (k, v) in enumerate(toks):
+            if k == "nl":
+                stmt_start = True
+                continue
+            if k == "id" and stmt_start:
+                stmt_start = False
+                if idx + 1 < len(toks) and toks[idx + 1] == ("op", "="):
+                    continue  # LHS binding, not a read
+            else:
+                stmt_start = False
+            if k != "id" or v in _FUNCS:
+                continue
+            if idx >= 2 and toks[idx - 1] == ("op", "(") and toks[idx - 2] == ("id", "load"):
+                continue  # load()'s table name is not a matrix reference
+            counts[v] = counts.get(v, 0) + 1
+        return counts
 
     def _expr(self):
         acc = self._term()
@@ -120,8 +170,12 @@ class LAInterpreter:
                 acc = la.matmul(self._as_matrix(acc), self._as_matrix(self._factor()))
             elif k == "tmult":
                 self._next()
-                acc = la.matmul(la.transpose(self._as_matrix(acc)),
-                                self._as_matrix(self._factor()))
+                lhs = self._as_matrix(acc)
+                rhs = self._as_matrix(self._factor())
+                acc = la.matmul(la.transpose(lhs), rhs)
+                if lhs is rhs:
+                    # A '* A is a Gram matrix — SPD by construction
+                    self._spd.add(id(acc))
             elif (k, v) == ("op", "*"):
                 self._next()
                 rhs = self._factor()
@@ -161,7 +215,9 @@ class LAInterpreter:
             self._expect("op", ")")
             if table != "embeddings":
                 raise NameError(f"load: unknown table {table!r}")
-            return la.coo_from_embeddings(self.spark, self.sf_dir)
+            out = la.coo_from_embeddings(self.spark, self.sf_dir)
+            self._loads.add(id(out))
+            return out
         if fn == "identity":
             n = int(float(self._expect("num")))
             self._expect("op", ")")
@@ -180,6 +236,10 @@ class LAInterpreter:
             return la.transpose(la.duplicate_row(la.transpose(self._as_matrix(arg)), n))
         self._expect("op", ")")
         mat = self._as_matrix(arg)
+        if fn == "inverse":
+            # Gram provenance → SPD Newton init (cheaper probe + no
+            # M₀/closing matmuls); convergence is still residual-probed.
+            return la.inverse_auto(mat, spd=id(mat) in self._spd)
         simple = {
             "transpose": la.transpose, "inverse": la.inverse_auto,
             "rowSum": la.row_sum, "colSum": la.col_sum,

@@ -28,7 +28,7 @@ def main() -> None:
     rest = sys.argv[2:]
     sf_dir = rest[0] if rest and os.path.isdir(rest[0]) else "/root/testdata/sf0.1"
     names = [a for a in rest if not os.path.isdir(a)]
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLAN_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plan")
     for name in names:
