@@ -25,6 +25,14 @@ from pyspark.sql import types as T
 
 WATERMARK = "2 hours"
 
+# (path, size, mtime_ns) -> (schema, ts_dtype): every read_events_stream
+# call used to pay a full batch read of the static table just to learn the
+# schema and the ts physical type — a driver file-listing + footer job per
+# call, twice per bench rep for the two-source dedup replay.  The schema is
+# a pure function of the (read-only, stamped) file, so one probe per file
+# version serves every replay in the process (guide §6 — read once).
+_EVENTS_SCHEMA_CACHE: dict = {}
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
@@ -41,9 +49,12 @@ def read_events_stream(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    static = spark.read.parquet(path)
-    schema = static.schema
-    ts_dtype = dict(static.dtypes)["ts"]
+    st = os.stat(path)
+    key = (path, st.st_size, st.st_mtime_ns)
+    if key not in _EVENTS_SCHEMA_CACHE:
+        static = spark.read.parquet(path)
+        _EVENTS_SCHEMA_CACHE[key] = (static.schema, dict(static.dtypes)["ts"])
+    schema, ts_dtype = _EVENTS_SCHEMA_CACHE[key]
     if os.path.isfile(path):
         # file-stream sources require a directory; expose the single-file
         # testdata table through a symlink dir (no data copy)
@@ -725,6 +736,20 @@ def stream_click_purchase_left_join(events: DataFrame) -> DataFrame:
     ).select(F.col("c_user").alias("user_id"), "click_id", "amount")
 
 
+def _staged_dir_schema(spark: SparkSession, src: str):
+    """Schema of a staged replay dir, cached on its _source.stamp content
+    (the stamp pins the exact build — same read-once rationale as
+    _EVENTS_SCHEMA_CACHE)."""
+    try:
+        with open(os.path.join(src, "_source.stamp")) as f:
+            key = (src, f.read())
+    except OSError:
+        key = (src, None)
+    if key not in _EVENTS_SCHEMA_CACHE:
+        _EVENTS_SCHEMA_CACHE[key] = (spark.read.parquet(src).schema, None)
+    return _EVENTS_SCHEMA_CACHE[key][0]
+
+
 def stream_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing form: ordered 3-chunk replay (one file per microbatch)
     through the left-outer interval join in append mode, then per-user
@@ -733,7 +758,7 @@ def stream_outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees every retained click resolves (match or eviction-null)
     before the replay terminates."""
     src = _ordered_chunk_dir(spark, sf_dir)
-    schema = spark.read.parquet(src).schema
+    schema = _staged_dir_schema(spark, src)
     ev = (
         spark.readStream.schema(schema).format("parquet")
         .option("maxFilesPerTrigger", 1).load(src)
@@ -1099,7 +1124,7 @@ def stream_late_data_counts(events: DataFrame) -> DataFrame:
 
 def stream_late_data_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _late_data_source_dir(spark, sf_dir)
-    schema = spark.read.parquet(src).schema
+    schema = _staged_dir_schema(spark, src)
     ev = (
         spark.readStream.schema(schema).format("parquet")
         .option("maxFilesPerTrigger", 1).load(src)
