@@ -282,10 +282,20 @@ def op_nested_two_level(spark, sf_dir):
         "l_orderkey", "l_quantity", "l_extendedprice"
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Attach o_custkey FIRST (Catalyst broadcasts the 10× smaller orders
+    # side at this scale; at 100 TB it sizes the join itself), then ONE
+    # hash shuffle on o_custkey serves BOTH nesting levels: the
+    # (o_custkey, o_orderkey) collect is satisfied by hash(o_custkey) —
+    # ClusteredDistribution accepts a subset of the grouping keys — and
+    # the customer-level collect rides the same partitioning.  The old
+    # form shuffled lineitem-sized data twice (collect_list on
+    # l_orderkey, then the order structs on o_custkey); this moves the
+    # rows once (guide §2.4 — share one exchange between same-key ops).
+    flat = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     order_nested = (
-        li.groupBy("l_orderkey")
+        flat.repartition("o_custkey")
+        .groupBy("o_custkey", "o_orderkey")
         .agg(F.collect_list(F.struct("l_quantity", "l_extendedprice")).alias("lineItems"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select("o_custkey", F.struct("o_orderkey", "lineItems").alias("order"))
     )
     cust_nested = order_nested.groupBy("o_custkey").agg(
