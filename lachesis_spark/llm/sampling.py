@@ -62,6 +62,8 @@ from lachesis_spark.functions import text as TX
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 SEED_SAMPLE = 2101
 SEED_SPLIT = 2102
 SEED_MIX = 2103
@@ -542,7 +544,7 @@ def dsir_logweights(
         # plan: 3 Generate+scan subtrees, 0 ReusedExchange).  A lazy
         # localCheckpoint plans nb once; the first consumer materializes
         # it and the rest read the persisted RDD.
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
 
     def lm(counts: DataFrame) -> DataFrame:

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 # default BM25 parameters (the standard Robertson/Lucene values)
 K1 = 1.2
 B = 0.75
@@ -170,7 +172,7 @@ def index_documents(cat, db: str, docs: DataFrame, n_buckets: int = 8) -> None:
     Exchange via the layout-routing read_set), doc lengths bucketed by
     doc_id (the tf⋈dl join side), and the 1-row corpus stats."""
     cat.create_database(db)
-    postings = build_postings(docs).localCheckpoint(eager=True)
+    postings = build_postings(docs).transform(_barrier, eager=True)
     cat.write_set(postings, db, "postings", bucket_by=(n_buckets, ["term"]))
     dlens = doc_lengths_from_postings(postings)
     cat.write_set(dlens, db, "doclens", bucket_by=(n_buckets, ["doc_id"]))
@@ -237,7 +239,7 @@ def search_bm25_topk(spark, sf_dir):
     feeds both the scoring join and the doc-length/corpus-stats
     derivations (dl = Σ tf), instead of tokenizing the corpus twice."""
     docs = _docs(spark, sf_dir)
-    postings = build_postings(docs).localCheckpoint(eager=False)
+    postings = build_postings(docs).transform(_barrier)
     return bm25_topk(
         postings, doc_lengths_from_postings(postings), BM25_TERMS, k=20
     )
@@ -384,7 +386,7 @@ def tfidf_cosine_topk(
     postings: DataFrame, terms: list[str], k: int = 20
 ) -> DataFrame:
     spark = postings.sparkSession
-    p = postings.localCheckpoint(eager=False)  # shared: norms + numerator
+    p = postings.transform(_barrier)  # shared: norms + numerator
     n_docs = p.select("doc_id").distinct().count()
     norms = tfidf_doc_norms(p)
     qdf = (

@@ -19,6 +19,8 @@ from lachesis_spark.functions import text as TX
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 # DuckDB fragments mirroring functions.text (kept textually in sync).
 _SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 _SQL_NTOK = f"len({_SQL_TOKENS})"
@@ -249,7 +251,7 @@ def text_quality_filter(spark, sf_dir):
     # OPTIMIZATION_r11.md).
     scored = docs.select(
         "doc_id", "lang", TX.quality_score("text").alias("q")
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     thr = scored.agg(F.expr("percentile(q, 0.75)").alias("thr"))
     kept = scored.join(F.broadcast(thr), scored["q"] >= F.col("thr"))
     return kept.groupBy("lang").agg(
@@ -828,7 +830,7 @@ def text_bigram_ppl(spark, sf_dir):
             F.lag("w").over(w).alias("w1"), F.col("w").alias("w2"),
         )
         .filter(F.col("w1").isNotNull())
-        .localCheckpoint(eager=False)  # shared: LM counts + scoring join
+        .transform(_barrier)  # shared: LM counts + scoring join
     )
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = c2.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -68,6 +68,8 @@ from lachesis_spark.functions import text as TX
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 QUERIES: dict = {}
 ORACLE: dict = {}
 
@@ -322,7 +324,7 @@ def bpe_train_n(
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
-    ).localCheckpoint(eager=True)  # corpus shuffle happens exactly once
+    ).transform(_barrier, eager=True)  # corpus shuffle happens exactly once
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, n_rounds + 1):
         t0 = _time.perf_counter()
@@ -341,7 +343,7 @@ def bpe_train_n(
             "w", "c", bpe_merge_symbols(F.col("syms"), p1, p2).alias("syms")
         )
         if r % checkpoint_every == 0:
-            syms = syms.localCheckpoint(eager=True)
+            syms = syms.transform(_barrier, eager=True)
         if on_round is not None:
             on_round(r, _time.perf_counter() - t0)
     return merges, syms
@@ -431,7 +433,7 @@ def bpe_train_batch(
         F.expr(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
         ).alias("syms"),
-    ).localCheckpoint(eager=True)  # corpus shuffle happens exactly once
+    ).transform(_barrier, eager=True)  # corpus shuffle happens exactly once
     merges: list[tuple[int, str, str, int]] = []
     rnd = 0
     while len(merges) < n_merges:
@@ -458,7 +460,7 @@ def bpe_train_batch(
             "w", "c", bpe_merge_symbols_multi(F.col("syms"), merge_map).alias("syms")
         )
         if rnd % checkpoint_every == 0:
-            syms = syms.localCheckpoint(eager=True)
+            syms = syms.transform(_barrier, eager=True)
         if on_round is not None:
             on_round(rnd, _time.perf_counter() - t0, len(batch))
     return merges, syms
@@ -1119,7 +1121,7 @@ def nb_confusion(docs: DataFrame, label_col: str = "lang") -> DataFrame:
     wc = (
         ttoks.groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))  # |classes| rows
     vocab = wc.agg(F.count_distinct(F.col("w")).alias("v"))  # 1 row, 1 pass

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -22,6 +23,55 @@ ColumnLike = Column | str
 
 def _col(c: ColumnLike) -> Column:
     return F.col(c) if isinstance(c, str) else c
+
+
+def barrier_mode(spark) -> str:
+    """Which materialization-barrier form fits this deployment.
+
+    ``local``    — local[N] master: ``localCheckpoint`` (executor-memory
+                   blocks, lineage truncated).  Free in one JVM; NOT
+                   fault-tolerant, which is fine when driver and executor
+                   share a process.
+    ``reliable`` — a cluster master WITH a checkpoint dir configured:
+                   reliable ``checkpoint()`` to the cluster FS (replicated,
+                   survives executor loss, still truncates lineage — the
+                   right form for plan-growth-bounded loops at 100 TB).
+    ``disk``     — a cluster master WITHOUT a checkpoint dir:
+                   ``persist(DISK_ONLY)``.  Lineage is KEPT, so a lost
+                   executor recomputes instead of failing the query; the
+                   trade is that plan growth is not truncated, so loop
+                   operators should configure a checkpoint dir in real
+                   deployments (documented in SCALE.md).
+    """
+    if spark.sparkContext.master.startswith("local"):
+        return "local"
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():
+        return "reliable"
+    return "disk"
+
+
+def barrier(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Cluster-safe materialization barrier (guide §5).
+
+    Every loop/reuse site in the repo used to call ``localCheckpoint``
+    directly.  ``localCheckpoint`` stores blocks on executors WITHOUT
+    replication and truncates lineage, so on a real cluster one lost
+    executor makes the query unrecoverable mid-run — acceptable only in
+    local mode where driver and executors share a JVM.  This seam keeps
+    the local behavior byte-identical (same localCheckpoint call, same
+    plans) and picks a fault-tolerant form on a cluster master (see
+    :func:`barrier_mode`).  Usage: ``df.transform(barrier)`` or
+    ``df.transform(barrier, eager=True)``.
+    """
+    mode = barrier_mode(df.sparkSession)
+    if mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        return df.checkpoint(eager=eager)
+    out = df.persist(StorageLevel.DISK_ONLY)
+    if eager:
+        out.count()
+    return out
 
 
 def selection(

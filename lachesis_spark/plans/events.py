@@ -37,6 +37,8 @@ from lachesis_spark.sources.readers import read_events
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 
 def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base_table(spark, sf_dir, "orders")
@@ -397,7 +399,7 @@ def evt_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir).select(
         "event_type", F.hour("ts").alias("hod"), "value"
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     # mean is rounded BEFORE the 2x comparison: Spark and DuckDB sum
     # doubles in different orders, so a raw avg can differ in the last ulp
     # and flip a value sitting exactly at the 2x boundary between engines.

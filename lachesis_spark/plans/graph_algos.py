@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.plans.iterative import PR_MOD, _edges
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 TOP_PAIRS = 20
 
 
@@ -80,7 +82,7 @@ def triangle_counts(und: DataFrame) -> DataFrame:
     """Per-node triangle participation: wedge join over the oriented edges
     + closing-edge equi-join; each triangle enumerated once, then exploded
     to its three corners."""
-    o = oriented_edges(und).localCheckpoint(eager=False)
+    o = oriented_edges(und).transform(_barrier)
     wedges = (
         o.select(F.col("u").alias("x"), F.col("w").alias("y"))
         .join(o.select(F.col("u").alias("y"), F.col("w").alias("z")), "y")
@@ -134,7 +136,7 @@ def common_neighbor_pairs(
     adj = (
         und.select(F.col("a").alias("n"), F.col("b").alias("nbr"))
         .unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("nbr")))
-        .localCheckpoint(eager=True)
+        .transform(_barrier, eager=True)
     )
     if center_degree_cap is None:
         n_nodes = adj.select("n").distinct().count()
@@ -305,7 +307,7 @@ def _common_neighbors_dense(adj: DataFrame, k: int) -> DataFrame:
         top = (
             cand.orderBy(F.col("n_common").desc(), F.col("x"), F.col("y"))
             .limit(k)
-            .localCheckpoint(eager=True)
+            .transform(_barrier, eager=True)
         )
         if D >= n:
             return top
@@ -412,12 +414,12 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition(n_parts, "v")
-        .localCheckpoint(eager=True)
+        .transform(_barrier, eager=True)
     )
     alive = (
         e.select(F.col("u").alias("node")).distinct()
         .repartition(n_parts, "node")
-        .localCheckpoint(eager=True)
+        .transform(_barrier, eager=True)
     )
     layers = None
     r = 0
@@ -446,7 +448,7 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
                 "node", (F.coalesce(F.col("d"), F.lit(0)) >= k).alias("keep")
             )
             .repartition(n_parts, "node")
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
         n_removed = ann.filter(~F.col("keep")).count()
         if n_removed == 0:
@@ -457,7 +459,7 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
         layers = (
             removed
             if layers is None
-            else layers.unionByName(removed).localCheckpoint(eager=False)
+            else layers.unionByName(removed).transform(_barrier)
         )
         alive = ann.filter(F.col("keep")).select("node")
     core = alive.select("node", F.lit(0).cast("long").alias("layer"))
@@ -469,7 +471,7 @@ def graph_kcore(spark, sf_dir):
     """Onion layers of the events graph at k = mean degree: k and the peel
     loop run engine-side; only the 2-number (m, n) aggregate reaches the
     driver to fix k (bounded collect, the k-means pattern)."""
-    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = undirected_edges(spark, sf_dir).transform(_barrier, eager=True)
     # one job for BOTH scalars: edge count = half the endpoint rows,
     # node count = exact distinct endpoints (was two sequential counts)
     mn = (
@@ -542,12 +544,12 @@ def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition(n_parts, "u")
-        .localCheckpoint(eager=True)
+        .transform(_barrier, eager=True)
     )
     dist = (
         spark.createDataFrame([(src, 0)], "node long, dist long")
         .repartition(n_parts, "node")
-        .localCheckpoint(eager=True)
+        .transform(_barrier, eager=True)
     )
     frontier = dist
     prev_frontier = None
@@ -574,7 +576,7 @@ def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
             nxt = nxt.join(prev_frontier.select("node"), "node", "left_anti")
         nxt = (
             nxt.select("node", F.lit(level).cast("long").alias("dist"))
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
         if nxt.count() == 0:  # one bounded action per level — the exit check
             break
@@ -590,7 +592,7 @@ def graph_sssp(spark, sf_dir):
     stays engine-side; only the eccentricity-sized histogram is returned
     (what a reachability dashboard actually renders), so result size is
     O(diameter) at any corpus scale."""
-    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=True)
+    und = undirected_edges(spark, sf_dir).transform(_barrier, eager=True)
     src = und.agg(F.min("a")).collect()[0][0]  # deterministic, 1-value collect
     d = sssp_hops(und, int(src))
     return (
@@ -665,13 +667,13 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
         und.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
         .repartition(n_parts, "v")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     lab = (
         e.select(F.col("u").alias("node")).distinct()
         .select("node", F.col("node").alias("lbl"))
         .repartition(n_parts, "node")
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     for _ in range(rounds):
         votes = (
@@ -685,7 +687,7 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("s"))
             .select("node", (-F.col("s.neg")).alias("lbl"))
             .repartition(n_parts, "node")
-            .localCheckpoint(eager=False)
+            .transform(_barrier)
         )
     return lab
 
@@ -696,7 +698,7 @@ def graph_lpa(spark, sf_dir):
     dashboard renders (per-node labels stay engine-side).  und is consumed
     exactly once (the edge build inside lpa_labels), so its checkpoint is
     lazy too — the query's one action runs everything."""
-    und = undirected_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = undirected_edges(spark, sf_dir).transform(_barrier)
     lab = lpa_labels(und)
     sizes = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("csize"))
     return (

@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 TOP_K = 25
 MIN_ITEM_FRAC = 0.0005   # item must appear in >= 0.05% of baskets
 MIN_PAIR_COUNT = 2       # a pair seen once is noise at any scale
@@ -84,7 +86,7 @@ def _frequent_items(b: DataFrame) -> DataFrame:
 
 def pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence counts of frequent-item pairs within baskets."""
-    b = _baskets(spark, sf_dir).localCheckpoint(eager=False)
+    b = _baskets(spark, sf_dir).transform(_barrier)
     freq = _frequent_items(b)
     fb = b.join(freq.select("item"), "item")  # A-priori prune before the self-join
     left = fb.select("oid", F.col("item").alias("p1"))
@@ -114,11 +116,11 @@ def itemset_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both directions of each unordered pair are emitted (confidence is
     asymmetric); support/lift are symmetric and repeat on both rows.
     """
-    b = _baskets(spark, sf_dir).localCheckpoint(eager=False)
+    b = _baskets(spark, sf_dir).transform(_barrier)
     nb = b.select("oid").distinct().agg(
         F.count(F.lit(1)).cast("double").alias("n_baskets")
     )
-    freq = _frequent_items(b).localCheckpoint(eager=False)
+    freq = _frequent_items(b).transform(_barrier)
     fb = b.join(freq.select("item"), "item")
     pairs = (
         fb.select("oid", F.col("item").alias("p1"))

@@ -35,6 +35,8 @@ from lachesis_spark.functions import vectors as V
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 # ---------------------------------------------------------------------------
 # PageRank over a user-interaction graph derived from events
 PR_ITERS = 5
@@ -68,7 +70,7 @@ def _maybe_checkpoint(df: DataFrame, it: int, iters: int,
     """Checkpoint mid-loop state every ``every`` iterations (never the final
     one — the caller returns that plan to the engine as-is)."""
     if every and (it + 1) % every == 0 and (it + 1) < iters:
-        return df.localCheckpoint(eager=True)
+        return df.transform(_barrier, eager=True)
     return df
 
 
@@ -145,7 +147,7 @@ def pagerank_converged(edges: DataFrame, tol: float = 1e-7,
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     contrib_edges = edges.join(deg, "src").cache()
-    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).transform(_barrier, eager=True)
     for _ in range(max_iters):
         contribs = (
             contrib_edges.join(pr, contrib_edges["src"] == pr["node"])
@@ -162,7 +164,7 @@ def pagerank_converged(edges: DataFrame, tol: float = 1e-7,
                     + F.lit(damp) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .transform(_barrier, eager=True)
         )
         delta = (
             new.join(pr.withColumnRenamed("pr", "old"), "node")
@@ -393,7 +395,15 @@ def ff_inference(spark, sf_dir):
 
     from lachesis_spark.operators.core import parallelism_floor
 
-    base = parallelism_floor(_emb_arr(spark, sf_dir), spark)
+    # Dimensional guard (round-11 ADVICE): the array rewrite would emit a
+    # bias-only row for an EMPTY embedding and a NULL score for a ragged/
+    # null element, where the old COO posexplode form and the oracle's
+    # unnest drop or partial-sum them.  The generated data is fixed-width,
+    # so this filter drops nothing today; it pins unnest semantics if the
+    # source ever carries ragged vectors.
+    base = parallelism_floor(
+        _emb_arr(spark, sf_dir).filter(F.size("e") == FF_DIM), spark
+    )
     hid = F.zip_with(
         V.matvec(w1t, F.col("e"), FF_HID), b1,
         lambda x, b: F.greatest(x + b, F.lit(0.0)),
@@ -521,7 +531,12 @@ def lstm_inference(spark, sf_dir):
     # at scale — see operators.core.parallelism_floor).
     from lachesis_spark.operators.core import parallelism_floor
 
-    base = parallelism_floor(_emb_arr(spark, sf_dir), spark).select(
+    # same dimensional guard as ff_inference (round-11 ADVICE): pin the
+    # oracle's unnest semantics for ragged/empty vectors; drops nothing
+    # on the fixed-width generated data.
+    base = parallelism_floor(
+        _emb_arr(spark, sf_dir).filter(F.size("e") == FF_DIM), spark
+    ).select(
         "vec_id",
         *[V.matvec(wt[g], F.col("e"), H_).alias(f"x{g}") for g in "ifog"],
     )
@@ -546,7 +561,7 @@ def lstm_inference(spark, sf_dir):
             * F.tanh(el("c", k)),
         ).alias("hh"),
     )
-    state = state.localCheckpoint(eager=False)
+    state = state.transform(_barrier)
     for _t in range(1, T):
         with_u = state.select(
             "vec_id", "xi", "xf", "xo", "xg", "c", "hh",
@@ -574,7 +589,7 @@ def lstm_inference(spark, sf_dir):
                 * F.tanh(el("c", k)),
             ).alias("hh"),
         )
-        state = nxt if _t == T - 1 else nxt.localCheckpoint(eager=False)
+        state = nxt if _t == T - 1 else nxt.transform(_barrier)
     return state.select(
         "vec_id",
         F.posexplode("hh").alias("h", "hv"),

@@ -30,6 +30,8 @@ from pyspark.sql import types as T
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 
 # ---------------------------------------------------------------------------
 # COO representation
@@ -237,7 +239,7 @@ def inverse_newton(
     # the operation), so the checkpoint is model-sized; for an
     # already-trivial input (identity) it costs one no-op job.
     if not materialized:
-        a = a.localCheckpoint(eager=True)
+        a = a.transform(_barrier, eager=True)
     if n is None:
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
@@ -437,7 +439,7 @@ def inverse_newton(
     # UnknownPartitioning, which would force EnsureRequirements to
     # shuffle the next chunk's single-partition joins.  Coalesce on a
     # 1-partition RDD is a free narrow node that restores the badge.
-    mq = (mq.coalesce(1) if small else mq).localCheckpoint(eager=False)
+    mq = (mq.coalesce(1) if small else mq).transform(_barrier)
     if small:
         mq = mq.coalesce(1).limit(2 * n * n + n)
     stats["checkpoints"] += 1
@@ -514,7 +516,7 @@ def inverse_newton(
         # captures UnknownPartitioning) and re-clamps the size estimate.
         for c in cs:
             mq = fused_step(mq, c)
-            mq = mq.localCheckpoint(eager=False)
+            mq = mq.transform(_barrier)
             if small:
                 mq = mq.coalesce(1).limit(2 * n * n + n)
         stats["steps"] += len(cs)
@@ -560,7 +562,7 @@ def inverse_auto(
         # materialize before probing: the probe job plus the dense gather
         # or every Newton sweep would otherwise each re-execute the input's
         # lineage (for a .pdml Gram, a full corpus pass per reference)
-        a = a.localCheckpoint(eager=True)
+        a = a.transform(_barrier, eager=True)
         probed = True
         mx = a.agg(F.max("i").alias("mi"), F.max("j").alias("mj")).first()
         n = int(max(mx["mi"], mx["mj"])) + 1
@@ -781,7 +783,7 @@ def la_inverse_identity(spark, sf_dir):
     unit diagonal entries — which DuckDB can predict without being able to
     invert (LA_INVERSE_IDENTITY_SQL generates literal I).  Any off-diagonal
     residual above 5e-7, or diagonal drift, breaks the hash match."""
-    g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).localCheckpoint(eager=True)
+    g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).transform(_barrier, eager=True)
     prod = matmul(
         inverse_newton(g, n=64, spd=True, materialized=True), g,
         n_parts=2, hint_broadcast=True,
@@ -853,7 +855,7 @@ def la_power_iteration(spark, sf_dir):
     from pyspark.sql.window import Window
 
     a = coo_from_embeddings(spark, sf_dir)
-    g = gram(a).localCheckpoint(eager=True)  # d×d; ONE corpus pass
+    g = gram(a).transform(_barrier, eager=True)  # d×d; ONE corpus pass
     d = int(g.agg(F.max("j")).collect()[0][0]) + 1  # 1-value bounded collect
     # The iterate v is d rows and G is d² — scalar-sized whenever d² fits a
     # single task (d is the embedding WIDTH, corpus-size-independent).  On
@@ -876,14 +878,14 @@ def la_power_iteration(spark, sf_dir):
         v = spark.range(d).select(
             F.col("id").cast("int").alias("j"),
             F.lit(1.0 / math.sqrt(d)).alias("x"),
-        ).coalesce(1).localCheckpoint(eager=False)
+        ).coalesce(1).transform(_barrier)
         # STATS RESET (see inverse_newton): the checkpointed Gram inherits
         # the corpus join-blowup size estimate, and Spark 4.1's
         # EnsureRequirements re-shuffles SinglePartition children it
         # believes exceed spark.sql.maxSinglePartitionBytes — limit(d²)
         # (the Gram's exact dense cardinality) is a semantic no-op that
         # restores a truthful estimate and keeps the loop exchange-free.
-        gj = g.coalesce(1).localCheckpoint(eager=False).limit(d * d)
+        gj = g.coalesce(1).transform(_barrier).limit(d * d)
     else:
         gj = g
         v = spark.createDataFrame(
@@ -907,13 +909,13 @@ def la_power_iteration(spark, sf_dir):
                 F.col("i").alias("j"),
                 (F.col("x") / F.sqrt(F.sum(F.col("x") * F.col("x")).over(w_all)))
                 .alias("x"),
-            ).localCheckpoint(eager=False).coalesce(1).limit(d)
+            ).transform(_barrier).coalesce(1).limit(d)
         else:
             nrm = gv.agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
             v = (
                 gv.join(F.broadcast(nrm))
                 .select(F.col("i").alias("j"), (F.col("x") / F.col("nrm")).alias("x"))
-                .localCheckpoint(eager=True)
+                .transform(_barrier, eager=True)
             )
     gv = (
         gj.join(v.hint("shuffle_hash") if small else F.broadcast(v), "j")

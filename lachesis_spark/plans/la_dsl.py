@@ -121,7 +121,8 @@ class LAInterpreter:
             ):
                 # read-once barrier for multiply-referenced matrices
                 # (lazy: the first consumer's action materializes it)
-                ck = last.localCheckpoint(eager=False)
+                from lachesis_spark.operators.core import barrier
+                ck = barrier(last)
                 if id(last) in self._spd:
                     self._spd.add(id(ck))
                 last = ck

@@ -43,6 +43,8 @@ from pyspark.sql import functions as F
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 MV_FILE = "_lachesis_mv.json"
 
 # Named row-transforms applied to the scanned source BEFORE aggregation —
@@ -166,7 +168,7 @@ def refresh_view(cat, db: str, view: str) -> str:
         delta_df = TRANSFORMS[meta["transform"]](delta_df)
     delta = _state_agg(delta_df, keys, cols)
     state = cat.read_set(db, view)
-    folded = _fold(state, delta, keys, cols).localCheckpoint(eager=True)
+    folded = _fold(state, delta, keys, cols).transform(_barrier, eager=True)
     cat.write_set(folded, db, view, bucket_by=bucket_by)
     meta["consumed"] = names
     with open(_mv_path(cat, db, view), "w") as fh:

@@ -17,6 +17,8 @@ from lachesis_spark.operators import core
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return base_table(spark, sf_dir, name)
@@ -206,7 +208,7 @@ def op_jaccard_topk(spark, sf_dir):
         core.join([li, orders], equi=[F.col("l_orderkey") == F.col("o_orderkey")])
         .select(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(_barrier)
     )
     q = cp.filter(F.col("custkey") == 1).select(F.col("partkey").alias("q_partkey"))
     q_size = q.count()  # tiny driver-side scalar, same as the reference's query set
@@ -892,7 +894,7 @@ def op_skyline(spark, sf_dir):
         )
         .cast("long")
         .alias("bkt"),
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     # (a) per-(bucket, price) max size, then within-bucket strictly-cheaper
     #     running max over the deduped price rows
     from pyspark.sql import Window

@@ -38,6 +38,8 @@ from lachesis_spark.functions.text import tokens
 
 from lachesis_spark.binding import base_table
 
+from lachesis_spark.operators.core import barrier as _barrier
+
 M_HLL = 512          # registers (p = 9)
 W_BITS = 51          # value bits left after the bucket index (60 - 9)
 CMS_D = 4            # hash rows
@@ -391,7 +393,7 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hist = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
-    ).localCheckpoint(eager=False)
+    ).transform(_barrier)
     # cumulative counts via a bounded inequality self-join: the histogram
     # is ≤ Q_BINS rows by construction, so the broadcast b.bin <= a.bin
     # join is a CONSTANT ≤ B² cells at any corpus scale — no global-sort
