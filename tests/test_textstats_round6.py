@@ -43,3 +43,25 @@ def test_bigram_ppl_bounds(spark):
     # perplexity of an add-k bigram LM over V words lies in [1, V + slack]
     assert (df.ppl >= 1.0).all()
     assert (df.mean_lp < 0).all()
+
+
+def test_langid_ngram_lambda_binding_evaluates_text_once(spark):
+    """Round-11 ADVICE regression guard: text_langid_ngram's once-per-row
+    evaluation relies on CollapseProject being unable to inline
+    projections into lambda bindings (transform over a 1-element array).
+    A Spark upgrade that learns to inline lambda-bound expressions would
+    silently restore per-trigram re-evaluation of lower(text) /
+    char_trigrams with no correctness signal — so pin the optimized
+    plan shape: exactly one lower(text#N) occurrence."""
+    import re
+
+    from tests.conftest import SF_SMOKE
+    from lachesis_spark.llm.textstats import text_langid_ngram
+
+    df = text_langid_ngram(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n_lower = len(re.findall(r"lower\(text#\d+\)", plan))
+    assert n_lower == 1, (
+        f"lower(text) inlined {n_lower}x — lambda-binding barrier defeated:\n"
+        + plan[:2000]
+    )
