@@ -388,7 +388,17 @@ KCORE_ORACLE_DEPTH = 16  # unroll budget; > observed peel depth (≤5) at every
 #                          Spark side is depth-independent), never pass silently
 
 
-def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
+#  Doubled-edge row count at or under which the graph loops run on a
+#  single stats-clamped partition (~12 MB of edge rows): exchange-free
+#  hinted hash joins, one narrow job per sweep — the plans/la.py /
+#  dedup.cc_converged pattern.  Corpus-scale graphs keep the partitioned
+#  paths (the gate is an actual row count, never a guess).
+GRAPH_SINGLE_PARTITION_EDGE_LIMIT = 1 << 19
+
+
+def kcore_layers(
+    und: DataFrame, k: int, n_parts: int = 32, m: int | None = None
+) -> DataFrame:
     """Onion decomposition by k-core peeling: repeatedly remove every node
     with fewer than ``k`` ALIVE neighbors; a node's ``layer`` is the round
     that removed it (1-based), survivors — the k-core — get layer 0.
@@ -410,23 +420,37 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
     # filtering dead u's is NOT needed before the groupBy — their degree
     # rows are dropped by the alive-side join below, and the bytes they
     # add to the one shuffle are less than the exchanges they saved.
-    e = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .repartition(n_parts, "v")
-        .transform(_barrier, eager=True)
+    ee = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    alive = (
-        e.select(F.col("u").alias("node")).distinct()
-        .repartition(n_parts, "node")
-        .transform(_barrier, eager=True)
-    )
+    small = m is not None and 2 * m <= GRAPH_SINGLE_PARTITION_EDGE_LIMIT
+    if small:
+        # single-partition regime: every sweep join/aggregate plans zero
+        # exchanges (hinted hash join over stats-clamped SinglePartition
+        # frames; limit(2m) is an identity — the doubled edge list is
+        # exactly 2m rows, alive/layer frames at most that), so a sweep
+        # is ONE narrow job (its exit count) instead of an AQE stage
+        # cascade per checkpoint.
+        cap = 2 * int(m)
+        e = ee.coalesce(1).transform(_barrier, eager=True).coalesce(1).limit(cap)
+        alive = (
+            e.select(F.col("u").alias("node")).distinct()
+            .transform(_barrier).coalesce(1).limit(cap)
+        )
+    else:
+        e = ee.repartition(n_parts, "v").transform(_barrier, eager=True)
+        alive = (
+            e.select(F.col("u").alias("node")).distinct()
+            .repartition(n_parts, "node")
+            .transform(_barrier, eager=True)
+        )
     layers = None
     r = 0
     while True:
         r += 1
+        alive_v = alive.select(F.col("node").alias("v"))
         deg = (
-            e.join(alive.select(F.col("node").alias("v")), "v")
+            e.join(alive_v.hint("shuffle_hash") if small else alive_v, "v")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
         )
@@ -440,27 +464,31 @@ def kcore_layers(und: DataFrame, k: int, n_parts: int = 32) -> DataFrame:
         # exit check, then the eager alive checkpoint recomputing
         # alive⋈keep from scratch).  Nodes with zero alive neighbors are
         # absent from deg — the left join's coalesce(0) removes them.
-        ann = (
-            alive.join(
-                deg.select(F.col("u").alias("node"), "d"), "node", "left"
-            )
-            .select(
-                "node", (F.coalesce(F.col("d"), F.lit(0)) >= k).alias("keep")
-            )
-            .repartition(n_parts, "node")
-            .transform(_barrier)
+        degn = deg.select(F.col("u").alias("node"), "d")
+        ann = alive.join(
+            degn.hint("shuffle_hash") if small else degn, "node", "left"
+        ).select(
+            "node", (F.coalesce(F.col("d"), F.lit(0)) >= k).alias("keep")
         )
+        if small:
+            ann = ann.transform(_barrier).coalesce(1).limit(cap)
+        else:
+            ann = ann.repartition(n_parts, "node").transform(_barrier)
         n_removed = ann.filter(~F.col("keep")).count()
         if n_removed == 0:
             break
         removed = ann.filter(~F.col("keep")).select(
             "node", F.lit(r).cast("long").alias("layer")
         )
-        layers = (
-            removed
-            if layers is None
-            else layers.unionByName(removed).transform(_barrier)
-        )
+        if layers is None:
+            layers = removed
+        elif small:
+            layers = (
+                layers.unionByName(removed)
+                .coalesce(1).transform(_barrier).coalesce(1).limit(cap)
+            )
+        else:
+            layers = layers.unionByName(removed).transform(_barrier)
         alive = ann.filter(F.col("keep")).select("node")
     core = alive.select("node", F.lit(0).cast("long").alias("layer"))
     out = core if layers is None else layers.unionByName(core)
@@ -484,7 +512,7 @@ def graph_kcore(spark, sf_dir):
         .first()
     )
     k = int(2 * mn["m"] / mn["n"])
-    return kcore_layers(und, k)
+    return kcore_layers(und, k, m=int(mn["m"]))
 
 
 def _kcore_oracle_sql(depth: int = KCORE_ORACLE_DEPTH) -> str:
@@ -529,7 +557,9 @@ SSSP_ORACLE_DEPTH = 32  # oracle recursion bound; > observed eccentricity at
 #                         pass silently.  The Spark side is depth-independent.
 
 
-def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
+def sssp_hops(
+    und: DataFrame, src: int, n_parts: int = 32, m: int | None = None
+) -> DataFrame:
     """Hop distances from ``src`` by frontier BFS — the convergence-checked
     production loop (same shape as ``kcore_layers``): per level, one
     co-partitioned frontier⋈edges join expands the frontier, one anti-join
@@ -540,17 +570,26 @@ def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
     shuffle conf is never touched.  Unreachable nodes are absent (standard
     BFS contract)."""
     spark = und.sparkSession
-    e = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .repartition(n_parts, "u")
-        .transform(_barrier, eager=True)
+    ee = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    dist = (
-        spark.createDataFrame([(src, 0)], "node long, dist long")
-        .repartition(n_parts, "node")
-        .transform(_barrier, eager=True)
-    )
+    small = m is not None and 2 * m <= GRAPH_SINGLE_PARTITION_EDGE_LIMIT
+    if small:
+        # single-partition regime (see kcore_layers); the seed frame is
+        # range-based so its stats are truthful from the start.
+        cap = 2 * int(m)
+        e = ee.coalesce(1).transform(_barrier, eager=True).coalesce(1).limit(cap)
+        dist = spark.range(1).select(
+            F.lit(src).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        ).coalesce(1)
+    else:
+        e = ee.repartition(n_parts, "u").transform(_barrier, eager=True)
+        dist = (
+            spark.createDataFrame([(src, 0)], "node long, dist long")
+            .repartition(n_parts, "node")
+            .transform(_barrier, eager=True)
+        )
     frontier = dist
     prev_frontier = None
     level = 0
@@ -565,19 +604,29 @@ def sssp_hops(und: DataFrame, src: int, n_parts: int = 32) -> DataFrame:
         # expansion distinct); the expansion join, both anti-joins and
         # the exit count ride the pinned hash(node) layout, and the lazy
         # checkpoint makes the exit count the level's only action.
+        fu = frontier.select(F.col("node").alias("u"))
         nxt = (
-            e.join(frontier.select(F.col("node").alias("u")), "u")
+            e.join(fu.hint("shuffle_hash") if small else fu, "u")
             .select(F.col("v").alias("node"))
             .distinct()
-            .repartition(n_parts, "node")
-            .join(frontier.select("node"), "node", "left_anti")
+        )
+        if not small:
+            nxt = nxt.repartition(n_parts, "node")
+        fa = frontier.select("node")
+        nxt = nxt.join(
+            fa.hint("shuffle_hash") if small else fa, "node", "left_anti"
         )
         if prev_frontier is not None:
-            nxt = nxt.join(prev_frontier.select("node"), "node", "left_anti")
+            pa = prev_frontier.select("node")
+            nxt = nxt.join(
+                pa.hint("shuffle_hash") if small else pa, "node", "left_anti"
+            )
         nxt = (
             nxt.select("node", F.lit(level).cast("long").alias("dist"))
             .transform(_barrier)
         )
+        if small:
+            nxt = nxt.coalesce(1).limit(cap)
         if nxt.count() == 0:  # one bounded action per level — the exit check
             break
         dist = dist.unionByName(nxt)
@@ -593,8 +642,10 @@ def graph_sssp(spark, sf_dir):
     (what a reachability dashboard actually renders), so result size is
     O(diameter) at any corpus scale."""
     und = undirected_edges(spark, sf_dir).transform(_barrier, eager=True)
-    src = und.agg(F.min("a")).collect()[0][0]  # deterministic, 1-value collect
-    d = sssp_hops(und, int(src))
+    # one job for BOTH scalars: the BFS source and the edge count that
+    # gates the single-partition loop regime
+    pr = und.agg(F.min("a").alias("src"), F.count(F.lit(1)).alias("m")).collect()[0]
+    d = sssp_hops(und, int(pr["src"]), m=int(pr["m"]))
     return (
         d.groupBy("dist")
         .agg(
@@ -646,7 +697,10 @@ LPA_ROUNDS = 4  # FIXED round count so the oracle unrolls the identical
 #                 label) makes every round reproducible cross-engine.
 
 
-def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> DataFrame:
+def lpa_labels(
+    und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32,
+    m: int | None = None,
+) -> DataFrame:
     """Synchronous LPA: each round every node adopts its neighbors' most
     frequent label (ties -> smallest label).  Unlike connected components
     (pure min-propagation, finds CONNECTIVITY), frequency voting finds
@@ -663,21 +717,33 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
     # keeping lineage shallow for any re-reference).  The previous
     # eager-per-round cadence paid rounds+2 sequential job launches for
     # identical work — pure fixed overhead on a reduced-size label frame.
-    e = (
-        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
-        .repartition(n_parts, "v")
-        .transform(_barrier)
+    ee = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    lab = (
-        e.select(F.col("u").alias("node")).distinct()
-        .select("node", F.col("node").alias("lbl"))
-        .repartition(n_parts, "node")
-        .transform(_barrier)
-    )
+    small = m is not None and 2 * m <= GRAPH_SINGLE_PARTITION_EDGE_LIMIT
+    if small:
+        # single-partition regime (see kcore_layers): the 4-round lazy
+        # chain plans zero exchanges, so the caller's one action runs it
+        # as one narrow job cascade with no per-checkpoint AQE stage jobs.
+        cap = 2 * int(m)
+        e = ee.coalesce(1).transform(_barrier).coalesce(1).limit(cap)
+        lab = (
+            e.select(F.col("u").alias("node")).distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .transform(_barrier).coalesce(1).limit(cap)
+        )
+    else:
+        e = ee.repartition(n_parts, "v").transform(_barrier)
+        lab = (
+            e.select(F.col("u").alias("node")).distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .repartition(n_parts, "node")
+            .transform(_barrier)
+        )
     for _ in range(rounds):
+        lv = lab.select(F.col("node").alias("v"), "lbl")
         votes = (
-            e.join(lab.select(F.col("node").alias("v"), "lbl"), "v")
+            e.join(lv.hint("shuffle_hash") if small else lv, "v")
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -686,9 +752,11 @@ def lpa_labels(und: DataFrame, rounds: int = LPA_ROUNDS, n_parts: int = 32) -> D
             votes.groupBy("node")
             .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("s"))
             .select("node", (-F.col("s.neg")).alias("lbl"))
-            .repartition(n_parts, "node")
-            .transform(_barrier)
         )
+        if small:
+            lab = lab.transform(_barrier).coalesce(1).limit(cap)
+        else:
+            lab = lab.repartition(n_parts, "node").transform(_barrier)
     return lab
 
 
@@ -699,7 +767,11 @@ def graph_lpa(spark, sf_dir):
     exactly once (the edge build inside lpa_labels), so its checkpoint is
     lazy too — the query's one action runs everything."""
     und = undirected_edges(spark, sf_dir).transform(_barrier)
-    lab = lpa_labels(und)
+    # the count gates the single-partition loop regime AND materializes
+    # und's lazy barrier, so the 4-round chain builds from persisted
+    # blocks (one bounded job; the loop itself then runs exchange-free)
+    m = und.count()
+    lab = lpa_labels(und, m=m)
     sizes = lab.groupBy("lbl").agg(F.count(F.lit(1)).cast("long").alias("csize"))
     return (
         sizes.groupBy("csize")
