@@ -645,20 +645,37 @@ def text_ppl_buckets(spark, sf_dir):
     toks = docs.select(
         "doc_id", "lang", F.explode(TX.tokens(F.lower(F.col("text")))).alias("w")
     )
+    # ONE tokenize pass (guide §6 — the sample_dsir pattern): per-doc word
+    # counts feed BOTH the language model (integer count sums — the LM is
+    # bit-identical to the direct count) and the per-doc score, where
+    # avg(ln p) over token instances equals Σ c·ln p / Σ c.  The old form
+    # tokenized the corpus once for the LM and AGAIN for the scoring join.
+    dwc = (
+        toks.groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_barrier)
+    )
     # per-lang totals via groupBy + broadcast join, NOT a lang-partitioned
     # window: a window would sort each language's whole vocabulary in ONE
     # task (1e7-1e8 rows/lang at corpus scale); the totals frame is
     # languages-sized and broadcasts for free
-    wc = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    wc = dwc.groupBy("lang", "w").agg(F.sum("c").alias("c"))
     tots = wc.groupBy("lang").agg(F.sum("c").alias("tot"))
     lm = (
         wc.join(F.broadcast(tots), "lang")
         .select("lang", "w", (F.col("c") / F.col("tot")).alias("p"))
     )
+    # scored feeds the threshold aggregate AND the binning — barriered so
+    # the quartile probe does not re-run the whole upstream pipeline
     scored = (
-        toks.join(lm, ["lang", "w"])
+        dwc.join(lm, ["lang", "w"])
         .groupBy("doc_id")
-        .agg(F.round(F.avg(F.log("p")), 9).alias("doc_lp"))
+        .agg(
+            F.round(
+                F.sum(F.col("c") * F.log("p")) / F.sum("c"), 9
+            ).alias("doc_lp")
+        )
+        .transform(_barrier)
     )
     thr = scored.agg(
         F.expr("percentile(doc_lp, 0.25)").alias("q1"),
