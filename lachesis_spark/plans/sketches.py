@@ -146,8 +146,20 @@ def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus tokenize pass (guide §6): the vocabulary-sized exact
+    # count frame feeds BOTH the sketch (each token's CMS_D cells
+    # weighted by its exact count — sum of per-token counts per cell ==
+    # count of token instances per cell, an integer identity) and the
+    # top-k probe side.  The old form tokenized the corpus once for the
+    # cell stream and AGAIN for the exact counts.
     toks = _token_stream(spark, sf_dir)
-    cells = toks.select(
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .transform(_barrier)
+    )
+    cells = exact.select(
+        "exact_n",
         F.explode(
             F.array(
                 *[
@@ -158,11 +170,11 @@ def sketch_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for s in range(CMS_D)
                 ]
             )
-        ).alias("c")
-    ).select("c.row_id", "c.bucket")
-    sketch = cells.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+        ).alias("c"),
+    ).select("c.row_id", "c.bucket", "exact_n")
+    sketch = cells.groupBy("row_id", "bucket").agg(
+        F.sum("exact_n").alias("cnt")
+    )
     top = exact.orderBy(F.col("exact_n").desc(), F.col("tok").asc()).limit(CMS_TOPK)
 
     probes = top.select(
