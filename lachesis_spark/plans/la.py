@@ -62,7 +62,7 @@ def transpose(a: DataFrame) -> DataFrame:
 
 def matmul(
     a: DataFrame, b: DataFrame, n_parts: int | None = None,
-    hint_broadcast: bool = False,
+    hint_broadcast: bool = False, hint_shuffle_hash: bool = False,
 ) -> DataFrame:
     """A %*% B on COO: equi-join on the contraction index + group-sum
     (the reference's join-on-block-index + aggregate plan,
@@ -86,6 +86,11 @@ def matmul(
     bj = b.select(F.col("i").alias("k2"), F.col("j").alias("bj"), F.col("v").alias("bv"))
     if hint_broadcast:
         bj = F.broadcast(bj)
+    elif hint_shuffle_hash:
+        # single-partition callers (both sides stats-clamped on one
+        # partition): plans ShuffledHashJoin with no exchange AND no
+        # detached broadcast-build job (see inverse_newton's fused step)
+        bj = bj.hint("shuffle_hash")
     joined = aa.join(bj, F.col("k") == F.col("k2"))
     if n_parts is not None:
         joined = joined.select("ai", "bj", "av", "bv").repartition(n_parts, "ai", "bj")
@@ -784,9 +789,15 @@ def la_inverse_identity(spark, sf_dir):
     invert (LA_INVERSE_IDENTITY_SQL generates literal I).  Any off-diagonal
     residual above 5e-7, or diagonal drift, breaks the hash match."""
     g = gram(coo_from_embeddings(spark, sf_dir, limit=200)).transform(_barrier, eager=True)
+    # the closing product runs on the single-partition pattern too: both
+    # sides are one stats-clamped partition (the inverse comes out of the
+    # clamped pair frame; gi re-badges the checkpointed Gram), so the
+    # hinted hash join and the (i, j) group-sum plan zero exchanges and
+    # no broadcast-build job.
+    gi = g.coalesce(1).limit(64 * 64)
     prod = matmul(
-        inverse_newton(g, n=64, spd=True, materialized=True), g,
-        n_parts=2, hint_broadcast=True,
+        inverse_newton(g, n=64, spd=True, materialized=True), gi,
+        hint_shuffle_hash=True,
     )
     # round so the result is stable: exact zeros off-diagonal modulo 1e-6
     return prod.select(
